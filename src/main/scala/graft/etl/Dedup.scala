@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keep-first deduplication (reference `etl/orders_etl.py:77-79,83-85`:
+  * pandas `drop_duplicates(keep="first")` preserves the first occurrence in
+  * file order).
+  *
+  * Scale notes: the window formulation is one hash-shuffle on the dedup key
+  * followed by a streaming rank within each key group — the same cost as any
+  * keyed aggregation, no global sort. At 100 TB the shuffle is unavoidable
+  * for exact dedup (equal keys must meet); skew on a hot key is handled by
+  * AQE skew-join/partition-split, and the rank itself never materializes a
+  * group in memory. `dropDuplicates` would be marginally cheaper
+  * (map-side partial aggregation) but keeps an *arbitrary* row — only legal
+  * when the caller proves all survivors are equivalent.
+  */
+object Dedup {
+
+  /** Keep the first row per key, "first" defined by `order` columns — use a
+    * real data column (`ts`, `l_linenumber`) so results are deterministic
+    * across partitionings and match a SQL `row_number()` oracle.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Keep-first in *file order* — reproduces pandas `keep="first"` exactly.
+    * `monotonically_increasing_id` is monotone within a partition and
+    * partition-ordered across partitions, so for an unshuffled scan it
+    * encodes file order. Only for reference-fidelity paths; oracle-checked
+    * queries use [[keepFirst]] with an explicit order column.
+    */
+  def keepFirstFileOrder(df: DataFrame, keys: Seq[String]): DataFrame =
+    keepFirst(df.withColumn("_seq", monotonically_increasing_id()),
+      keys, Seq(col("_seq"))).drop("_seq")
+
+  /** Exact duplicate removal where any survivor is acceptable — pure
+    * `dropDuplicates`, which Catalyst plans as a hash aggregate with
+    * map-side partial combine (cheapest exact dedup at scale).
+    */
+  def dropDupes(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+}

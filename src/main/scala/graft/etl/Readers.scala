@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources. Two families:
+  *
+  *   1. the reference's CSV scans with scan-time column projection
+  *      (reference `etl/orders_etl.py:72-75`);
+  *   2. the synthetic Parquet testdata tables (`/root/repo/TESTDATA.md`).
+  *
+  * Scale notes: all readers hand Catalyst a declarative scan so column
+  * pruning / predicate pushdown reach the file source (check
+  * `PushedFilters` / `ReadSchema` in `.explain("formatted")`). CSV schemas
+  * are explicit — never `inferSchema` (that is a second full pass over the
+  * data). Parquet readers are plain `spark.read.parquet`, so partition
+  * pruning and the vectorized reader apply unchanged on a real cluster.
+  */
+object Readers {
+
+  /** Orders CSV scan projected to the 10 used columns, all-string.
+    * The leading unnamed pandas index column is dropped by the projection,
+    * mirroring `usecols` (reference `etl/orders_etl.py:72`).
+    */
+  def ordersCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.ordersCsvRaw)
+      .csv(path)
+      .select(Schemas.ordersReadCols.map(col): _*)
+
+  /** Products CSV scan, 4-column projection
+    * (reference `etl/orders_etl.py:73-75`).
+    */
+  def productsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.productsCsvRaw)
+      .csv(path)
+      .select(Schemas.productsReadCols.map(col): _*)
+
+  /** A testdata Parquet table by name. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table. Its `ts` column is nanosecond-precision INT64
+    * TIMESTAMP(NANOS), which Spark's Parquet reader rejects; we read nanos
+    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microsecond TimestampType — the same floor-truncation DuckDB applies
+    * when it casts TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extension operators the reference lacks (SURVEY §2.9 / §7.3 step 7):
+  * group-by aggregation, distinct aggregation, sort/top-k, ranking windows,
+  * set operations, JSON extraction, tumbling time windows, sessionization.
+  *
+  * Determinism: every result carries a total ORDER BY; double aggregates
+  * are rounded after aggregation (partial-agg summation order differs
+  * across partitionings by ULPs — SURVEY §7.4 risk 6).
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: hash aggregate with map-side partial
+    * aggregation; the only shuffle carries pre-aggregated partials (6 rows
+    * per mapper), so this scales linearly to 100 TB.
+    */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-k by value: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * a per-partition heap of k rows then a k-row merge on the driver; no
+    * global sort ever materializes.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Ranking window: top-3 customers per market segment. One shuffle on the
+    * partition key; rank streams within each group.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Readers.table(spark, dir, "customer")
+      .withColumn("rank_in_segment", row_number().over(w))
+      .filter(col("rank_in_segment") <= 3)
+      .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rank_in_segment")
+  }
+
+  val windowRankSql: String =
+    """SELECT c_mktsegment, rank_in_segment, c_custkey, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |                           ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment
+      |      FROM customer)
+      |WHERE rank_in_segment <= 3
+      |ORDER BY c_mktsegment, rank_in_segment""".stripMargin
+
+  /** Distinct aggregation + dimension join: per-nation customer stats.
+    * Nation is tiny → broadcast; count(distinct) expands to a two-phase
+    * aggregate (Catalyst rewrites it; no driver collect).
+    */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "customer")
+      .join(broadcast(Readers.table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("customers"),
+        countDistinct("c_mktsegment").as("segments"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("n_name")
+
+  val aggDistinctSql: String =
+    """SELECT n_name, count(*) AS customers,
+      |  count(DISTINCT c_mktsegment) AS segments,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Set operations in one result: customers with no orders (EXCEPT),
+    * customers with orders (INTERSECT). Both are shuffle-dedup ops on the
+    * key — same cost shape as a distinct aggregate.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = Readers.table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val orderCust = Readers.table(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val except = custKeys.except(orderCust).withColumn("op", lit("no_orders"))
+    val intersect = custKeys.intersect(orderCust).withColumn("op", lit("with_orders"))
+    except.unionByName(intersect).select("op", "k").orderBy("op", "k")
+  }
+
+  val setOpsSql: String =
+    """SELECT op, k FROM (
+      |  SELECT 'no_orders' AS op, k FROM
+      |    (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'with_orders' AS op, k FROM
+      |    (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+      |) ORDER BY op, k""".stripMargin
+
+  /** Semi-structured extraction: pull a typed metric out of the JSON props
+    * column and aggregate. `get_json_object` evaluates per row inside
+    * codegen — no UDF, no driver round-trip.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling one-hour time windows (batch twin of the Structured Streaming
+    * windowed aggregation). `window()` is a row-local bucket computation —
+    * the only shuffle is the group-by.
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val tumblingWindowSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity). See
+    * [[graft.ops.Sessionize]] for the plan-shape discussion.
+    */
+  def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        gapMicros = 30L * 60 * 1000000,
+        aggs = Seq(round(sum("value"), 2).as("sum_value")))
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_no")
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_no,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id
+      |                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM (
+      |    SELECT user_id, ts, value, event_id,
+      |      CASE WHEN prev_us IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, ts, value, event_id,
+      |        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |          PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> aggPricingSummary,
+    "topk_orders" -> topkOrders,
+    "window_rank" -> windowRank,
+    "agg_distinct" -> aggDistinct,
+    "set_ops" -> setOps,
+    "json_extract" -> jsonExtract,
+    "tumbling_window" -> tumblingWindow,
+    "sessionize" -> sessionizeQ
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_pricing_summary" -> aggPricingSummarySql,
+    "topk_orders" -> topkOrdersSql,
+    "window_rank" -> windowRankSql,
+    "agg_distinct" -> aggDistinctSql,
+    "set_ops" -> setOpsSql,
+    "json_extract" -> jsonExtractSql,
+    "tumbling_window" -> tumblingWindowSql,
+    "sessionize" -> sessionizeSql
+  )
+}

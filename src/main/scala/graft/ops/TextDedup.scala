@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora — the MinHash/LSH and
+  * SimHash family, built entirely from codegen'd built-ins (split /
+  * transform / explode / md5 / min aggregates). No UDFs, no driver-side
+  * loops: every step is a narrow map or a keyed aggregate, so the pipeline
+  * scales to corpus sizes where O(n²) comparison is impossible.
+  *
+  * Hashing: `md5(salt || shingle)` with lexicographic `min` as the hash-family
+  * member. md5 is deterministic and identical across engines (unlike
+  * `hash()`/`xxhash64` which are Spark-specific), which keeps every stage
+  * oracle-checkable in DuckDB.
+  *
+  * Scale shape (N docs, s shingles/doc):
+  *   - shingle+signature: one explode (N·s rows) + one groupBy(doc) — linear;
+  *   - LSH banding: b band keys per doc, self-join on band key — output is
+  *     only genuinely-colliding pairs, the whole point of LSH (b·r = k
+  *     signature positions; P[collide] = 1-(1-j^r)^b for Jaccard j);
+  *   - the band join shuffles on the band key; a degenerate hot bucket
+  *     (all-identical docs) is a data-skew case for AQE skew handling.
+  */
+object TextDedup {
+
+  val NumHashes = 8
+  val BandSize = 2          // → 4 bands of 2 → s-curve threshold j ≈ 0.55
+
+  /** Word n-gram shingles of `text` (default trigrams). Documents with
+    * fewer than `n` words produce no shingles (and thus no signature),
+    * matching the SQL `range` formulation.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o + 1))): _*)))
+      .otherwise(array())
+  }
+
+  /** MinHash signature: one row per doc, columns mh0..mh{k-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = NumHashes, shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
+    sh.groupBy(idCol)
+      .agg(
+        min(md5(concat(lit("s0|"), col("s")))).as("mh0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"s$i|"), col("s")))).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band (all `BandSize`
+    * signature positions equal within the band), with the MinHash-estimated
+    * similarity (fraction of equal signature positions). `a < b` dedupes
+    * the symmetric pairs.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        k: Int = NumHashes): DataFrame = {
+    val a = sigs.select(col(idCol).as("doc_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(col(idCol).as("doc_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val bandMatch = (0 until k by BandSize).map { s =>
+      (s until s + BandSize).map(i => col(s"a$i") === col(s"b$i"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val equalPositions = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("doc_a") < col("doc_b") && bandMatch)
+      .select(col("doc_a"), col("doc_b"),
+        (equalPositions.cast("double") / k).as("est_sim"))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair set — the
+    * verification stage after LSH candidate generation. `pairs` must have
+    * (doc_a, doc_b); docs are joined twice on the id.
+    */
+  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("jid"), explode(shingles(col(textCol), shingleN)).as("s"))
+      .distinct()
+    val counts = sh.groupBy("jid").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("jid").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("jid").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(counts.select(col("jid").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("jid").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash over the distinct word set: each word's md5 contributes
+    * ±1 per bit position; the signature bit is the sign of the sum. Near
+    * duplicates differ in few bits (compare with hamming distance, or band
+    * the bits for an LSH-style join).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("word"))
+      .withColumn("hex", md5(col("word")))
+    val withDigits = (0 until SimhashBits / 4).foldLeft(words) { (df, p) =>
+      df.withColumn(s"d$p",
+        expr(s"instr('0123456789abcdef', substring(hex, ${p + 1}, 1)) - 1"))
+    }
+    val contribs = (0 until SimhashBits).map { j =>
+      sum(expr(s"((d${j / 4} div ${1 << (j % 4)}) % 2) * 2 - 1")).as(s"c$j")
+    }
+    val sums = withDigits.groupBy(idCol).agg(contribs.head, contribs.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators: cosine similarity, brute-force ANN, and an
+  * IVF-style partitioned search. Embeddings are `array<float>` columns;
+  * all math is done in double via higher-order functions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs, deterministic element order (a
+  * sequential fold, matching DuckDB's `list_dot_product`).
+  *
+  * Scale shape:
+  *   - brute-force top-k: a broadcast of the (small) query set against a
+  *     map-only scan of N candidates + per-query top-k heap — the exact
+  *     baseline every ANN index is judged against. O(N·Q·d), no shuffle on
+  *     the N side except the final per-query k-row aggregation.
+  *   - IVF: candidates are pre-assigned to their nearest centroid (one
+  *     broadcast join at build time); a query probes only its centroid's
+  *     partition → the scan shrinks by ~|centroids|×. The centroid
+  *     assignment column doubles as a physical partition key at 100 TB
+  *     (write the index bucketed/partitioned by `centroid_id`, and the
+  *     probe prunes partitions at scan time).
+  */
+object Vectors {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null if either norm is zero. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest candidate
+    * rows. Ranking uses the *rounded* similarity plus the candidate id as
+    * tiebreak so results are reproducible across engines and partitionings.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     queryId: String = "query_id", candId: String = "vec_id",
+                     queryVec: String = "q_emb", candVec: String = "embedding")
+  : DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .withColumn("cos", round(cosine(col(queryVec), col(candVec)), 6))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cos").desc, col(candId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(candId), col("cos"))
+  }
+
+  /** Assign every vector to its nearest centroid (IVF build step).
+    * `centroids` must be small (it is broadcast). Output: input columns +
+    * `centroid_id`. Distance = negative cosine (max similarity).
+    */
+  def assignToCentroids(vectors: DataFrame, idCol: String,
+                        centroids: DataFrame,
+                        vecCol: String = "embedding",
+                        centroidId: String = "centroid_id",
+                        centroidVec: String = "c_emb"): DataFrame = {
+    val keep = vectors.columns.map(col)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_sim").desc, col(centroidId))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("_sim", round(cosine(col(vecCol), col(centroidVec)), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(keep :+ col(centroidId): _*)
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.{TextDedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-corpus operators over the `documents` table: exact + near-duplicate
+  * detection (MinHash/LSH, SimHash, n-gram Jaccard) and per-document text
+  * analysis. Every query has a DuckDB oracle — near-dup hashing is built on
+  * md5, which both engines compute identically.
+  */
+object TextQueries {
+
+  private val K = TextDedup.NumHashes
+
+  /** Exact dedup by full text: hash aggregate, map-side combined. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("copies"))
+      .select("canonical_id", "copies")
+      .orderBy("canonical_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS copies
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  /** MinHash signatures (trigram shingles, 8 salted md5 min-hashes). */
+  def minhashSignaturesQ(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignatures(
+        Readers.table(spark, dir, "documents"), "doc_id", "text", K)
+      .orderBy("doc_id")
+
+  private def shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |            for i in range(1, greatest(len(w) - 1, 1))]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |)""".stripMargin
+
+  private def sigCte: String = {
+    val mins = (0 until K)
+      .map(i => s"min(md5('s$i|' || s)) AS mh$i").mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  val minhashSignaturesSql: String =
+    s"""WITH $shingleCte,
+       |$sigCte
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Full near-dup pipeline: shingle → minhash → LSH band → bucket join →
+    * candidate pairs with estimated similarity.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(
+      Readers.table(spark, dir, "documents"), "doc_id", "text", K)
+    TextDedup.lshCandidatePairs(sigs, "doc_id", K)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val bands = (0 until K by TextDedup.BandSize).map { s =>
+      "(" + (s until s + TextDedup.BandSize)
+        .map(i => s"a.mh$i = b.mh$i").mkString(" AND ") + ")"
+    }.mkString("\n     OR ")
+    val eqPos = (0 until K)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |$sigCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  (($eqPos)::DOUBLE / $K) AS est_sim
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id < b.doc_id AND
+       |    ($bands)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Exact trigram-Jaccard verification over a bounded candidate set
+    * (neighbor window of 5 within the same language — O(n) pairs; in the
+    * composed pipeline the candidates come from LSH instead).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"))
+    val pairs = a.join(b,
+      col("lang") === col("lang_b")
+        && col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 5)
+      .select("doc_a", "doc_b")
+    TextDedup.jaccardOnPairs(docs, pairs, "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM documents a JOIN documents b
+       |    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+       |),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN dsh x ON x.doc_id = p.doc_a
+       |  JOIN dsh y ON y.doc_id = p.doc_b AND y.s = x.s
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(coalesce(i.n_inter, 0)::DOUBLE
+       |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+       |FROM pairs p
+       |JOIN counts ca ON ca.doc_id = p.doc_a
+       |JOIN counts cb ON cb.doc_id = p.doc_b
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  /** 16-bit SimHash signatures over the distinct word set. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(Readers.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val dedupSimhashSql: String = {
+    val digits = (0 until TextDedup.SimhashBits / 4)
+      .map(p => s"strpos('0123456789abcdef', substr(md5(word), ${p + 1}, 1)) - 1 AS d$p")
+      .mkString(",\n    ")
+    val contribs = (0 until TextDedup.SimhashBits)
+      .map(j => s"sum(((d${j / 4} // ${1 << (j % 4)}) % 2) * 2 - 1) AS c$j")
+      .mkString(",\n    ")
+    val sig = (0 until TextDedup.SimhashBits)
+      .map(j => s"CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |),
+       |dg AS (
+       |  SELECT doc_id,
+       |    $digits
+       |  FROM words
+       |),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $contribs
+       |  FROM dg GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document analysis: token counts, quality, language heuristic,
+    * fingerprint — one map-only pass.
+    */
+  def textStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(t).cast("long").as("n_tokens"),
+        TextStats.bpeTokenEstimate(t).as("n_bpe_est"),
+        round(TextStats.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextStats.punctRatio(t), 6).as("punct_ratio"),
+        round(TextStats.avgTokenLength(t), 6).as("avg_token_len"),
+        TextStats.qualityScore(t).as("quality"),
+        TextStats.langPredict(t).as("lang_pred"),
+        TextStats.fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String = {
+    val stops = TextStats.Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(floor((length(text) + 3) / 4) AS BIGINT) AS n_bpe_est,
+       |  round(len(list_filter(string_split(text, ' '),
+       |          x -> list_contains([$stops], x)))::DOUBLE
+       |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+       |        / length(text), 6) AS punct_ratio,
+       |  round(length(replace(text, ' ', ''))::DOUBLE
+       |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+       |  round(0.4::DOUBLE * least(
+       |          (len(list_filter(string_split(text, ' '),
+       |             x -> list_contains([$stops], x)))::DOUBLE
+       |           / len(string_split(text, ' '))) * 10.0::DOUBLE, 1.0::DOUBLE)
+       |      + 0.3::DOUBLE * least(len(string_split(text, ' '))::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
+       |      + 0.3::DOUBLE * (1.0::DOUBLE -
+       |          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+       |          / length(text)), 6) AS quality,
+       |  CASE WHEN (len(list_filter(string_split(text, ' '),
+       |          x -> list_contains([$stops], x)))::DOUBLE
+       |        / len(string_split(text, ' '))) >= 0.02::DOUBLE
+       |       THEN 'en' ELSE 'other' END AS lang_pred,
+       |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "minhash_signatures" -> minhashSignaturesQ,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "text_stats" -> textStatsQ
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "minhash_signatures" -> minhashSignaturesSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "text_stats" -> textStatsSql
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table: brute-force cosine top-k
+  * (the correctness baseline), an IVF-style partitioned search (the scale
+  * path), and per-vector nearest-neighbor near-dup detection.
+  */
+object VectorQueries {
+
+  private val NumQueries = 5      // query set: vec_id < 5
+  private val TopK = 10
+  private val NumCentroids = 8    // IVF "centroids": vec_id < 8
+  private val IvfK = 5
+
+  /** DuckDB cosine between two embedding lists, in double. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))""".stripMargin
+
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    Vectors.bruteForceTopK(queries, emb.select("vec_id", "embedding"), TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteforceSql: String =
+    s"""SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    round(${cosSql("q", "c")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q", "c")}, 6) DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF search: assign all vectors to their nearest of $NumCentroids
+    * centroids, then answer each query inside its own centroid bucket only.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+    val queries = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val hits = queries.join(assigned.select(
+        col("vec_id"), col("embedding"), col("centroid_id")),
+      Seq("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    hits
+      .withColumn("cos", round(Vectors.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfK)
+      .select("query_id", "centroid_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |)
+       |SELECT query_id, centroid_id, rank, vec_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, q.centroid_id, x.vec_id AS vec_id,
+       |    round(${cosSql("q", "x")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q", "x")}, 6) DESC, x.vec_id) AS rank
+       |  FROM assigned q JOIN assigned x ON q.centroid_id = x.centroid_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Near-dup by embedding cosine: each vector's nearest other vector.
+    * Brute force here (N² scored pairs) — the IVF/LSH bucketing above is
+    * the 100 TB path; this is the exact baseline it approximates.
+    */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val other = emb.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    emb.crossJoin(other)
+      .filter(col("nn_id") =!= col("vec_id"))
+      .withColumn("cos", round(Vectors.cosine(col("embedding"), col("nn_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), col("cos").as("nn_cos"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingNeardupSql: String =
+    s"""SELECT vec_id, nn_id, cos AS nn_cos FROM (
+       |  SELECT a.vec_id, b.vec_id AS nn_id,
+       |    round(${cosSql("a", "b")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(${cosSql("a", "b")}, 6) DESC, b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> annBruteforce,
+    "ann_ivf" -> annIvf,
+    "embedding_neardup" -> embeddingNeardup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_ivf" -> annIvfSql,
+    "embedding_neardup" -> embeddingNeardupSql
+  )
+}

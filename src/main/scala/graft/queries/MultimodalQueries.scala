@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing over a media table synthesized from `documents`
+  * (text bytes standing in for encoded payloads — the container has no
+  * codec libraries; see [[graft.ops.Multimodal.decodeStub]]).
+  */
+object MultimodalQueries {
+
+  private val FrameBytes = 32
+  private val Stride = 2
+
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaTable(
+      Readers.table(spark, dir, "documents"), "doc_id", "text", "source")
+
+  /** Binary-column plumbing, oracle-checked: payload length, content
+    * digest, metadata struct fields, and the frame-sampling count computed
+    * by the real slicing operator (mirrored arithmetically in SQL).
+    */
+  def multimodalBinary(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(spark, dir), FrameBytes, Stride)
+      .select(
+        col("media_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("digest"),
+        col("meta.mime").as("mime"),
+        col("meta.source").as("source"),
+        size(col("frames")).cast("long").as("n_frames"))
+      .orderBy("media_id")
+
+  val multimodalBinarySql: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       |  md5(text) AS digest,
+       |  'image/fake' AS mime,
+       |  source,
+       |  CAST((octet_length(text::BLOB) - 1) // $FrameBytes // $Stride + 1 AS BIGINT)
+       |    AS n_frames
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Batched per-partition feature extraction (decode stubbed) — not
+    * SQL-expressible (mapPartitions); the driver records a rows-only check.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark, media(spark, dir))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_binary" -> multimodalBinary,
+    "multimodal_features" -> multimodalFeatures
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_binary" -> multimodalBinarySql
+  )
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world payload", "srcA"),
+    (2L, "x", "srcB"),
+    (3L, "a" * 100, "srcA")
+  ).toDF("doc_id", "text", "source")
+
+  test("mediaTable: binary payload + typed metadata struct") {
+    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
+    assert(m.schema("media").dataType.typeName == "binary")
+    val r = m.filter($"media_id" === 1L)
+      .select($"meta.mime", $"meta.source", $"meta.n_bytes",
+        octet_length($"media"))
+      .collect()(0)
+    assert(r.getString(0) == "image/fake" && r.getString(1) == "srcA")
+    assert(r.getLong(2) == 19L && r.getInt(3) == 19)
+  }
+
+  test("extractFeatures: batched mapPartitions, deterministic stub decode") {
+    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
+    val f = Multimodal.extractFeatures(spark, m, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(f.size == 3)
+    val r1 = f(1L)
+    assert(r1.getLong(1) == 19L)                   // n_bytes
+    val (w, h, bright) = Multimodal.decodeStub(
+      "hello world payload".getBytes("UTF-8"))
+    assert(r1.getInt(3) == w && r1.getInt(4) == h)
+    assert(math.abs(r1.getDouble(5) - math.rint(bright * 1e6) / 1e6) < 1e-9)
+    // digest matches engine-side md5
+    val md5Engine = m.filter($"media_id" === 1L)
+      .select(md5($"media")).as[String].collect()(0)
+    assert(r1.getString(2) == md5Engine)
+  }
+
+  test("sampleFrames: slicing and stride arithmetic") {
+    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
+    val framed = Multimodal.sampleFrames(m, frameBytes = 8, stride = 2)
+      .select($"media_id", size($"frames").as("n"))
+      .as[(Long, Int)].collect().toMap
+    // doc1: 19 bytes → slices ceil(19/8)=3 (i=0,1,2) → kept i∈{0,2} = 2
+    assert(framed(1L) == 2)
+    // doc2: 1 byte → 1 slice → kept 1
+    assert(framed(2L) == 1)
+    // doc3: 100 bytes → 13 slices → kept i∈{0,2,..,12} = 7
+    assert(framed(3L) == 7)
+    // frame contents are the real byte slices
+    val frames = Multimodal.sampleFrames(m, 8, 2)
+      .filter($"media_id" === 1L)
+      .select(transform($"frames", b => b.cast("string")))
+      .as[Seq[String]].collect()(0)
+    // slices: i=0 "hello wo", i=1 "rld payl" (dropped), i=2 "oad"
+    assert(frames == Seq("hello wo", "oad"))
+  }
+}

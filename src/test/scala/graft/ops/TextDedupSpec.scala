@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: word trigrams, short docs yield none") {
+    val out = Seq("a b c d", "a b", "x y z").toDF("text")
+      .select(TextDedup.shingles($"text").as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("x y z"))
+  }
+
+  test("minhash: identical docs share full signatures, LSH pairs them") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (4L, "completely different words in this entirely unrelated text here")
+    ).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text").cache()
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigMap(1L) == sigMap(2L))          // identical docs → identical sigs
+    assert(sigMap(1L) != sigMap(4L))
+
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)))        // exact dup must collide
+    assert(!pairSet.exists(p => p._2 == 4L || p._1 == 4L))  // unrelated must not
+    val est12 = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(est12 == 1.0)
+    sigs.unpersist()
+  }
+
+  test("jaccardOnPairs: exact trigram jaccard on known sets") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}
+    // intersection 1, union 3 → jaccard 1/3
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.jaccardOnPairs(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out(0)._3 == 0.333333)
+  }
+
+  test("jaccardOnPairs: disjoint docs score 0") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.jaccardOnPairs(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0)._3 == 0.0)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "entirely different vocabulary with nothing shared whatsoever")
+    ).toDF("doc_id", "text")
+    val sig = TextDedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) <= 6)    // one word changed of nine
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+}

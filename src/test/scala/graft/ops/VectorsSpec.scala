@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot and cosine on known vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (Seq(1.0f, 2.0f, 2.0f), Seq(1.0f, 2.0f, 2.0f)),   // identical
+      (Seq(1.0f, 0.0f, 0.0f), Seq(-1.0f, 0.0f, 0.0f))   // opposite
+    ).toDF("a", "b")
+    val out = df.select(
+      Vectors.dot($"a", $"b").as("dot"),
+      round(Vectors.cosine($"a", $"b"), 9).as("cos"))
+      .as[(Double, Double)].collect()
+    assert(out(0) == ((0.0, 0.0)))
+    assert(out(1)._1 == 9.0 && out(1)._2 == 1.0)
+    assert(out(2) == ((-1.0, -1.0)))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val candidates = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("query_id", "q_emb")
+    val out = Vectors.bruteForceTopK(queries, candidates, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    // cos=1.0 for ids 1 and 4 → tiebreak by id; then id 2
+    assert(out.map(_._3).toSeq == Seq(1L, 4L, 2L))
+    assert(out(0)._4 == 1.0)
+  }
+
+  test("assignToCentroids picks the nearest centroid") {
+    val vectors = Seq(
+      (10L, Seq(1.0f, 0.05f)), (11L, Seq(0.05f, 1.0f)), (12L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))
+    ).toDF("centroid_id", "c_emb")
+    val out = Vectors.assignToCentroids(vectors, "vec_id", centroids)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 0L)
+    assert(out(11L) == 1L)
+    assert(out(12L) == 1L)  // -x axis: cos −1 vs 0 → centroid 1 wins
+  }
+}

@@ -55,23 +55,40 @@ object TextDedup {
     * signature positions equal within the band), with the MinHash-estimated
     * similarity (fraction of equal signature positions). `a < b` dedupes
     * the symmetric pairs.
+    *
+    * Plan shape: each signature row explodes into one (band, bucket-key)
+    * row per band, and candidates come from a *hash equi-join* on that key.
+    * The naive formulation — join on OR-of-band-equalities — cannot
+    * hash-partition and degenerates to a nested-loop over all N² signature
+    * pairs; the explode+equi-join is the actual LSH algorithm (only
+    * same-bucket pairs are ever materialized) and is what survives 100 TB.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         k: Int = NumHashes): DataFrame = {
-    val a = sigs.select(col(idCol).as("doc_a") +:
-      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val b = sigs.select(col(idCol).as("doc_b") +:
-      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
-    val bandMatch = (0 until k by BandSize).map { s =>
-      (s until s + BandSize).map(i => col(s"a$i") === col(s"b$i"))
-        .reduce(_ && _)
-    }.reduce(_ || _)
+    val sigCols = (0 until k).map(i => col(s"mh$i"))
+    val bandStructs = (0 until k by BandSize).map { s =>
+      struct(lit(s).as("band"),
+        concat_ws("|", (s until s + BandSize).map(i => col(s"mh$i")): _*)
+          .as("bkey"))
+    }
+    val bands = sigs.select(
+      (col(idCol).as("doc") +: explode(array(bandStructs: _*)).as("bb") +: sigCols): _*)
+      .select((col("doc") +: col("bb.band").as("band") +: col("bb.bkey").as("bkey")
+        +: sigCols): _*)
+    val x = bands.select(col("doc").as("doc_a") +: col("band") +: col("bkey")
+      +: (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val y = bands.select(col("doc").as("doc_b") +: col("band").as("band_y")
+      +: col("bkey").as("bkey_y")
+      +: (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
     val equalPositions = (0 until k)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, col("doc_a") < col("doc_b") && bandMatch)
+    x.join(y,
+        col("band") === col("band_y") && col("bkey") === col("bkey_y")
+          && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (equalPositions.cast("double") / k).as("est_sim"))
+      .distinct()   // a pair can collide in several bands
   }
 
   /** Exact n-gram Jaccard similarity for an explicit pair set — the

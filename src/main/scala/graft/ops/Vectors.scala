@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * Backed by the native codegen expression
+    * [[graft.functions.FloatArrayDot]] — a tight primitive loop with no
+    * per-row array allocation; bit-identical to the equivalent
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` fold (see [[dotHof]]).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.floatDot(a, b)
+
+  /** The composable higher-order-function formulation of [[dot]] — kept as
+    * the reference semantics the native expression must match.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -44,8 +55,15 @@ object Vectors {
                      queryId: String = "query_id", candId: String = "vec_id",
                      queryVec: String = "q_emb", candVec: String = "embedding")
   : DataFrame = {
-    val scored = candidates.crossJoin(broadcast(queries))
-      .withColumn("cos", round(cosine(col(queryVec), col(candVec)), 6))
+    // Precompute norms on each side BEFORE the cross join: O(N+Q) sqrt-folds
+    // instead of O(N·Q). The per-pair work drops to one dot product.
+    // dot/(sqrt(na)·sqrt(nb)) is bit-identical to cosine() since the same
+    // doubles multiply in the same order.
+    val cand = candidates.withColumn("_cn", norm(col(candVec)))
+    val qs = queries.withColumn("_qn", norm(col(queryVec)))
+    val scored = cand.crossJoin(broadcast(qs))
+      .withColumn("cos",
+        round(dot(col(queryVec), col(candVec)) / (col("_qn") * col("_cn")), 6))
     val w = Window.partitionBy(queryId)
       .orderBy(col("cos").desc, col(candId))
     scored
@@ -66,8 +84,10 @@ object Vectors {
     val keep = vectors.columns.map(col)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_sim").desc, col(centroidId))
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("_sim", round(cosine(col(vecCol), col(centroidVec)), 6))
+    vectors.withColumn("_vn", norm(col(vecCol)))
+      .crossJoin(broadcast(centroids.withColumn("_cn", norm(col(centroidVec)))))
+      .withColumn("_sim",
+        round(dot(col(vecCol), col(centroidVec)) / (col("_vn") * col("_cn")), 6))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(keep :+ col(centroidId): _*)

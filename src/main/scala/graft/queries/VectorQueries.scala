@@ -49,17 +49,20 @@ object VectorQueries {
     val centroids = emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .withColumn("_n", Vectors.norm(col("embedding")))
     val queries = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("centroid_id"))
+        col("centroid_id"), col("_n").as("_qn"))
     val hits = queries.join(assigned.select(
-        col("vec_id"), col("embedding"), col("centroid_id")),
+        col("vec_id"), col("embedding"), col("centroid_id"), col("_n")),
       Seq("centroid_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     hits
-      .withColumn("cos", round(Vectors.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos",
+        round(Vectors.dot(col("q_emb"), col("embedding"))
+          / (col("_qn") * col("_n")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= IvfK)
       .select("query_id", "centroid_id", "rank", "vec_id", "cos")
@@ -92,13 +95,19 @@ object VectorQueries {
     */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val other = emb.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+    // norms once per side (O(N)), dot-only per pair (O(N²·d) is the
+    // irreducible brute-force cost; IVF/LSH bucketing is the 100 TB path)
+    val a = emb.withColumn("_na", Vectors.norm(col("embedding")))
+    val b = emb.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+      .withColumn("_nb", Vectors.norm(col("nn_emb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id")
       .orderBy(col("cos").desc, col("nn_id"))
-    emb.crossJoin(other)
+    a.crossJoin(b)
       .filter(col("nn_id") =!= col("vec_id"))
-      .withColumn("cos", round(Vectors.cosine(col("embedding"), col("nn_emb")), 6))
+      .withColumn("cos",
+        round(Vectors.dot(col("embedding"), col("nn_emb"))
+          / (col("_na") * col("_nb")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("nn_id"), col("cos").as("nn_cos"))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column constructor so graft's native
+  * Catalyst expressions can be used as ordinary `Column`s from the public
+  * DataFrame API. The standard pattern for Spark-native extension libraries
+  * (Spark 4 routes Column building through `classic.ExpressionUtils`).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

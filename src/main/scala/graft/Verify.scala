@@ -15,6 +15,7 @@ object Verify {
       // events.ts is Parquet TIMESTAMP(NANOS): read as long nanos, the
       // reader truncates to µs (matches DuckDB's ns→µs truncation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

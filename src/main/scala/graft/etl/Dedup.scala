@@ -46,4 +46,26 @@ object Dedup {
     */
   def dropDupes(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** [[keepFirst]] expressed through the engine's own logical operator
+    * ([[graft.plans.DedupKeepFirst]]): the plan declares intent and the
+    * injected analyzer rule lowers it to the window+filter form. Requires
+    * `spark.sql.extensions=graft.plans.GraftExtensions`.
+    */
+  def keepFirstDeclarative(df: DataFrame, keys: Seq[String],
+                           orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val analyzed = df.queryExecution.analyzed
+    // resolve by name against the child plan so the node carries bound
+    // AttributeReferences, not unresolved column nodes
+    def attr(name: String) = analyzed.output
+      .find(a => df.sparkSession.sessionState.analyzer.resolver(a.name, name))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+    val node = graft.plans.DedupKeepFirst(
+      keys.map(attr),
+      orderCols.map(c => SortOrder(attr(c), Ascending)),
+      analyzed)
+    GraftColumnBridge.ofRows(df.sparkSession, node)
+  }
 }

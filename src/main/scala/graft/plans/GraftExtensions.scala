@@ -1,0 +1,37 @@
+package graft.plans
+
+import graft.functions.{FloatArrayDot, HtmlUnescape}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extension entry point: install with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions`). Registers:
+  *
+  *   - the [[DedupKeepFirst]] lowering rule (custom logical operator),
+  *   - `float_array_dot(a, b)` — native embedding dot product, SQL surface,
+  *   - `html_unescape(s)` — full HTML-entity unescape, SQL surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => ResolveDedupKeepFirst)
+
+    ext.injectFunction((
+      FunctionIdentifier("float_array_dot"),
+      new ExpressionInfo(classOf[FloatArrayDot].getName, "float_array_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "float_array_dot expects 2 arguments")
+        FloatArrayDot(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("html_unescape"),
+      new ExpressionInfo(classOf[HtmlUnescape].getName, "html_unescape"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "html_unescape expects 1 argument")
+        HtmlUnescape(children.head)
+      }))
+  }
+}

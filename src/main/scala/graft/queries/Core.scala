@@ -73,11 +73,13 @@ object Core {
   }
 
   /** §2.4 keep-first dedup with a real ordering column (deterministic at any
-    * partitioning — SURVEY §7.4 risk 3).
+    * partitioning — SURVEY §7.4 risk 3). Goes through the engine's own
+    * `DedupKeepFirst` logical operator, lowered by the injected analyzer
+    * rule to the window+filter form.
     */
   def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
-    Dedup.keepFirst(Readers.events(spark, dir),
-        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    Dedup.keepFirstDeclarative(Readers.events(spark, dir),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
       .select("user_id", "event_type", "event_id", "ts", "value")
       .orderBy("user_id", "event_type")
 

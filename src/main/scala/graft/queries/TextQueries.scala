@@ -129,7 +129,8 @@ object TextQueries {
     TextDedup.simhash(Readers.table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  val dedupSimhashSql: String = {
+  /** SimHash signature SQL without a final ORDER BY, reusable as a CTE. */
+  private val dedupSimhashSqlBody: String = {
     val digits = (0 until TextDedup.SimhashBits / 4)
       .map(p => s"strpos('0123456789abcdef', substr(md5(word), ${p + 1}, 1)) - 1 AS d$p")
       .mkString(",\n    ")
@@ -154,8 +155,30 @@ object TextQueries {
        |  FROM dg GROUP BY doc_id
        |)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |FROM sums""".stripMargin
   }
+
+  val dedupSimhashSql: String =
+    s"$dedupSimhashSqlBody ORDER BY doc_id"
+
+  /** SimHash duplicate-candidate buckets: groups of documents with
+    * identical 16-bit signatures (hamming distance 0). Bucket summaries
+    * rather than pairs — a hot signature with m docs yields one row, not
+    * m², so the output stays linear at corpus scale; pair expansion is a
+    * downstream join against the bucket of interest.
+    */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(Readers.table(spark, dir, "documents"), "doc_id", "text")
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("simhash")
+
+  val simhashBucketsSql: String =
+    s"""WITH base AS (${dedupSimhashSqlBody})
+       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM base GROUP BY simhash HAVING count(*) > 1
+       |ORDER BY simhash""".stripMargin
 
   /** Per-document analysis: token counts, quality, language heuristic,
     * fingerprint — one map-only pass.
@@ -209,6 +232,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_simhash" -> dedupSimhash,
+    "simhash_buckets" -> simhashBuckets,
     "text_stats" -> textStatsQ
   )
 
@@ -218,6 +242,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "simhash_buckets" -> simhashBucketsSql,
     "text_stats" -> textStatsSql
   )
 }

@@ -39,16 +39,23 @@ object TextDedup {
       .otherwise(array())
   }
 
-  /** MinHash signature: one row per doc, columns mh0..mh{k-1}. */
+  /** MinHash signature: one row per doc, columns mh0..mh{k-1}.
+    *
+    * Hash family: each salted md5 yields four independent 32-bit (8 hex
+    * char) hash values — `k` hashes cost only ceil(k/4) md5 evaluations per
+    * shingle instead of k. Fixed-width lowercase hex means lexicographic
+    * `min` is numeric min.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = NumHashes, shingleN: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
-    sh.groupBy(idCol)
-      .agg(
-        min(md5(concat(lit("s0|"), col("s")))).as("mh0"),
-        (1 until k).map(i =>
-          min(md5(concat(lit(s"s$i|"), col("s")))).as(s"mh$i")): _*)
+    val mins = (0 until k).map { i =>
+      val salt = i / 4
+      val off = (i % 4) * 8 + 1
+      min(substring(md5(concat(lit(s"s$salt|"), col("s"))), off, 8)).as(s"mh$i")
+    }
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one band (all `BandSize`

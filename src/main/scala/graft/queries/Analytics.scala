@@ -103,6 +103,27 @@ object Analytics {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Hierarchical totals via ROLLUP (returnflag → linestatus → grand
+    * total). Catalyst expands the grouping sets into one Expand + hash
+    * aggregate — still a single shuffle.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Set operations in one result: customers with no orders (EXCEPT),
     * customers with orders (INTERSECT). Both are shuffle-dedup ops on the
     * key — same cost shape as a distinct aggregate.
@@ -197,6 +218,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_rollup" -> aggRollup,
     "topk_orders" -> topkOrders,
     "window_rank" -> windowRank,
     "agg_distinct" -> aggDistinct,
@@ -208,6 +230,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" -> aggPricingSummarySql,
+    "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "window_rank" -> windowRankSql,
     "agg_distinct" -> aggDistinctSql,

@@ -41,8 +41,10 @@ object TextQueries {
       |)""".stripMargin
 
   private def sigCte: String = {
+    // four 32-bit hashes per salted md5, mirroring TextDedup.minhashSignatures
     val mins = (0 until K)
-      .map(i => s"min(md5('s$i|' || s)) AS mh$i").mkString(",\n    ")
+      .map(i => s"min(substr(md5('s${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .mkString(",\n    ")
     s"""sig AS (
        |  SELECT doc_id,
        |    $mins

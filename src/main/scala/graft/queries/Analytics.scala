@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.Sessionize
+import graft.ops.{Sessionize, SkewJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -182,6 +182,27 @@ object Analytics {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Skew-salted fact⟕dim join: lineitem's orderkey salted into 4 buckets,
+    * orders replicated 4× — identical results to the plain join (the
+    * oracle IS the plain join), different shuffle distribution. See
+    * [[graft.ops.SkewJoin]].
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ordersDim = Readers.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    SkewJoin.saltedLeftJoin(lineitem, ordersDim, "l_orderkey",
+        hash(col("l_linenumber")), saltBuckets = 4)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, o_orderstatus
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity). See
     * [[graft.ops.Sessionize]] for the plan-shape discussion.
     */
@@ -223,6 +244,7 @@ object Analytics {
     "window_rank" -> windowRank,
     "agg_distinct" -> aggDistinct,
     "set_ops" -> setOps,
+    "join_salted" -> joinSalted,
     "json_extract" -> jsonExtract,
     "tumbling_window" -> tumblingWindow,
     "sessionize" -> sessionizeQ
@@ -235,6 +257,7 @@ object Analytics {
     "window_rank" -> windowRankSql,
     "agg_distinct" -> aggDistinctSql,
     "set_ops" -> setOpsSql,
+    "join_salted" -> joinSaltedSql,
     "json_extract" -> jsonExtractSql,
     "tumbling_window" -> tumblingWindowSql,
     "sessionize" -> sessionizeSql

@@ -34,6 +34,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("tier-2 UDF (SQL surface) reproduces the same goldens") {
+    Similarity.registerUdf(spark)
+    products.createOrReplaceTempView("sim_products")
+    val got = spark.sql(
+      """SELECT c.product_id,
+        |  similarity_score(c.price, c.goods_group, c.manufacturer,
+        |                   t.price, t.goods_group, t.manufacturer) AS score
+        |FROM sim_products c, (SELECT * FROM sim_products WHERE product_id = 516423) t
+      """.stripMargin).as[(Long, Double)].collect().toMap
+    val expected = Map(
+      536469L -> 0.08772, 296597L -> 0.9726, 385613L -> 0.4726,
+      516423L -> 1.0, 516425L -> 0.91973, 427227L -> 0.6997,
+      439541L -> 0.58111, 528462L -> 0.8)
+    assert(got == expected)
+  }
+
   test("score bounds: 0 < s <= 1 for positive prices") {
     val got = Similarity
       .findSimilar(products, 536469L, products.select("product_id").as[Long].collect())

@@ -82,6 +82,37 @@ object Analytics {
       |WHERE rank_in_segment <= 3
       |ORDER BY c_mktsegment, rank_in_segment""".stripMargin
 
+  /** Analytic window frames: per-customer running order total and
+    * order-over-order delta (cumulative sum + lag over a date-ordered
+    * frame) — the frame/analytic family beyond ranking.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Readers.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(col("o_totalprice")
+          - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+      |  round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0::DOUBLE), 2)
+      |    AS delta_prev
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** Distinct aggregation + dimension join: per-nation customer stats.
     * Nation is tiny → broadcast; count(distinct) expands to a two-phase
     * aggregate (Catalyst rewrites it; no driver collect).
@@ -242,6 +273,7 @@ object Analytics {
     "agg_rollup" -> aggRollup,
     "topk_orders" -> topkOrders,
     "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
     "agg_distinct" -> aggDistinct,
     "set_ops" -> setOps,
     "join_salted" -> joinSalted,
@@ -255,6 +287,7 @@ object Analytics {
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
     "agg_distinct" -> aggDistinctSql,
     "set_ops" -> setOpsSql,
     "join_salted" -> joinSaltedSql,

@@ -163,6 +163,54 @@ object TextQueries {
   val dedupSimhashSql: String =
     s"$dedupSimhashSqlBody ORDER BY doc_id"
 
+  /** The composed near-dup pipeline — the production shape at corpus
+    * scale: shingle → MinHash signature → LSH bucket join (candidate
+    * generation, linear-ish) → exact trigram-Jaccard verification on ONLY
+    * those candidates → thresholded duplicate pairs. No stage is ever
+    * quadratic in the corpus.
+    */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+    val candidates = TextDedup.lshCandidatePairs(sigs, "doc_id", K)
+      .select("doc_a", "doc_b")
+    TextDedup.jaccardOnPairs(docs, candidates, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupPipelineSql: String = {
+    val bands = (0 until K by TextDedup.BandSize).map { s =>
+      "(" + (s until s + TextDedup.BandSize)
+        .map(i => s"a.mh$i = b.mh$i").mkString(" AND ") + ")"
+    }.mkString("\n       OR ")
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bands)
+       |),
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |  FROM cand p
+       |  JOIN dsh x ON x.doc_id = p.doc_a
+       |  JOIN dsh y ON y.doc_id = p.doc_b AND y.s = x.s
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  round(coalesce(i.n_inter, 0)::DOUBLE
+       |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+       |FROM cand p
+       |JOIN counts ca ON ca.doc_id = p.doc_a
+       |JOIN counts cb ON cb.doc_id = p.doc_b
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |WHERE round(coalesce(i.n_inter, 0)::DOUBLE
+       |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5::DOUBLE
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   /** SimHash duplicate-candidate buckets: groups of documents with
     * identical 16-bit signatures (hamming distance 0). Bucket summaries
     * rather than pairs — a hot signature with m docs yields one row, not
@@ -233,6 +281,7 @@ object TextQueries {
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_pipeline" -> dedupPipeline,
     "dedup_simhash" -> dedupSimhash,
     "simhash_buckets" -> simhashBuckets,
     "text_stats" -> textStatsQ
@@ -243,6 +292,7 @@ object TextQueries {
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_pipeline" -> dedupPipelineSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_buckets" -> simhashBucketsSql,
     "text_stats" -> textStatsSql

@@ -23,24 +23,34 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runAll(): Map[String, Double] = suite.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every column (a count() lets
-      // Catalyst prune the whole projection and under-reports the work).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // a failed query must not masquerade as a fast one: its timing is
+    // recorded as -1 and its name lands in the "failed" list
+    def runAll(): (Map[String, Double], Seq[String]) = {
+      val failed = scala.collection.mutable.ListBuffer[String]()
+      val times = suite.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation of every column (a count() lets
+        // Catalyst prune the whole projection and under-reports the work).
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+      (times, failed.toSeq)
+    }
 
     runAll() // warmup
-    val results = runAll()
+    val (results, failed) = runAll()
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,11 +36,10 @@ object CleanNames {
     */
   private val blankPattern = s"^([$Vowels]*|[^$Vowels]*)$$"
 
-  /** Minimal HTML-entity unescape covering numeric entities plus the five
-    * XML named entities — everything present in real-world name data (the
-    * reference data only carries `&#039;`). Pure regexp chain so the DuckDB
-    * oracle can mirror it; a general `html.unescape` equivalent would need a
-    * UDF and adds nothing on this data.
+  /** Regexp-chain HTML-entity unescape covering the apostrophe family plus
+    * the five XML named entities — the oracle-parity subset (DuckDB can
+    * mirror it; it covers everything in the reference data, which only
+    * carries `&#039;`).
     */
   def htmlUnescape(c: Column): Column = {
     // Decimal numeric entities for the apostrophe family seen in the wild.
@@ -56,17 +55,25 @@ object CleanNames {
   /** Full pipeline over one column. Null in → null out (pandas would throw
     * on NaN; our data has none, and null-passthrough is the safer engine
     * default).
+    *
+    * Entity decoding composes the regexp chain (`&apos;` + the apostrophe
+    * numerics, which commons-text's HTML4 table lacks) with the native
+    * [[graft.functions.HtmlUnescape]] expression (full named/numeric
+    * coverage ≈ Python `html.unescape` — without it, an undecoded numeric
+    * entity like `&#8217;` would have its digits destroyed by the
+    * digit-strip step). Regexes carry `(?U)` so `\d`/`\s` are
+    * Unicode-aware like Python's, not ASCII-only like Java's default.
     */
   def clean(c: Column): Column = {
-    val unescaped = htmlUnescape(c)
+    val unescaped = graft.functions.StringExpressions.htmlUnescape(htmlUnescape(c))
     val lowered   = lower(unescaped)
-    val noDigits  = regexp_replace(lowered, "\\d", "")
+    val noDigits  = regexp_replace(lowered, "(?U)\\d", "")
     when(
-      noDigits.rlike("^\\s"), regexp_replace(noDigits, "\\s", "")
+      noDigits.rlike("(?U)^\\s"), regexp_replace(noDigits, "(?U)\\s", "")
     ).when(
       noDigits.rlike(blankPattern), lit("")
     ).otherwise(
-      regexp_replace(noDigits, "\\s", "")
+      regexp_replace(noDigits, "(?U)\\s", "")
     )
   }
 }

@@ -31,14 +31,19 @@ object Dedup {
   }
 
   /** Keep-first in *file order* — reproduces pandas `keep="first"` exactly.
-    * `monotonically_increasing_id` is monotone within a partition and
-    * partition-ordered across partitions, so for an unshuffled scan it
-    * encodes file order. Only for reference-fidelity paths; oracle-checked
-    * queries use [[keepFirst]] with an explicit order column.
+    * Order = (file path, position within file): `monotonically_increasing_id`
+    * is monotone within a partition, which for an unshuffled scan encodes
+    * in-file position; the `input_file_name` prefix makes multi-file input
+    * deterministic too (lexicographic path order — Spark otherwise packs
+    * files into partitions by *size*, which silently reorders them). Only
+    * for reference-fidelity paths; oracle-checked queries use [[keepFirst]]
+    * with an explicit data order column.
     */
   def keepFirstFileOrder(df: DataFrame, keys: Seq[String]): DataFrame =
-    keepFirst(df.withColumn("_seq", monotonically_increasing_id()),
-      keys, Seq(col("_seq"))).drop("_seq")
+    keepFirst(
+      df.withColumn("_file", input_file_name())
+        .withColumn("_seq", monotonically_increasing_id()),
+      keys, Seq(col("_file"), col("_seq"))).drop("_file", "_seq")
 
   /** Exact duplicate removal where any survivor is acceptable — pure
     * `dropDuplicates`, which Catalyst plans as a hash aggregate with

@@ -48,6 +48,11 @@ object Readers {
     * as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
     * microsecond TimestampType — the same floor-truncation DuckDB applies
     * when it casts TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+    *
+    * Note the flag is session-wide (all shipped mains set it at startup;
+    * the set here is a defensive idempotent re-set): any other parquet
+    * read of a NANOS column in the session also sees longs — an engine
+    * deployment should treat the flag as part of its session contract.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

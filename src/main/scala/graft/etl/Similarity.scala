@@ -41,8 +41,11 @@ object Similarity {
   val scoreFn: (Double, String, String, Double, String, String) => Double =
     (price, group, mfr, tPrice, tGroup, tMfr) => {
       var score = 0.0
-      if (tGroup == group) score += 0.5
-      if (tMfr == mfr) score += 0.2
+      // null attributes never match (pandas NaN == NaN is False; the
+      // column-expression tier's null-safe `when` agrees) — bare Scala ==
+      // would count null==null as a match
+      if (tGroup != null && tGroup == group) score += 0.5
+      if (tMfr != null && tMfr == mfr) score += 0.2
       score += (1.0 - math.abs(tPrice - price) / math.max(tPrice, price)) * 0.3
       BigDecimal(score)
         .setScale(5, BigDecimal.RoundingMode.HALF_EVEN).doubleValue

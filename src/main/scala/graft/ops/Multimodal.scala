@@ -100,12 +100,14 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.withColumn("frames",
-      filter(
+      when(octet_length(col("media")) === 0,
+        array().cast("array<binary>"))   // empty payload → zero frames
+      .otherwise(filter(
         transform(
           sequence(lit(0L),
             greatest(floor((octet_length(col("media")) - lit(1)) / lit(frameBytes))
               .cast("long"), lit(0L))),
           i => substring(col("media"), (i * frameBytes + 1).cast("int"),
             lit(frameBytes))),
-        (_, i) => i % stride === 0))
+        (_, i) => i % stride === 0)))
 }

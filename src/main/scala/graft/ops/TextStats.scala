@@ -30,10 +30,14 @@ object TextStats {
     size(stops).cast("double") / size(w)
   }
 
-  /** Fraction of characters that are not alphanumeric/space. */
+  /** Fraction of characters that are not alphanumeric/space; null for the
+    * empty string (ANSI division by zero would otherwise abort the scan,
+    * and DuckDB's NaN would disagree).
+    */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
-      .cast("double") / length(text)
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text))
 
   /** Mean token length in characters. */
   def avgTokenLength(text: Column): Column =

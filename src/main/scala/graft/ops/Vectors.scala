@@ -43,9 +43,16 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** null-guarded division: ANSI mode (Spark 4 default) throws
+    * DIVIDE_BY_ZERO on x/0 — a zero-norm vector (failed inference, padding)
+    * must yield null, not abort the job.
+    */
+  private[ops] def safeDiv(num: Column, denom: Column): Column =
+    when(denom =!= 0.0, num / denom)
+
   /** Cosine similarity; null if either norm is zero. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query row, the k nearest candidate
     * rows. Ranking uses the *rounded* similarity plus the candidate id as
@@ -63,7 +70,8 @@ object Vectors {
     val qs = queries.withColumn("_qn", norm(col(queryVec)))
     val scored = cand.crossJoin(broadcast(qs))
       .withColumn("cos",
-        round(dot(col(queryVec), col(candVec)) / (col("_qn") * col("_cn")), 6))
+        round(safeDiv(dot(col(queryVec), col(candVec)),
+          col("_qn") * col("_cn")), 6))
     val w = Window.partitionBy(queryId)
       .orderBy(col("cos").desc, col(candId))
     scored
@@ -87,7 +95,8 @@ object Vectors {
     vectors.withColumn("_vn", norm(col(vecCol)))
       .crossJoin(broadcast(centroids.withColumn("_cn", norm(col(centroidVec)))))
       .withColumn("_sim",
-        round(dot(col(vecCol), col(centroidVec)) / (col("_vn") * col("_cn")), 6))
+        round(safeDiv(dot(col(vecCol), col(centroidVec)),
+          col("_vn") * col("_cn")), 6))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(keep :+ col(centroidId): _*)

@@ -256,8 +256,9 @@ object TextQueries {
        |  round(len(list_filter(string_split(text, ' '),
        |          x -> list_contains([$stops], x)))::DOUBLE
        |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
-       |        / length(text), 6) AS punct_ratio,
+       |  round(CASE WHEN length(text) > 0 THEN
+       |        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+       |        / length(text) END, 6) AS punct_ratio,
        |  round(length(replace(text, ' ', ''))::DOUBLE
        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
        |  round(0.4::DOUBLE * least(
@@ -266,8 +267,9 @@ object TextQueries {
        |           / len(string_split(text, ' '))) * 10.0::DOUBLE, 1.0::DOUBLE)
        |      + 0.3::DOUBLE * least(len(string_split(text, ' '))::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE)
        |      + 0.3::DOUBLE * (1.0::DOUBLE -
-       |          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
-       |          / length(text)), 6) AS quality,
+       |          CASE WHEN length(text) > 0 THEN
+       |            (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+       |            / length(text) END), 6) AS quality,
        |  CASE WHEN (len(list_filter(string_split(text, ' '),
        |          x -> list_contains([$stops], x)))::DOUBLE
        |        / len(string_split(text, ' '))) >= 0.02::DOUBLE

@@ -61,8 +61,9 @@ object VectorQueries {
       .orderBy(col("cos").desc, col("vec_id"))
     hits
       .withColumn("cos",
-        round(Vectors.dot(col("q_emb"), col("embedding"))
-          / (col("_qn") * col("_n")), 6))
+        round(when(col("_qn") * col("_n") =!= 0.0,
+          Vectors.dot(col("q_emb"), col("embedding"))
+            / (col("_qn") * col("_n"))), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= IvfK)
       .select("query_id", "centroid_id", "rank", "vec_id", "cos")
@@ -106,8 +107,9 @@ object VectorQueries {
     a.crossJoin(b)
       .filter(col("nn_id") =!= col("vec_id"))
       .withColumn("cos",
-        round(Vectors.dot(col("embedding"), col("nn_emb"))
-          / (col("_na") * col("_nb")), 6))
+        round(when(col("_na") * col("_nb") =!= 0.0,
+          Vectors.dot(col("embedding"), col("nn_emb"))
+            / (col("_na") * col("_nb"))), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("nn_id"), col("cos").as("nn_cos"))

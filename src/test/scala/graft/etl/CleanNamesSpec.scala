@@ -54,6 +54,16 @@ class CleanNamesSpec extends AnyFunSuite {
       Seq("д'артаньян", "о&т"))
   }
 
+  test("arbitrary numeric entities decode before digit-strip (html.unescape parity)") {
+    // without full decoding, the digits of &#8217; would be destroyed
+    assert(cleanAll(Seq("жан&#8217;на")) == Seq("жан’на"))
+  }
+
+  test("Unicode whitespace and digits are stripped like Python's \\s and \\d") {
+    // NBSP ( ) is \s in Python but not in default Java regex
+    assert(cleanAll(Seq("оль га", "кіт١")) == Seq("ольга", "кіт"))
+  }
+
   test("null passes through") {
     val r = Seq[Option[String]](None, Some("кіт")).toDF("v")
       .select(CleanNames.clean(col("v")).as("c"))

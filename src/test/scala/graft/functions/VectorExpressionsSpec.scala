@@ -43,6 +43,19 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
+  test("mismatched lengths yield null in both formulations") {
+    val df = Seq((Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(Vectors.dot($"a", $"b").as("n"),
+      Vectors.dotHof($"a", $"b").as("h")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("zero-norm vector yields null cosine instead of ANSI divide-by-zero") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(Vectors.cosine($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("null array yields null") {
     val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = df.select(Vectors.dot($"a", $"b")).collect()(0)

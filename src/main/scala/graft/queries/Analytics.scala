@@ -196,6 +196,54 @@ object Analytics {
       |  round(avg(value), 6) AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map-typed semi-structured processing: parse the JSON props into a
+    * typed map, explode to (key, value) pairs, aggregate per key. The map
+    * never reaches the output schema (exploded first), keeping the result
+    * comparable across engines.
+    */
+  def mapOps(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        countDistinct("event_type").as("n_types"))
+      .orderBy("k")
+
+  val mapOpsSql: String =
+    """SELECT k, count(*) AS n,
+      |  CAST(sum(CAST(props->>k AS BIGINT)) AS BIGINT) AS sum_v,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  /** Array function family over tokenized text: distinct, sort, slice,
+    * containment — flattened to scalar columns for cross-engine compare.
+    */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        concat_ws(",", slice(sort_array(array_distinct(w)), 1, 3))
+          .as("first3_sorted"),
+        array_contains(w, "spark").as("has_spark"),
+        element_at(w, 1).as("first_token"))
+      .orderBy("doc_id")
+  }
+
+  val arrayOpsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+      |    AS first3_sorted,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  string_split(text, ' ')[1] AS first_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Tumbling one-hour time windows (batch twin of the Structured Streaming
     * windowed aggregation). `window()` is a row-local bucket computation —
     * the only shuffle is the group-by.
@@ -278,6 +326,8 @@ object Analytics {
     "set_ops" -> setOps,
     "join_salted" -> joinSalted,
     "json_extract" -> jsonExtract,
+    "map_ops" -> mapOps,
+    "array_ops" -> arrayOps,
     "tumbling_window" -> tumblingWindow,
     "sessionize" -> sessionizeQ
   )
@@ -292,6 +342,8 @@ object Analytics {
     "set_ops" -> setOpsSql,
     "join_salted" -> joinSaltedSql,
     "json_extract" -> jsonExtractSql,
+    "map_ops" -> mapOpsSql,
+    "array_ops" -> arrayOpsSql,
     "tumbling_window" -> tumblingWindowSql,
     "sessionize" -> sessionizeSql
   )

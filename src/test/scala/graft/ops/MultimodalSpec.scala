@@ -12,7 +12,8 @@ class MultimodalSpec extends AnyFunSuite {
   private val docs = Seq(
     (1L, "hello world payload", "srcA"),
     (2L, "x", "srcB"),
-    (3L, "a" * 100, "srcA")
+    (3L, "a" * 100, "srcA"),
+    (4L, "", "srcB")
   ).toDF("doc_id", "text", "source")
 
   test("mediaTable: binary payload + typed metadata struct") {
@@ -30,7 +31,7 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
     val f = Multimodal.extractFeatures(spark, m, batchSize = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(f.size == 3)
+    assert(f.size == 4)
     val r1 = f(1L)
     assert(r1.getLong(1) == 19L)                   // n_bytes
     val (w, h, bright) = Multimodal.decodeStub(
@@ -54,6 +55,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(framed(2L) == 1)
     // doc3: 100 bytes → 13 slices → kept i∈{0,2,..,12} = 7
     assert(framed(3L) == 7)
+    // doc4: empty payload → zero frames (matches the oracle arithmetic)
+    assert(framed(4L) == 0)
     // frame contents are the real byte slices
     val frames = Multimodal.sampleFrames(m, 8, 2)
       .filter($"media_id" === 1L)

@@ -39,6 +39,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set("keep", "keep2"))
   }
 
+  test("keepFirstFileOrder is deterministic over multi-file input (path order)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-dedup")
+    // later-named file is LARGER — Spark packs partitions by size, which
+    // would win under bare monotonically_increasing_id ordering
+    Files.writeString(dir.resolve("part-a.csv"), "k,tag\n1,first\n")
+    Files.writeString(dir.resolve("part-b.csv"),
+      "k,tag\n" + (1 to 50).map(i => s"1,late$i").mkString("\n") + "\n")
+    val df = spark.read.option("header", "true").csv(dir.toString)
+    val out = Dedup.keepFirstFileOrder(df, Seq("k"))
+      .select("tag").as[String].collect().toSeq
+    assert(out == Seq("first"))   // from the lexicographically-first file
+  }
+
   test("dedup row count never exceeds input and never loses keys") {
     val df = Seq.tabulate(100)(i => (i % 7L, i % 3L, i.toLong))
       .toDF("a", "b", "seq")

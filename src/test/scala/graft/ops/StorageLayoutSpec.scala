@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-layout levers the 100 TB design relies on, proven against the
+  * actual plans Catalyst produces:
+  *
+  *   - bucketed tables ⇒ co-located joins with NO shuffle exchange;
+  *   - partitioned writes ⇒ partition pruning at scan time.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan was:\n$plan")
+      // and it still computes the right thing
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("partitioned write enables partition pruning at scan") {
+    val out = Files.createTempDirectory("graft-part").toString
+    graft.etl.Readers.events(spark, dir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters, not a post-scan Filter
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("event_type"), planStr)
+    val expected = graft.etl.Readers.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+}

@@ -89,7 +89,7 @@ object Vectors {
                         vecCol: String = "embedding",
                         centroidId: String = "centroid_id",
                         centroidVec: String = "c_emb"): DataFrame = {
-    val keep = vectors.columns.map(col)
+    val keep = vectors.columns.toIndexedSeq.map(col)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_sim").desc, col(centroidId))
     vectors.withColumn("_vn", norm(col(vecCol)))

@@ -90,6 +90,76 @@ object VectorQueries {
        |WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with nprobe=2: each query probes its TWO nearest centroid buckets
+    * instead of one — the standard recall/latency lever (recall loss of
+    * single-probe IVF comes from neighbors landing just across a centroid
+    * boundary; probing p buckets scans p/k of the corpus instead of 1/k).
+    */
+  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .withColumn("_n", Vectors.norm(col("embedding")))
+    // query-side: rank ALL centroids per query, keep the top 2
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .withColumn("_qn", Vectors.norm(col("embedding")))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("_csim").desc, col("centroid_id"))
+    val qProbes = q.crossJoin(broadcast(
+        centroids.withColumn("_cn", Vectors.norm(col("c_emb")))))
+      .withColumn("_csim",
+        round(when(col("_qn") * col("_cn") =!= 0.0,
+          Vectors.dot(col("embedding"), col("c_emb"))
+            / (col("_qn") * col("_cn"))), 6))
+      .withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("_qn"), col("centroid_id"))
+    val hits = qProbes.join(
+      assigned.select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("_n")), Seq("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    hits
+      .withColumn("cos",
+        round(when(col("_qn") * col("_n") =!= 0.0,
+          Vectors.dot(col("q_emb"), col("embedding"))
+            / (col("_qn") * col("_n"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfK)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfProbe2Sql: String =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids AND v.vec_id < $NumQueries)
+       |  WHERE rn <= 2
+       |)
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+       |    round(${cosSql("q", "x")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q", "x")}, 6) DESC, x.vec_id) AS rank
+       |  FROM probes q JOIN assigned x ON q.centroid_id = x.centroid_id)
+       |WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Near-dup by embedding cosine: each vector's nearest other vector.
     * Brute force here (N² scored pairs) — the IVF/LSH bucketing above is
     * the 100 TB path; this is the exact baseline it approximates.
@@ -129,12 +199,14 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
+    "ann_ivf_nprobe2" -> annIvfProbe2,
     "embedding_neardup" -> embeddingNeardup
   )
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf" -> annIvfSql,
+    "ann_ivf_nprobe2" -> annIvfProbe2Sql,
     "embedding_neardup" -> embeddingNeardupSql
   )
 }

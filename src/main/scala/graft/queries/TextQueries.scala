@@ -61,6 +61,10 @@ object TextQueries {
     * candidate pairs with estimated similarity.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // the band self-join recomputes the signature subtree per side; a
+    // localCheckpoint here was MEASURED SLOWER at sf0.1 (eager
+    // materialization costs more than the recompute) — don't "optimize"
+    // this without re-measuring
     val sigs = TextDedup.minhashSignatures(
       Readers.table(spark, dir, "documents"), "doc_id", "text", K)
     TextDedup.lshCandidatePairs(sigs, "doc_id", K)

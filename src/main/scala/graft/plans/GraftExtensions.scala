@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HtmlUnescape}
+import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "float_array_dot expects 2 arguments")
         FloatArrayDot(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "rolling_hash expects 1 argument")
+        RollingHash(children.head)
       }))
 
     ext.injectFunction((

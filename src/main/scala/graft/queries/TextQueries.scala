@@ -282,6 +282,28 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Rolling-hash document fingerprints: the native [[graft.functions.RollingHash]]
+    * expression (polynomial over code points), alongside the md5 content
+    * fingerprint — both map-only.
+    */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingHashFunctions.rollingHash(col("text"))
+          .as("fp_rolling"),
+        graft.ops.TextStats.fingerprint(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  val fingerprintRollingSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+       |    (acc, c) -> (acc * ${graft.functions.RollingHashImpl.Base} + c)
+       |                % ${graft.functions.RollingHashImpl.Mod}) AS fp_rolling,
+       |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
@@ -290,7 +312,8 @@ object TextQueries {
     "dedup_pipeline" -> dedupPipeline,
     "dedup_simhash" -> dedupSimhash,
     "simhash_buckets" -> simhashBuckets,
-    "text_stats" -> textStatsQ
+    "text_stats" -> textStatsQ,
+    "fingerprint_rolling" -> fingerprintRolling
   )
 
   val oracle: Map[String, String] = Map(
@@ -301,6 +324,7 @@ object TextQueries {
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_buckets" -> simhashBucketsSql,
-    "text_stats" -> textStatsSql
+    "text_stats" -> textStatsSql,
+    "fingerprint_rolling" -> fingerprintRollingSql
   )
 }

@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("rolling_hash from SQL matches the polynomial definition") {
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354; empty string hashes to 0;
+    // code-point iteration: Cyrillic 'к' is one code point (1082)
+    val r = spark.sql(
+      "SELECT rolling_hash('abc') AS a, rolling_hash('') AS e, rolling_hash('к') AS c")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(r == ((96354L, 0L, 1082L)))
+  }
+
   test("html_unescape is callable from SQL and handles named+numeric entities") {
     val r = spark.sql(
       "SELECT html_unescape('в&#039;ячеславівна &amp; &lt;tag&gt; &euro;') AS s")

@@ -71,6 +71,12 @@ object Dedup {
       keys.map(attr),
       orderCols.map(c => SortOrder(attr(c), Ascending)),
       analyzed)
-    GraftColumnBridge.ofRows(df.sparkSession, node)
+    val viaPlan = GraftColumnBridge.ofRows(df.sparkSession, node)
+    // a session built without GraftExtensions never lowers the node (it
+    // would reach execution with no physical strategy) — verify the rule
+    // fired; fall back to the direct window form otherwise
+    val lowered = viaPlan.queryExecution.analyzed
+      .collectFirst { case d: graft.plans.DedupKeepFirst => d }.isEmpty
+    if (lowered) viaPlan else keepFirst(df, keys, orderCols.map(col))
   }
 }

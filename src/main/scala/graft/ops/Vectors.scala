@@ -88,7 +88,19 @@ object Vectors {
                         centroids: DataFrame,
                         vecCol: String = "embedding",
                         centroidId: String = "centroid_id",
-                        centroidVec: String = "c_emb"): DataFrame = {
+                        centroidVec: String = "c_emb"): DataFrame =
+    centroidProbes(vectors, idCol, centroids, nprobe = 1,
+      vecCol, centroidId, centroidVec)
+
+  /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is
+    * the build-time assignment). Output: input columns + `centroid_id`,
+    * ≤ nprobe rows per vector.
+    */
+  def centroidProbes(vectors: DataFrame, idCol: String,
+                     centroids: DataFrame, nprobe: Int,
+                     vecCol: String = "embedding",
+                     centroidId: String = "centroid_id",
+                     centroidVec: String = "c_emb"): DataFrame = {
     val keep = vectors.columns.toIndexedSeq.map(col)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_sim").desc, col(centroidId))
@@ -98,7 +110,7 @@ object Vectors {
         round(safeDiv(dot(col(vecCol), col(centroidVec)),
           col("_vn") * col("_cn")), 6))
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nprobe)
       .select(keep :+ col(centroidId): _*)
   }
 }

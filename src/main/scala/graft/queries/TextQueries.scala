@@ -298,7 +298,7 @@ object TextQueries {
     s"""SELECT doc_id,
        |  list_reduce(
        |    list_prepend(0::BIGINT,
-       |      list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+       |      list_transform(regexp_extract_all(text, '(?s).'), c -> unicode(c)::BIGINT)),
        |    (acc, c) -> (acc * ${graft.functions.RollingHashImpl.Base} + c)
        |                % ${graft.functions.RollingHashImpl.Mod}) AS fp_rolling,
        |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5

@@ -101,21 +101,11 @@ object VectorQueries {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .withColumn("_n", Vectors.norm(col("embedding")))
-    // query-side: rank ALL centroids per query, keep the top 2
-    val q = emb.filter(col("vec_id") < NumQueries)
-      .withColumn("_qn", Vectors.norm(col("embedding")))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("_csim").desc, col("centroid_id"))
-    val qProbes = q.crossJoin(broadcast(
-        centroids.withColumn("_cn", Vectors.norm(col("c_emb")))))
-      .withColumn("_csim",
-        round(when(col("_qn") * col("_cn") =!= 0.0,
-          Vectors.dot(col("embedding"), col("c_emb"))
-            / (col("_qn") * col("_cn"))), 6))
-      .withColumn("_rn", row_number().over(w2))
-      .filter(col("_rn") <= 2)
+    // query-side: the 2 nearest centroids per query (shared probe operator)
+    val qProbes = Vectors.centroidProbes(
+        emb.filter(col("vec_id") < NumQueries), "vec_id", centroids, nprobe = 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("_qn"), col("centroid_id"))
+        Vectors.norm(col("embedding")).as("_qn"), col("centroid_id"))
     val hits = qProbes.join(
       assigned.select(col("vec_id"), col("embedding"), col("centroid_id"),
         col("_n")), Seq("centroid_id"))

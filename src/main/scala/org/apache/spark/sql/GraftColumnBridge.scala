@@ -18,4 +18,12 @@ object GraftColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A session over the same SparkContext with NO injected extensions —
+    * test-only: simulates an external harness that builds its own session
+    * (`newSession()` can't, it propagates the parent's extensions).
+    */
+  def bareSession(spark: SparkSession): SparkSession =
+    new classic.SparkSession(
+      spark.asInstanceOf[classic.SparkSession].sparkContext)
 }

@@ -299,9 +299,9 @@ object Analytics {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-      |    sum(is_new) OVER (PARTITION BY user_id
-      |                      ORDER BY CAST(ts AS TIMESTAMP), event_id
-      |                      ROWS UNBOUNDED PRECEDING) AS session_no
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id
+      |                           ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       |  FROM (
       |    SELECT user_id, ts, value, event_id,
       |      CASE WHEN prev_us IS NULL

@@ -32,6 +32,13 @@ object Core {
     */
   def castNormalize(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "lineitem")
+      // sort the narrow scan FIRST, project the expensive expressions after:
+      // the range-partitioner's sampling job then reads 3 plain columns
+      // instead of re-evaluating the regex/timestamp work, and the shuffle
+      // carries the narrow rows. Catalyst keeps the Project above the Sort
+      // (verified via explain), so the expressions run exactly once.
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         Normalize.decimalCommaToDouble(
@@ -42,7 +49,6 @@ object Core {
           .as("id_clean"),
         to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss"))
           .as("ts_parsed"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   val castNormalizeSql: String =
     """SELECT l_orderkey, l_linenumber,

@@ -42,8 +42,9 @@ object TextQueries {
 
   private def sigCte: String = {
     // four 32-bit hashes per salted md5, mirroring TextDedup.minhashSignatures
+    // (numeric: '0x'||hex → BIGINT, same ordering as the hex string)
     val mins = (0 until K)
-      .map(i => s"min(substr(md5('s${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS mh$i")
+      .map(i => s"min(('0x' || substr(md5('s${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8))::BIGINT) AS mh$i")
       .mkString(",\n    ")
     s"""sig AS (
        |  SELECT doc_id,

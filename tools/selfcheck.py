@@ -56,6 +56,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures += 1
             continue
+        # dtype-KIND mismatch (int vs float, e.g. DuckDB HUGEINT→float64)
+        # hash-mismatches in the driver even when values compare equal here
+        kinds = [(c, a[c].dtype.kind, b[c].dtype.kind) for c in a.columns
+                 if a[c].dtype.kind != b[c].dtype.kind]
+        if kinds:
+            print(f"FAIL {name}: dtype-kind mismatch {kinds}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=True)

@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Readers
+import graft.ops.Vectors
 
 /** Dev scratchpad for plan/perf experiments. Not part of the engine. */
 object Scratch {
@@ -26,41 +27,21 @@ object Scratch {
       }
     }
 
-    val docs = Readers.table(spark, sfDir, "documents")
-    val k = graft.ops.TextDedup.NumHashes
-    val sh = docs.select(col("doc_id"),
-      explode(graft.ops.TextDedup.shingles(col("text"), 3)).as("s"))
+    val emb = Readers.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val a = emb.withColumn("_na", Vectors.norm(col("embedding")))
+    val b = emb.select(col("vec_id").as("_nn_id"), col("embedding").as("_nn_emb"))
+      .withColumn("_nb", Vectors.norm(col("_nn_emb")))
 
-    def stringMins = (0 until k).map { i =>
-      min(substring(md5(concat(lit(s"s${i / 4}|"), col("s"))),
-        (i % 4) * 8 + 1, 8)).as(s"mh$i")
-    }
-    def convMins = (0 until k).map { i =>
-      min(conv(substring(md5(concat(lit(s"s${i / 4}|"), col("s"))),
-        (i % 4) * 8 + 1, 8), 16, 10).cast("long")).as(s"mh$i")
-    }
-    t("sig_string_min")(sh.groupBy("doc_id").agg(stringMins.head, stringMins.tail: _*)
-      .orderBy("doc_id"))
-    t("sig_conv_min")(sh.groupBy("doc_id").agg(convMins.head, convMins.tail: _*)
-      .orderBy("doc_id"))
-    // where does the time actually go? shingle explode alone, and md5 alone
-    t("shingle_explode_count")(sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
-    t("md5_once")(sh.select(col("doc_id"), md5(concat(lit("s0|"), col("s"))).as("h"))
-      .groupBy("doc_id").agg(min(substring(col("h"), 1, 8)).as("m")))
-    // pre-split words into a bound attribute so split() runs once per doc,
-    // not once per element_at call inside the transform lambda
-    val n = 3
-    val shPre = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => concat_ws(" ",
-              (0 until n).map(o => element_at(col("w"), i + lit(o + 1))): _*)))
-          .otherwise(array())).as("s"))
-    t("shingle_presplit_count")(shPre.groupBy("doc_id").agg(count(lit(1)).as("n")))
-    t("sig_conv_presplit")(shPre.groupBy("doc_id").agg(convMins.head, convMins.tail: _*)
-      .orderBy("doc_id"))
+    t("cross_count")(a.crossJoin(b).filter(col("_nn_id") =!= col("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n")))
+    t("cross_dot")(a.crossJoin(b).filter(col("_nn_id") =!= col("vec_id"))
+      .select(col("vec_id"),
+        Vectors.dot(col("embedding"), col("_nn_emb")).as("d"))
+      .groupBy("vec_id").agg(max("d").as("m")))
+    t("full_neardup")(Vectors.nearestNeighborExact(emb, "vec_id").orderBy("vec_id"))
+    val nd = Vectors.nearestNeighborExact(emb, "vec_id")
+    nd.write.format("noop").mode("overwrite").save()
+    println(nd.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -43,6 +43,23 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a narrow source out to full parallelism before per-row-expensive
+    * work (hashing, regex pipelines, vector math).
+    *
+    * A parquet scan parallelizes at row-group granularity; a small or
+    * compacted input (single file, single row group) yields ONE partition,
+    * and every downstream map runs on one core no matter how many the
+    * cluster has. This is a no-op when the scan already has enough splits —
+    * which is the normal case at production scale, where the extra shuffle
+    * would be pure waste — so it costs nothing where it isn't needed and
+    * buys full fan-out where it is.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, p / 2)) df
+    else df.repartition(p)
+  }
+
   /** The events table. Its `ts` column is nanosecond-precision INT64
     * TIMESTAMP(NANOS), which Spark's Parquet reader rejects; we read nanos
     * as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to

@@ -56,7 +56,8 @@ object TextDedup {
     */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int): DataFrame =
-    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
       .select(col(idCol), explode(shinglesFromWords(col("__w"), shingleN)).as("s"))
 
   /** MinHash signature: one row per doc, columns mh0..mh{k-1} (LongType,
@@ -160,7 +161,7 @@ object TextDedup {
     * the bits for an LSH-style join).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs
+    val words = graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("word"))
       .withColumn("hex", md5(col("word")))
     val withDigits = (0 until SimhashBits / 4).foldLeft(words) { (df, p) =>

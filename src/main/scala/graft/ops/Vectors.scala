@@ -92,6 +92,77 @@ object Vectors {
     centroidProbes(vectors, idCol, centroids, nprobe = 1,
       vecCol, centroidId, centroidVec)
 
+  /** Exact nearest-neighbor per vector over all pairs (brute force), with
+    * an aggregation plan shape built for scale.
+    *
+    * The naive formulation — `row_number() OVER (PARTITION BY id ORDER BY
+    * cos DESC)` then `rn = 1` — shuffles and sorts every scored pair, and
+    * (worse) the sort rows still carry both embedding arrays. Instead,
+    * (rounded cos, candidate id) is packed into ONE comparable long:
+    *
+    *   key = round(cos·1e6) << 40  +  (2^40 - 1 - nn_id)
+    *
+    * so `max(key)` IS "highest cosine, ties → lowest id". A plain
+    * `max(long)` aggregate has a fixed-width buffer, so Spark plans a
+    * HashAggregate with map-side partial aggregation: each task reduces its
+    * pairs to one candidate per vec_id before the exchange — the shuffle
+    * carries O(N) longs instead of O(N²) array-laden rows, and nothing is
+    * ever sorted. (A struct-valued `max`/`max_by` would fall back to
+    * SortAggregate: struct buffers aren't hash-aggregable.)
+    *
+    * Bounds: |round(cos·1e6)| ≤ 1e6 so the shifted key fits a long with
+    * room for ids < 2^40 (~10^12 vectors). Pairs with a zero-norm side have
+    * null cos and are ignored by `max` — a corpus that is ENTIRELY
+    * zero-norm yields no row for those ids (the window formulation would
+    * emit a null-cos row).
+    *
+    * Decoded `nn_cos` = key_hi / 1e6 — the correctly-rounded double of a
+    * 6-decimal value, identical to `round(cos, 6)` in both Spark and DuckDB.
+    */
+  def nearestNeighborExact(vectors: DataFrame, idCol: String,
+                           vecCol: String = "embedding"): DataFrame = {
+    val idBits = 40
+    val idMask = (1L << idBits) - 1
+    // repartition the streamed side: a small/compacted input (one parquet
+    // block) otherwise gives the O(N²) pair loop a single input partition —
+    // one core does all the work regardless of cluster size. The pre-join
+    // shuffle is O(N) and buys full parallelism on the O(N²) stage.
+    // fan the streamed side out: a single-row-group input gives the O(N²)
+    // pair loop one partition — one core does all the work regardless of
+    // cluster size (an unspecified repartition() doesn't fix it either:
+    // AQE coalesces tiny shuffles right back, blind to downstream N² work)
+    val a = graft.etl.Readers.fanOut(vectors.select(col(idCol), col(vecCol)))
+      .withColumn("_na", norm(col(vecCol)))
+    val b = vectors.select(col(idCol).as("_nn_id"), col(vecCol).as("_nn_emb"))
+      .withColumn("_nb", norm(col("_nn_emb")))
+    // The dot product is bound to its own attribute (and the key built in a
+    // SEPARATE select): referenced from inside CASE WHEN branches, codegen's
+    // subexpression elimination does not apply, so an inline expression
+    // would be re-evaluated per branch — 3 dots per pair instead of 1.
+    // CollapseProject keeps the split because the alias is referenced more
+    // than once and the expression is non-cheap.
+    val scaled = when(col("_den") =!= 0.0, col("_dot") / col("_den")) * 1e6
+    // round-half-away-from-zero at 1e-6 as a long, via floor: Spark's
+    // round() builds a BigDecimal per call — millions of allocations in the
+    // pair loop — while DuckDB's round() is the binary std::round. This is
+    // both the cheap path and the one that matches the oracle's semantics.
+    val cosKey = when(col("_scaled") >= 0, floor(col("_scaled") + 0.5))
+      .otherwise(-floor(-col("_scaled") + 0.5))
+    val key = shiftleft(cosKey, idBits) + (lit(idMask) - col("_nn_id"))
+    a.crossJoin(b)
+      .filter(col("_nn_id") =!= col(idCol))
+      .select(col(idCol), col("_nn_id"),
+        dot(col(vecCol), col("_nn_emb")).as("_dot"),
+        (col("_na") * col("_nb")).as("_den"))
+      .select(col(idCol), col("_nn_id"), scaled.as("_scaled"))
+      .select(col(idCol), key.as("_key"))
+      .groupBy(idCol)
+      .agg(max("_key").as("_k"))
+      .select(col(idCol),
+        (lit(idMask) - (col("_k").bitwiseAND(idMask))).as("nn_id"),
+        (shiftright(col("_k"), idBits).cast("double") / 1e6).as("nn_cos"))
+  }
+
   /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is
     * the build-time assignment). Output: input columns + `centroid_id`,
     * ≤ nprobe rows per vector.

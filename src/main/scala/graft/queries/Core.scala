@@ -60,9 +60,13 @@ object Core {
   /** §2.6 the name-cleaning pipeline over customer names. */
   def cleanText(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "customer")
+      // sort first, clean after: the regex pipeline runs once, post-shuffle
+      // (32-way), instead of twice single-core (range-sampling re-evaluates
+      // the projection, and a single-row-group scan has one partition)
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
       .select(col("c_custkey"), col("c_name"),
         CleanNames.clean(col("c_name")).as("c_name_clean"))
-      .orderBy("c_custkey")
 
   val cleanTextSql: String = {
     val v = CleanNames.Vowels

@@ -240,7 +240,11 @@ object TextQueries {
     */
   def textStatsQ(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
+    // sort first, compute after: stats run once, post-shuffle (parallel),
+    // instead of twice on the single-partition scan (range sampling)
     Readers.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"), col("lang"),
         TextStats.tokenCount(t).cast("long").as("n_tokens"),
         TextStats.bpeTokenEstimate(t).as("n_bpe_est"),
@@ -250,7 +254,6 @@ object TextQueries {
         TextStats.qualityScore(t).as("quality"),
         TextStats.langPredict(t).as("lang_pred"),
         TextStats.fingerprint(t).as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   val textStatsSql: String = {
@@ -289,11 +292,13 @@ object TextQueries {
     */
   def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "documents")
+      // sort-first/compute-after: same rationale as textStatsQ
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"),
         graft.functions.RollingHashFunctions.rollingHash(col("text"))
           .as("fp_rolling"),
         graft.ops.TextStats.fingerprint(col("text")).as("fp_md5"))
-      .orderBy("doc_id")
 
   val fingerprintRollingSql: String =
     s"""SELECT doc_id,

@@ -155,24 +155,12 @@ object VectorQueries {
     * the 100 TB path; this is the exact baseline it approximates.
     */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // O(N²·d) dot products are the irreducible brute-force cost (IVF/LSH
+    // bucketing is the 100 TB path); the plan shape — encoded-long max
+    // aggregation, not a window sort — is what keeps the shuffle O(N). See
+    // [[Vectors.nearestNeighborExact]].
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    // norms once per side (O(N)), dot-only per pair (O(N²·d) is the
-    // irreducible brute-force cost; IVF/LSH bucketing is the 100 TB path)
-    val a = emb.withColumn("_na", Vectors.norm(col("embedding")))
-    val b = emb.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
-      .withColumn("_nb", Vectors.norm(col("nn_emb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("nn_id"))
-    a.crossJoin(b)
-      .filter(col("nn_id") =!= col("vec_id"))
-      .withColumn("cos",
-        round(when(col("_na") * col("_nb") =!= 0.0,
-          Vectors.dot(col("embedding"), col("nn_emb"))
-            / (col("_na") * col("_nb"))), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), col("cos").as("nn_cos"))
+    Vectors.nearestNeighborExact(emb, "vec_id")
       .orderBy("vec_id")
   }
 

@@ -88,8 +88,11 @@ object Multimodal {
           val (w, h, bright) = decodeStub(bytes)
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString
+          // half-away-from-zero at 1e-6 (math.rint is half-EVEN, which
+          // diverges from SQL round() when the scaled value lands on an
+          // exactly-representable .5)
           Row(id, bytes.length.toLong, digest, w, h,
-            math.rint(bright * 1e6) / 1e6)
+            math.floor(bright * 1e6 + 0.5) / 1e6)
         }
       }
     }(enc)

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling: keep a row iff a stable hash of its
+  * key lands under the rate threshold.
+  *
+  * Unlike `df.sample()` (seeded per-partition RNG — resample on every
+  * retry/repartition, engine-specific), hash sampling is a pure function
+  * of the KEY: reproducible across runs, engines, and cluster layouts,
+  * and consistent across tables (sampling two tables by the same key
+  * keeps them joinable — the property training-data pipelines need when
+  * carving out held-out shards). md5 is the hash for the same reason the
+  * dedup family uses it: both engines compute it identically.
+  */
+object Sampling {
+
+  /** Keep rows where hash(key) mod `outOf` < `keep` (a keep/outOf
+    * fraction, e.g. (1, 10) = 10%).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, keep: Int, outOf: Int)
+  : DataFrame =
+    df.filter(hashBucket(keyCol, outOf) < keep)
+
+  /** The stable bucket in [0, outOf): first 8 md5 hex chars of the key's
+    * string form, as a number, mod outOf.
+    */
+  def hashBucket(keyCol: Column, outOf: Int): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % outOf
+}

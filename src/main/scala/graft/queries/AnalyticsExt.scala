@@ -1,0 +1,400 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.{AsOfJoin, RangeJoin, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of analytics operators: multi-dimensional grouping (cube /
+  * grouping sets), pivot/unpivot reshaping, filtered aggregation, exact
+  * percentiles, moment statistics, navigation and range-frame windows,
+  * semi/anti joins, as-of and range joins, deterministic hash sampling,
+  * and levenshtein fuzzy matching. Same determinism contract as
+  * [[Analytics]]: total ORDER BY, identical aliases both sides, doubles
+  * rounded after aggregation.
+  */
+object AnalyticsExt {
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations in one
+    * pass — Spark expands the grouping sets map-side; one shuffle.
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS with the grouping_id bitmask disambiguating
+    * which dimension each row aggregates over.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val aggGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Conditional (filtered) aggregation: one scan, many predicated
+    * aggregates — the idiomatic replacement for N filtered sub-queries.
+    */
+  def aggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("sum_finished"),
+        round(avg(when(col("o_totalprice") > 100000.0, col("o_totalprice"))), 2)
+          .as("avg_large"))
+      .orderBy("o_orderpriority")
+
+  val aggFilteredSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),
+      |                 0.0::DOUBLE), 2) AS sum_finished,
+      |  round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000.0::DOUBLE), 2)
+      |    AS avg_large
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles (continuous quantiles) per group —
+    * Spark `percentile` ≡ SQL `quantile_cont` (lower + (upper-lower)·frac).
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = percentile(col("l_extendedprice"),
+      array(lit(0.25), lit(0.5), lit(0.9), lit(0.99)))
+    Readers.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(element_at(ps, 1), 4).as("p25"),
+        round(element_at(ps, 2), 4).as("p50"),
+        round(element_at(ps, 3), 4).as("p90"),
+        round(element_at(ps, 4), 4).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Moment statistics: correlation, sample stddev/variance, covariance.
+    * Rounded to 6 — the co-moment update order differs across partitionings
+    * by ULPs.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qty_price"))
+      .orderBy("l_returnflag")
+
+  val aggStatsSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_extendedprice), 2) AS var_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Pivot: order years × status → total price matrix. Pivot values are
+    * pinned explicitly — the two-arg form costs an extra distinct-collect
+    * job just to discover them, and unpinned columns are nondeterministic
+    * schema at scale.
+    */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("order_year"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("order_year")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("order_year"), col("O").as("total_open"),
+        col("F").as("total_finished"), col("P").as("total_partial"))
+      .orderBy("order_year")
+
+  val pivotStatusSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS total_open,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS total_finished,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS total_partial
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  /** Unpivot (wide → long) then re-aggregate per measure. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(round(sum("val"), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy("measure")
+
+  val unpivotMeasuresSql: String =
+    """SELECT measure, round(sum(val), 2) AS total, count(*) AS n
+      |FROM (
+      |  SELECT l_orderkey, measure, val
+      |  FROM lineitem
+      |  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+      |)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
+  /** Navigation window functions: lag / lead / first_value / ntile over
+    * each customer's order history.
+    */
+  def windowNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Readers.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowNavigationSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** RANGE frame over event-time: each order's trailing-30-day customer
+    * spend — frame bounds defined by VALUE distance (days), not row count.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      .cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(col("_days"))
+      .rangeBetween(-30, Window.currentRow)
+    Readers.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("_days", days)
+      .withColumn("spend_30d", round(sum("o_totalprice").over(w), 2))
+      .groupBy("o_custkey")
+      .agg(round(max("spend_30d"), 2).as("max_spend_30d"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, round(max(spend_30d), 2) AS max_spend_30d,
+      |  count(*) AS n_orders
+      |FROM (
+      |  SELECT o_custkey,
+      |    round(sum(o_totalprice) OVER (
+      |      PARTITION BY o_custkey ORDER BY days
+      |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+      |  FROM (SELECT o_custkey, o_totalprice,
+      |          datediff('day', DATE '1992-01-01', o_orderdate) AS days
+      |        FROM orders WHERE o_custkey < 50))
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Left-semi + left-anti joins: customers partitioned by order
+    * existence. Both are build-side-only joins — no fact-row duplication,
+    * the probe side streams.
+    */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val orders = Readers.table(spark, dir, "orders")
+      .select(col("o_custkey"))
+    val withOrders = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_orders", lit(true))
+    val withoutOrders = customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_orders", lit(false))
+    withOrders.unionByName(withoutOrders).orderBy("c_custkey")
+  }
+
+  val joinSemiAntiSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Backward as-of join inside the event stream: each click matched to
+    * the same user's most recent purchase at or before it. See
+    * [[graft.ops.AsOfJoin]] for why this is a union+window, not an
+    * inequality join.
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.backward(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "ts", "value"),
+        rightTieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_event_id"),
+        col("asof_ts").as("purchase_ts"),
+        col("asof_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofSql: String =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |  p.event_id AS purchase_event_id,
+      |  p.ts AS purchase_ts,
+      |  p.value AS purchase_value
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+      |  FROM events e
+      |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      |    AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |  ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC
+      |  LIMIT 1) p ON true
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  private val TierRows = Seq(
+    (0.0, 500.0, "budget"),
+    (500.0, 1000.0, "mid"),
+    (1000.0, 1500.0, "premium"),
+    (1500.0, 1e9, "luxury"))
+
+  /** Range join via the shared-bucket-grid equi-join ([[graft.ops.RangeJoin]]):
+    * parts priced into tiers. Aggregated per tier so the output is compact.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = TierRows.toDF("lo", "hi", "tier")
+    RangeJoin.bucketedBetween(
+        Readers.table(spark, dir, "part").select("p_partkey", "p_retailprice"),
+        "p_retailprice", tiers, "lo", "hi", bucketWidth = 500.0)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("tier")
+  }
+
+  val joinRangeSql: String = {
+    val values = TierRows
+      .map { case (lo, hi, t) => s"($lo::DOUBLE, $hi::DOUBLE, '$t')" }
+      .mkString(", ")
+    s"""SELECT tier, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+       |FROM part JOIN (VALUES $values) AS tiers(lo, hi, tier)
+       |  ON p_retailprice >= lo AND p_retailprice < hi
+       |GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
+  /** Deterministic 10% hash sample, summarized per market segment. The
+    * sample is a pure function of the key — identical across runs, engines,
+    * and partitionings ([[graft.ops.Sampling]]).
+    */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(
+        Readers.table(spark, dir, "customer"), col("c_custkey"),
+        keep = 1, outOf = 10)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum("c_acctbal"), 2).as("bal_sampled"))
+      .orderBy("c_mktsegment")
+
+  val sampleHashSql: String =
+    """SELECT c_mktsegment, count(*) AS n_sampled,
+      |  round(sum(c_acctbal), 2) AS bal_sampled
+      |FROM customer
+      |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 10 < 1
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Fuzzy matching: levenshtein distance over a bounded neighbor window
+    * of customer names (candidate pairs from a band join, exact edit
+    * distance as refinement — the same generate-then-verify shape as the
+    * LSH dedup pipeline).
+    */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Readers.table(spark, dir, "customer")
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 4)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
+  val fuzzyNamePairsSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM customer a JOIN customer b
+      |  ON b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 5
+      |WHERE levenshtein(a.c_name, b.c_name) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_filtered" -> aggFiltered,
+    "agg_percentiles" -> aggPercentiles,
+    "agg_stats" -> aggStats,
+    "pivot_status" -> pivotStatus,
+    "unpivot_measures" -> unpivotMeasures,
+    "window_navigation" -> windowNavigation,
+    "window_range_frame" -> windowRangeFrame,
+    "join_semi_anti" -> joinSemiAnti,
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange,
+    "sample_hash" -> sampleHash,
+    "fuzzy_name_pairs" -> fuzzyNamePairs
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "agg_filtered" -> aggFilteredSql,
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_stats" -> aggStatsSql,
+    "pivot_status" -> pivotStatusSql,
+    "unpivot_measures" -> unpivotMeasuresSql,
+    "window_navigation" -> windowNavigationSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "join_semi_anti" -> joinSemiAntiSql,
+    "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
+    "sample_hash" -> sampleHashSql,
+    "fuzzy_name_pairs" -> fuzzyNamePairsSql
+  )
+}

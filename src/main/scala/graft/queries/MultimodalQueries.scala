@@ -43,12 +43,32 @@ object MultimodalQueries {
        |    AS n_frames
        |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Batched per-partition feature extraction (decode stubbed) — not
-    * SQL-expressible (mapPartitions); the driver records a rows-only check.
+  /** Batched per-partition feature extraction. The OPERATOR is imperative
+    * (mapPartitions — the real-decoder contract), but the stub's features
+    * are arithmetic on the payload bytes, so the result IS oracle-checkable:
+    * the SQL mirrors the stub per-byte (documents.text is pure ASCII in the
+    * testdata, so code points == payload bytes).
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(spark, media(spark, dir))
       .orderBy("media_id")
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(greatest(1, octet_length(text::BLOB) % 1024) AS INTEGER) AS width,
+      |  CAST(greatest(1, octet_length(text::BLOB) // 1024 + 1) AS INTEGER)
+      |    AS height,
+      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE
+      |       ELSE floor(list_sum(list_transform(
+      |                regexp_extract_all(substr(text, 1, 256), '(?s).'),
+      |                c -> unicode(c)))::DOUBLE
+      |              / least(octet_length(text::BLOB), 256)::DOUBLE
+      |              / 255.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |            / 1000000.0::DOUBLE
+      |  END AS brightness
+      |FROM documents ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
@@ -56,6 +76,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "multimodal_binary" -> multimodalBinarySql
+    "multimodal_binary" -> multimodalBinarySql,
+    "multimodal_features" -> multimodalFeaturesSql
   )
 }

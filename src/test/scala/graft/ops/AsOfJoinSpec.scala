@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward: latest right row at-or-before each left row, per key") {
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 10:00:00")),   // after p1, before p2
+      (102L, 1L, ts("2024-01-01 12:00:00")),   // exactly at p2 → inclusive
+      (103L, 1L, ts("2024-01-01 08:00:00")),   // before any purchase
+      (104L, 2L, ts("2024-01-01 10:00:00"))    // other key, no purchases
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 12L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+
+    val out = AsOfJoin.backward(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+
+    assert(out(101L) == (Some(11L), Some(5.0)))
+    assert(out(102L) == (Some(12L), Some(7.0)))   // ties are inclusive
+    assert(out(103L) == (None, None))             // nothing before
+    assert(out(104L) == (None, None))             // key with no right rows
+  }
+
+  test("backward: timestamp tie among right rows resolved by tiebreak max") {
+    val left = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, ts("2024-01-01 09:00:00"), 1L, 1.0),
+      (9L, ts("2024-01-01 09:00:00"), 2L, 2.0)    // same ts, higher id wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("asof_event_id", "asof_value").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((2L, 2.0)))
+  }
+}

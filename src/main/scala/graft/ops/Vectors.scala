@@ -163,6 +163,35 @@ object Vectors {
         (shiftright(col("_k"), idBits).cast("double") / 1e6).as("nn_cos"))
   }
 
+  /** Deterministic ±1 hyperplane components for random-hyperplane LSH:
+    * sign(j, d) from md5("j|d") — reproducible in any engine that has md5,
+    * which is what makes the LSH signature oracle-checkable.
+    */
+  def hyperplaneSigns(plane: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$plane|$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0f else -1.0f
+    }
+
+  /** Random-hyperplane LSH signature (SimHash for cosine): bit j is the
+    * sign of the projection onto hyperplane j. Vectors with small angle
+    * agree on each bit with probability 1 − θ/π, so near neighbors land in
+    * the same bucket; the signature is the ANN partition key (equi-join /
+    * physical partition column — the same role centroid_id plays for IVF,
+    * without the centroid build step).
+    *
+    * The hyperplane components are ±1 literals baked into the plan
+    * (64-element arrays per plane) — the dot is the same native
+    * [[graft.functions.FloatArrayDot]] loop, one per plane, all map-side.
+    */
+  def lshSignature(vecCol: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { j =>
+      when(dot(vecCol, typedlit(hyperplaneSigns(j, dim))) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is
     * the build-time assignment). Output: input columns + `centroid_id`,
     * ≤ nprobe rows per vector.

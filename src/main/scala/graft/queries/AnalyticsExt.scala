@@ -346,9 +346,14 @@ object AnalyticsExt {
     */
   def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
     val c = Readers.table(spark, dir, "customer")
+    // candidate generation by EXPLODING each row into its neighbor ids and
+    // equi-joining — a `id_b BETWEEN id_a+1 AND id_a+5` join condition has
+    // no equi key, so Spark would nested-loop all N² name pairs through
+    // levenshtein; this shape is a hash join on id_b with N·5 probe rows
     val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 5)))
     val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+    a.join(b, Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 4)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
@@ -364,7 +369,25 @@ object AnalyticsExt {
       |WHERE levenshtein(a.c_name, b.c_name) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Approximate sketches: HyperLogLog++ distinct counts and GK quantile
+    * estimates — the sub-linear-memory path when exact distinct/percentile
+    * state would not fit (billions of keys per group at 100 TB). Sketch
+    * internals are engine-specific, so there is no DuckDB hash oracle; the
+    * driver records a rows-only check and `AnalyticsExtSpec` asserts the
+    * estimates against exact values within the configured error bounds.
+    */
+  def aggApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_orders_est"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price_est"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_sketch" -> aggApproxSketch,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_filtered" -> aggFiltered,

@@ -96,12 +96,13 @@ object TextQueries {
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
+    // neighbor-window candidates via explode + EQUI-join on (doc_b, lang):
+    // the `doc_b BETWEEN doc_a+1 AND doc_a+5` predicate alone would hash
+    // only on lang and stream every same-language pair through the filter
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"))
-    val pairs = a.join(b,
-      col("lang") === col("lang_b")
-        && col("doc_b") > col("doc_a") && col("doc_b") <= col("doc_a") + 5)
-      .select("doc_a", "doc_b")
+      .withColumn("doc_b", explode(sequence(col("doc_a") + 1, col("doc_a") + 5)))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"))
+    val pairs = a.join(b, Seq("doc_b", "lang")).select("doc_a", "doc_b")
     TextDedup.jaccardOnPairs(docs, pairs, "doc_id", "text")
       .orderBy("doc_a", "doc_b")
   }

@@ -174,10 +174,94 @@ object VectorQueries {
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  private val LshPlanes = 8
+  private val Dim = 64
+
+  /** DuckDB ±1 hyperplane-j component list, mirroring
+    * [[Vectors.hyperplaneSigns]] (md5("j|d") parity).
+    */
+  private def hpSql(j: Int): String =
+    s"""list_transform(range(0, $Dim), d ->
+       |      CASE WHEN ('0x' || substr(md5('$j|' || d::VARCHAR), 1, 8))::BIGINT % 2 = 0
+       |           THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin
+
+  private def lshSigCte: String = {
+    val bits = (0 until LshPlanes)
+      .map(j => s"""CASE WHEN list_dot_product(embedding::DOUBLE[],
+                   |    ${hpSql(j)}) > 0.0::DOUBLE THEN ${1L << j} ELSE 0 END""".stripMargin)
+      .mkString("\n    + ")
+    s"""lsig AS (
+       |  SELECT vec_id, embedding, CAST($bits AS BIGINT) AS sig
+       |  FROM embeddings
+       |)""".stripMargin
+  }
+
+  /** LSH bucket map: signature → bucket population (only multi-member
+    * buckets — the near-dup candidate groups). Linear output like
+    * `simhash_buckets`; pair expansion happens per-bucket downstream.
+    */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    Readers.fanOut(emb)
+      .withColumn("sig", Vectors.lshSignature(col("embedding"), LshPlanes, Dim))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("first_vec"))
+      .filter(col("n_vecs") > 1)
+      .orderBy("sig")
+  }
+
+  val annLshBucketsSql: String =
+    s"""WITH ${lshSigCte}
+       |SELECT sig, count(*) AS n_vecs, min(vec_id) AS first_vec
+       |FROM lsig GROUP BY sig HAVING count(*) > 1
+       |ORDER BY sig""".stripMargin
+
+  /** LSH-bucketed ANN probe: each query scans ONLY its signature bucket
+    * (hash equi-join on the signature), then exact cosine ranks the
+    * candidates. The bucket-scan fraction is ~2^-planes of the corpus —
+    * the recall/latency dial is the number of planes (fewer planes =
+    * bigger buckets = higher recall).
+    */
+  def annLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val sigs = Readers.fanOut(emb)
+      .withColumn("sig", Vectors.lshSignature(col("embedding"), LshPlanes, Dim))
+      .withColumn("_n", Vectors.norm(col("embedding")))
+    val qs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("_n").as("_qn"), col("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    qs.join(sigs, Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(when(col("_qn") * col("_n") =!= 0.0,
+          Vectors.dot(col("q_emb"), col("embedding"))
+            / (col("_qn") * col("_n"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfK)
+      .select("query_id", "rank", "vec_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val annLshProbeSql: String =
+    s"""WITH ${lshSigCte}
+       |SELECT query_id, rank, vec_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+       |    round(${cosSql("q", "x")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q", "x")}, 6) DESC, x.vec_id) AS rank
+       |  FROM lsig q JOIN lsig x ON q.sig = x.sig AND x.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe2" -> annIvfProbe2,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_lsh_probe" -> annLshProbe,
     "embedding_neardup" -> embeddingNeardup
   )
 
@@ -185,6 +269,8 @@ object VectorQueries {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,
+    "ann_lsh_buckets" -> annLshBucketsSql,
+    "ann_lsh_probe" -> annLshProbeSql,
     "embedding_neardup" -> embeddingNeardupSql
   )
 }

@@ -37,6 +37,32 @@ class VectorsSpec extends AnyFunSuite {
     assert(out(0)._4 == 1.0)
   }
 
+  test("lshSignature: identical vectors share buckets, opposites do not") {
+    val vecs = Seq(
+      (1L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat)),
+      (2L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat)),          // identical
+      (3L, Seq.tabulate(64)(i => -(i % 7 - 3).toFloat))          // negated
+    ).toDF("vec_id", "embedding")
+    val sig = vecs
+      .withColumn("sig", Vectors.lshSignature($"embedding", 8, 64))
+      .as[(Long, Seq[Float], Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(sig(1L) == sig(2L))
+    // a negated vector flips every non-zero projection's bit; zero
+    // projections (possible by construction) keep the bit at 0 on both
+    assert(sig(1L) != sig(3L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) >= 4)
+    assert(sig.values.forall(s => s >= 0 && s < 256))
+  }
+
+  test("hyperplaneSigns are ±1, deterministic, and plane-distinct") {
+    val a = Vectors.hyperplaneSigns(0, 64)
+    val b = Vectors.hyperplaneSigns(1, 64)
+    assert(a.toSeq == Vectors.hyperplaneSigns(0, 64).toSeq)
+    assert(a.forall(s => s == 1.0f || s == -1.0f))
+    assert(a.toSeq != b.toSeq)
+  }
+
   test("assignToCentroids picks the nearest centroid") {
     val vectors = Seq(
       (10L, Seq(1.0f, 0.05f)), (11L, Seq(0.05f, 1.0f)), (12L, Seq(-1.0f, 0.0f))

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * intervals → more buckets) against candidate false positives (bucket
   * wider than intervals → more refinement misses); set it near the median
   * interval width.
+  *
+  * CLAMP open-ended intervals before joining: an interval generates
+  * (hi−lo)/bucketWidth bucket rows, so a "no upper bound" sentinel like
+  * 1e9 explodes one dim row into millions of grid rows. Cap hi at the
+  * fact domain's real maximum (or route unbounded intervals through a
+  * separate filter).
   */
 object RangeJoin {
 

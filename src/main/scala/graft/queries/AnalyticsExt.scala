@@ -288,11 +288,15 @@ object AnalyticsExt {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  // intervals must be CLAMPED, not open-ended: an interval explodes into
+  // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
+  // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
+  // the actual p_retailprice domain (900..1000).
   private val TierRows = Seq(
-    (0.0, 500.0, "budget"),
-    (500.0, 1000.0, "mid"),
-    (1000.0, 1500.0, "premium"),
-    (1500.0, 1e9, "luxury"))
+    (900.0, 925.0, "budget"),
+    (925.0, 950.0, "mid"),
+    (950.0, 975.0, "premium"),
+    (975.0, 1000.0, "luxury"))
 
   /** Range join via the shared-bucket-grid equi-join ([[graft.ops.RangeJoin]]):
     * parts priced into tiers. Aggregated per tier so the output is compact.
@@ -302,7 +306,7 @@ object AnalyticsExt {
     val tiers = TierRows.toDF("lo", "hi", "tier")
     RangeJoin.bucketedBetween(
         Readers.table(spark, dir, "part").select("p_partkey", "p_retailprice"),
-        "p_retailprice", tiers, "lo", "hi", bucketWidth = 500.0)
+        "p_retailprice", tiers, "lo", "hi", bucketWidth = 25.0)
       .groupBy("tier")
       .agg(count(lit(1)).as("n_parts"),
         round(avg("p_retailprice"), 4).as("avg_price"))
@@ -386,7 +390,76 @@ object AnalyticsExt {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30
+    * minutes — each event lands in exactly 2 overlapping windows. Same
+    * `window()` operator the streaming twin uses, run in batch.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val slidingWindowSql: String =
+    """SELECT make_timestamp(w) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([
+      |      (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000,
+      |      (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000
+      |        - 1800000000]) AS w
+      |  FROM events)
+      |GROUP BY w, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Date/time and string scalar-function surface (§2.7 extension): month
+    * truncation, end-of-month, calendar-clamped month arithmetic, day-of-
+    * week/quarter extraction, day arithmetic; pad/translate/reverse and
+    * length/position functions. All codegen'd built-ins.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("days_since_92"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lpad(col("o_orderpriority"), 12, "*").as("pri_padded"),
+        translate(col("o_orderpriority"), "-", "_").as("pri_translated"),
+        reverse(col("o_orderpriority")).as("pri_rev"),
+        length(col("o_orderpriority")).as("pri_len"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"))
+      .orderBy("o_orderkey")
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+      |  CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |    AS days_since_92,
+      |  upper(o_orderpriority) AS pri_upper,
+      |  lpad(o_orderpriority, 12, '*') AS pri_padded,
+      |  replace(o_orderpriority, '-', '_') AS pri_translated,
+      |  reverse(o_orderpriority) AS pri_rev,
+      |  CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+      |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sliding_window" -> slidingWindow,
+    "scalar_funcs" -> scalarFuncs,
     "agg_approx_sketch" -> aggApproxSketch,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -405,6 +478,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "sliding_window" -> slidingWindowSql,
+    "scalar_funcs" -> scalarFuncsSql,
     "agg_cube" -> aggCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_filtered" -> aggFilteredSql,

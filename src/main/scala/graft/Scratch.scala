@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Readers
-import graft.ops.Vectors
+import graft.ops.TextDedup
 
 /** Dev scratchpad for plan/perf experiments. Not part of the engine. */
 object Scratch {
@@ -27,21 +27,48 @@ object Scratch {
       }
     }
 
-    val emb = Readers.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val a = emb.withColumn("_na", Vectors.norm(col("embedding")))
-    val b = emb.select(col("vec_id").as("_nn_id"), col("embedding").as("_nn_emb"))
-      .withColumn("_nb", Vectors.norm(col("_nn_emb")))
+    val docs = Readers.table(spark, sfDir, "documents")
+    val K = TextDedup.NumHashes
 
-    t("cross_count")(a.crossJoin(b).filter(col("_nn_id") =!= col("vec_id"))
-      .groupBy("vec_id").agg(count(lit(1)).as("n")))
-    t("cross_dot")(a.crossJoin(b).filter(col("_nn_id") =!= col("vec_id"))
-      .select(col("vec_id"),
-        Vectors.dot(col("embedding"), col("_nn_emb")).as("d"))
-      .groupBy("vec_id").agg(max("d").as("m")))
-    t("full_neardup")(Vectors.nearestNeighborExact(emb, "vec_id").orderBy("vec_id"))
-    val nd = Vectors.nearestNeighborExact(emb, "vec_id")
-    nd.write.format("noop").mode("overwrite").save()
-    println(nd.queryExecution.executedPlan.toString)
+    t("lsh_current") {
+      val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+      TextDedup.lshCandidatePairs(sigs, "doc_id", K).orderBy("doc_a", "doc_b")
+    }
+    t("lsh_shuffle_hint") {
+      val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+        .hint("shuffle_hash")
+      TextDedup.lshCandidatePairs(sigs, "doc_id", K).orderBy("doc_a", "doc_b")
+    }
+    // aliased self-join: both sides are the same canonical subtree — does
+    // ReusedExchange fire and halve the signature computation?
+    def selfJoinPairs(): DataFrame = {
+      val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+      val sigCols = (0 until K).map(i => col(s"mh$i"))
+      val bandStructs = (0 until K by TextDedup.BandSize).map { s =>
+        struct(lit(s).as("band"),
+          concat_ws("|", (s until s + TextDedup.BandSize).map(i => col(s"mh$i")): _*)
+            .as("bkey"))
+      }
+      val bands = sigs.select(
+          (col("doc_id").as("doc") +: explode(array(bandStructs: _*)).as("bb") +: sigCols): _*)
+        .select((col("doc") +: col("bb.band").as("band") +: col("bb.bkey").as("bkey")
+          +: sigCols): _*)
+      val j = bands.as("x").join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc") < col("y.doc"))
+      val equalPositions = (0 until K)
+        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      j.select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+          (equalPositions.cast("double") / K).as("est_sim"))
+        .distinct()
+    }
+    t("lsh_selfjoin")(selfJoinPairs().orderBy("doc_a", "doc_b"))
+    val q2 = selfJoinPairs()
+    q2.write.format("noop").mode("overwrite").save()
+    println(q2.queryExecution.executedPlan.toString.split("\n")
+      .filter(l => l.contains("Reused") || l.contains("Exchange") || l.contains("Join"))
+      .mkString("\n"))
     spark.stop()
   }
 }

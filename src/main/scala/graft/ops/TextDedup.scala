@@ -112,18 +112,19 @@ object TextDedup {
       (col(idCol).as("doc") +: explode(array(bandStructs: _*)).as("bb") +: sigCols): _*)
       .select((col("doc") +: col("bb.band").as("band") +: col("bb.bkey").as("bkey")
         +: sigCols): _*)
-    val x = bands.select(col("doc").as("doc_a") +: col("band") +: col("bkey")
-      +: (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val y = bands.select(col("doc").as("doc_b") +: col("band").as("band_y")
-      +: col("bkey").as("bkey_y")
-      +: (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    // ALIASED self-join (not two re-projections): both sides are the same
+    // canonical subtree, so the engine can reuse one shuffle materialization
+    // of the signature pipeline for both probes (AQE stage reuse). The
+    // shuffle_hash hint keeps the tiny-data case off the broadcast path —
+    // a driver collect+rebroadcast of the whole signature table that a
+    // real corpus could never take anyway.
+    val j = bands.as("x").join(bands.as("y").hint("shuffle_hash"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+        && col("x.doc") < col("y.doc"))
     val equalPositions = (0 until k)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    x.join(y,
-        col("band") === col("band_y") && col("bkey") === col("bkey_y")
-          && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    j.select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         (equalPositions.cast("double") / k).as("est_sim"))
       .distinct()   // a pair can collide in several bands
   }

@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash}
+import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash, TopKStructs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension entry point: install with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -32,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "rolling_hash expects 1 argument")
         RollingHash(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKStructs].getName, "graft_top_k"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "graft_top_k expects (score, id, k literal)")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k: k must be an integer literal, got $other")
+        }
+        TopKStructs(children(0), children(1), k)
       }))
 
     ext.injectFunction((

@@ -457,7 +457,108 @@ object AnalyticsExt {
       |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Per-group top-k via the engine's bounded-heap aggregate
+    * ([[graft.functions.TopKStructs]]): k entries per (group × partition)
+    * cross the shuffle, never the full group. Exploded back to rows for
+    * the oracle compare.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopKFunctions
+        .topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank,
+      |  o_orderkey, o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |      FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): duplicate
+    * occurrences count, unlike the distinct-set variants in `set_ops`.
+    * Output re-aggregated per key for a compact deterministic compare.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Readers.table(spark, dir, "orders").select(col("o_custkey").as("k"))
+      .filter(col("k") < 200)
+    val b = Readers.table(spark, dir, "events").select(col("user_id").as("k"))
+    val ex = a.exceptAll(b).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .groupBy("op", "k").agg(count(lit(1)).as("n"))
+      .orderBy("op", "k")
+  }
+
+  val setOpsAllSql: String =
+    """SELECT op, k, count(*) AS n FROM (
+      |  SELECT 'except_all' AS op, k FROM
+      |    (SELECT o_custkey AS k FROM orders WHERE o_custkey < 200
+      |     EXCEPT ALL SELECT user_id FROM events)
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, k FROM
+      |    (SELECT o_custkey AS k FROM orders WHERE o_custkey < 200
+      |     INTERSECT ALL SELECT user_id FROM events)
+      |) GROUP BY op, k ORDER BY op, k""".stripMargin
+
+  /** FULL OUTER join with the null-handling scalar family over its
+    * null-bearing output: null-safe equality (`<=>` ≡ IS NOT DISTINCT
+    * FROM), coalesce, nullif.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+      .join(Readers.table(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus"),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        col("c_custkey"), col("o_orderkey"),
+        (col("c_custkey") <=> col("o_custkey")).as("matched"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nonopen"))
+      .orderBy(col("c_custkey").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+
+  val joinFullOuterSql: String =
+    """SELECT c_custkey, o_orderkey,
+      |  (c_custkey IS NOT DISTINCT FROM o_custkey) AS matched,
+      |  coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+      |  nullif(o_orderstatus, 'O') AS status_nonopen
+      |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** Regular-expression scalar family: extract / count / replace / match,
+    * POSIX-safe patterns only (identical across Java and RE2 dialects).
+    */
+  def regexOps(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+        regexp_replace(col("text"), "[aeiou]", "").substr(lit(1), lit(40))
+          .as("devoweled_40"),
+        col("text").rlike("data").as("mentions_data"))
+      .orderBy("doc_id")
+
+  val regexOpsSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+      |  substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 40) AS devoweled_40,
+      |  regexp_matches(text, 'data') AS mentions_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops_all" -> setOpsAll,
+    "join_full_outer" -> joinFullOuter,
+    "regex_ops" -> regexOps,
+    "topk_per_group" -> topkPerGroup,
     "sliding_window" -> slidingWindow,
     "scalar_funcs" -> scalarFuncs,
     "agg_approx_sketch" -> aggApproxSketch,
@@ -478,6 +579,10 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "set_ops_all" -> setOpsAllSql,
+    "join_full_outer" -> joinFullOuterSql,
+    "regex_ops" -> regexOpsSql,
+    "topk_per_group" -> topkPerGroupSql,
     "sliding_window" -> slidingWindowSql,
     "scalar_funcs" -> scalarFuncsSql,
     "agg_cube" -> aggCubeSql,

@@ -41,4 +41,55 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Sliding (hopping) windows — streaming twin of
+    * `AnalyticsExt.slidingWindow`. Each event contributes to
+    * window/slide overlapping windows; state per open window is evicted
+    * at the watermark like the tumbling case.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Exact streaming dedup on the event id: first occurrence wins,
+    * duplicates arriving within the watermark horizon are dropped, and —
+    * the part that makes it deployable — `withWatermark` +
+    * `dropDuplicatesWithinWatermark` EVICTS seen-ids older than the
+    * horizon, so state is bounded by (arrival rate × watermark), not by
+    * the life of the stream. The batch twin is `dedup_exact`/
+    * `dedup_keep_first`.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each click paired with the same user's
+    * purchases in the preceding hour — the bounded-state streaming
+    * analogue of the batch as-of join ([[graft.ops.AsOfJoin]]). The time
+    * bound on BOTH inputs is what lets each side's join state be evicted
+    * at the watermark; an unbounded-time stream join cannot release
+    * state.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+  }
 }

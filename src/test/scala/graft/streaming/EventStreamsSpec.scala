@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class IdEv(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
 class EventStreamsSpec extends AnyFunSuite {
 
@@ -62,6 +63,69 @@ class EventStreamsSpec extends AnyFunSuite {
         (1L, "2024-01-01 00:00:00", 2L, 3.0),
         (1L, "2024-01-01 00:50:00", 1L, 4.0),
         (2L, "2024-01-01 00:05:00", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows: every event lands in two overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts("2024-01-01 00:40:00"), 1, "click", 2.0),
+      Ev(ts("2024-01-01 01:10:00"), 2, "click", 3.0))
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sliding_test")
+        .orderBy("window_start")
+        .select($"window_start".cast("string"), $"n", $"sum_value")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows == Seq(
+        ("2024-01-01 00:00:00", 1L, 2.0),    // 00:00–01:00 ∋ 00:40
+        ("2024-01-01 00:30:00", 2L, 5.0),    // 00:30–01:30 ∋ both
+        ("2024-01-01 01:00:00", 1L, 3.0)))   // 01:00–02:00 ∋ 01:10
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops in-horizon duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IdEv]
+    val q = EventStreams.dedupEvents(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        IdEv(100L, ts("2024-01-01 00:00:00"), 1, 1.0),
+        IdEv(101L, ts("2024-01-01 00:05:00"), 1, 2.0))
+      q.processAllAvailable()
+      mem.addData(IdEv(100L, ts("2024-01-01 00:10:00"), 1, 9.0))  // dup id
+      q.processAllAvailable()
+      mem.addData(IdEv(102L, ts("2024-01-01 00:20:00"), 2, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_test")
+        .select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(100L, 101L, 102L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with preceding-hour purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        Ev(ts("2024-01-01 00:30:00"), 1, "purchase", 10.0),  // in window
+        Ev(ts("2024-01-01 02:00:00"), 1, "purchase", 20.0),  // after click
+        Ev(ts("2024-01-01 00:45:00"), 2, "purchase", 30.0))  // other user
+      clicks.addData(Ev(ts("2024-01-01 01:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .select($"user_id", $"purchase_value").as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((1L, 10.0)))
     } finally q.stop()
   }
 

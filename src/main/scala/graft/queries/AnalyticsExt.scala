@@ -554,7 +554,61 @@ object AnalyticsExt {
       |  regexp_matches(text, 'data') AS mentions_data
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The full ranking-function family in one window: rank (gaps),
+    * dense_rank (no gaps), percent_rank, cume_dist.
+    */
+  def windowRankVariants(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    Readers.table(spark, dir, "orders")
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  val windowRankVariantsSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |  round(percent_rank() OVER w, 6) AS prnk,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** Array higher-order functions over tokenized text: filter / transform /
+    * exists / forall / fold (aggregate) — all codegen lambda expressions,
+    * no UDFs.
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(filter(col("w"), t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        aggregate(transform(col("w"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_chars"),
+        exists(col("w"), t => t === "the").as("has_the"),
+        forall(col("w"), t => length(t) < 30).as("all_short"))
+      .orderBy("doc_id")
+
+  val arrayHofSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT)
+      |    AS n_long_tokens,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(text, ' '), t -> length(t)::BIGINT)),
+      |    (acc, x) -> acc + x) AS total_chars,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) >= 30)) = 0
+      |    AS all_short
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank_variants" -> windowRankVariants,
+    "array_hof" -> arrayHof,
     "set_ops_all" -> setOpsAll,
     "join_full_outer" -> joinFullOuter,
     "regex_ops" -> regexOps,
@@ -579,6 +633,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_rank_variants" -> windowRankVariantsSql,
+    "array_hof" -> arrayHofSql,
     "set_ops_all" -> setOpsAllSql,
     "join_full_outer" -> joinFullOuterSql,
     "regex_ops" -> regexOpsSql,

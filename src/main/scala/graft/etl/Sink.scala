@@ -28,4 +28,19 @@ object Sink {
     val Array(dataset, table) = tableName.split("\\.")
     df.write.mode(SaveMode.Overwrite).parquet(s"$warehouseRoot/$dataset/$table")
   }
+
+  /** JSON-lines sink (training-data interchange). Distributed write — one
+    * file per partition; callers needing shard-count control repartition
+    * first.
+    */
+  def overwriteJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Headered CSV sink with full quoting (embedded delimiters, quotes,
+    * and newlines survive the round-trip).
+    */
+  def overwriteCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
 }

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,6 +43,16 @@ case class TopKStructs(
   require(k > 0, s"top_k requires k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+
+  // fail at ANALYSIS, not with a mid-job ClassCastException after the scan
+  // has already run: update() reads the buffer-typed primitives directly
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_top_k requires (score DOUBLE, id BIGINT), got " +
+        s"(${scoreExpr.dataType.catalogString}, ${idExpr.dataType.catalogString})")
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -52,6 +52,10 @@ object AsOfJoin {
         org.apache.spark.sql.types.StructType(rightPayload.map(c =>
           org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val r = right
+      // a NULL right timestamp must not match anything ("rtime <= ltime"
+      // is never true for null) — unfiltered it would sort nulls-FIRST in
+      // the timeline and its payload would stick to every early left row
+      .filter(col(rightTime).isNotNull)
       .select((Seq(col(key), col(rightTime).as("_t"), lit(0).as("_side"),
         col(rightTieBreak).as("_tie"), payload.as("_payload")) ++
         leftCols.filterNot(c => c == key).map(c =>

@@ -111,10 +111,11 @@ object Vectors {
     * SortAggregate: struct buffers aren't hash-aggregable.)
     *
     * Bounds: |round(cos·1e6)| ≤ 1e6 so the shifted key fits a long with
-    * room for ids < 2^40 (~10^12 vectors). Pairs with a zero-norm side have
-    * null cos and are ignored by `max` — a corpus that is ENTIRELY
-    * zero-norm yields no row for those ids (the window formulation would
-    * emit a null-cos row).
+    * room for ids < 2^40 (~10^12 vectors). Pairs with a zero-norm side
+    * have null cos, which `max(key)` ignores; a vector whose EVERY pair is
+    * null-cos (it or the whole corpus is zero-norm) falls back to the
+    * lowest other id with a null score — the same row the ranked-window
+    * formulation (nulls last, id tiebreak) and the SQL oracle emit.
     *
     * Decoded `nn_cos` = key_hi / 1e6 — the correctly-rounded double of a
     * 6-decimal value, identical to `round(cos, 6)` in both Spark and DuckDB.
@@ -123,10 +124,6 @@ object Vectors {
                            vecCol: String = "embedding"): DataFrame = {
     val idBits = 40
     val idMask = (1L << idBits) - 1
-    // repartition the streamed side: a small/compacted input (one parquet
-    // block) otherwise gives the O(N²) pair loop a single input partition —
-    // one core does all the work regardless of cluster size. The pre-join
-    // shuffle is O(N) and buys full parallelism on the O(N²) stage.
     // fan the streamed side out: a single-row-group input gives the O(N²)
     // pair loop one partition — one core does all the work regardless of
     // cluster size (an unspecified repartition() doesn't fix it either:
@@ -155,12 +152,30 @@ object Vectors {
         dot(col(vecCol), col("_nn_emb")).as("_dot"),
         (col("_na") * col("_nb")).as("_den"))
       .select(col(idCol), col("_nn_id"), scaled.as("_scaled"))
-      .select(col(idCol), key.as("_key"))
+      .select(col(idCol), col("_nn_id"), key.as("_key"))
       .groupBy(idCol)
-      .agg(max("_key").as("_k"))
+      .agg(max("_key").as("_k"), min("_nn_id").as("_fallback_nn"))
       .select(col(idCol),
-        (lit(idMask) - (col("_k").bitwiseAND(idMask))).as("nn_id"),
+        coalesce(lit(idMask) - (col("_k").bitwiseAND(idMask)),
+          col("_fallback_nn")).as("nn_id"),
         (shiftright(col("_k"), idBits).cast("double") / 1e6).as("nn_cos"))
+  }
+
+  /** Shared ANN probe tail: exact cosine over candidate rows, ranked per
+    * query (rounded score, id tiebreak), top k kept. Column contract:
+    * (query_id, q_emb, _qn) from the query side, (vec_id, embedding, _n)
+    * from the candidate side. Adds `cos` and `rank`. Used by the IVF and
+    * LSH probe queries so the ranking semantics cannot drift apart.
+    */
+  def rankCandidates(hits: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    hits
+      .withColumn("cos",
+        round(safeDiv(dot(col("q_emb"), col("embedding")),
+          col("_qn") * col("_n")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic ±1 hyperplane components for random-hyperplane LSH:

@@ -56,16 +56,7 @@ object VectorQueries {
     val hits = queries.join(assigned.select(
         col("vec_id"), col("embedding"), col("centroid_id"), col("_n")),
       Seq("centroid_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    hits
-      .withColumn("cos",
-        round(when(col("_qn") * col("_n") =!= 0.0,
-          Vectors.dot(col("q_emb"), col("embedding"))
-            / (col("_qn") * col("_n"))), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IvfK)
+    Vectors.rankCandidates(hits, IvfK)
       .select("query_id", "centroid_id", "rank", "vec_id", "cos")
       .orderBy("query_id", "rank")
   }
@@ -109,15 +100,7 @@ object VectorQueries {
     val hits = qProbes.join(
       assigned.select(col("vec_id"), col("embedding"), col("centroid_id"),
         col("_n")), Seq("centroid_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    hits
-      .withColumn("cos",
-        round(when(col("_qn") * col("_n") =!= 0.0,
-          Vectors.dot(col("q_emb"), col("embedding"))
-            / (col("_qn") * col("_n"))), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IvfK)
+    Vectors.rankCandidates(hits, IvfK)
       .select("query_id", "rank", "vec_id", "cos")
       .orderBy("query_id", "rank")
   }
@@ -230,16 +213,9 @@ object VectorQueries {
     val qs = sigs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("_n").as("_qn"), col("sig"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    qs.join(sigs, Seq("sig"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        round(when(col("_qn") * col("_n") =!= 0.0,
-          Vectors.dot(col("q_emb"), col("embedding"))
-            / (col("_qn") * col("_n"))), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IvfK)
+    Vectors.rankCandidates(
+        qs.join(sigs, Seq("sig")).filter(col("vec_id") =!= col("query_id")),
+        IvfK)
       .select("query_id", "rank", "vec_id", "cos")
       .orderBy("query_id", "rank")
   }

@@ -47,6 +47,16 @@ class TopKAggregateSpec extends AnyFunSuite {
     assert(out("a") == Seq((1L, 1.0)))
   }
 
+  test("wrong input types fail at analysis, not mid-job") {
+    Seq(("a", 1, 1L)).toDF("g", "score_int", "id")
+      .createOrReplaceTempView("topk_badtypes")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_top_k(score_int, id, 2) FROM topk_badtypes GROUP BY g")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_top_k requires"))
+  }
+
   test("registered as graft_top_k in SQL") {
     Seq(("a", 2.0, 1L), ("a", 5.0, 2L)).toDF("g", "score", "id")
       .createOrReplaceTempView("topk_in")

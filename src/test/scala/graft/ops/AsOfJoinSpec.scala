@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.sql.Timestamp
+
 import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -33,6 +35,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(102L) == (Some(12L), Some(7.0)))   // ties are inclusive
     assert(out(103L) == (None, None))             // nothing before
     assert(out(104L) == (None, None))             // key with no right rows
+  }
+
+  test("backward: right rows with null timestamps never match") {
+    val left = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (9L, Option.empty[Timestamp], 1L, 1.0),
+      (9L, Some(ts("2024-01-01 09:00:00")), 2L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("asof_event_id").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(2L)))   // not the null-ts row
   }
 
   test("backward: timestamp tie among right rows resolved by tiebreak max") {

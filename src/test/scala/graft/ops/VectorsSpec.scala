@@ -37,6 +37,20 @@ class VectorsSpec extends AnyFunSuite {
     assert(out(0)._4 == 1.0)
   }
 
+  test("nearestNeighborExact: zero-norm vectors fall back to lowest id, null cos") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)),              // zero norm: every pair null cos
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.nearestNeighborExact(vecs, "vec_id")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (2L, None))          // lowest other id, null score
+    assert(out(2L)._1 == 3L && out(2L)._2.isDefined)
+    assert(out(3L)._1 == 2L)
+  }
+
   test("lshSignature: identical vectors share buckets, opposites do not") {
     val vecs = Seq(
       (1L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat)),

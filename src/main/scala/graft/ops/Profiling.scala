@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Data-profiling operators: the first thing a pipeline runs against a new
+  * 100 TB delivery.
+  *
+  * [[profile]] computes every column's stats in ONE aggregation pass over
+  * the table (a per-column loop of `df.select(...).agg(...)` would scan the
+  * data once per column). The single wide aggregate row is then unpivoted
+  * driver-side — it is one row, column count wide; the data never moves.
+  */
+object Profiling {
+
+  /** Per-column profile: (column, n_nulls, n_distinct, min_num, max_num) —
+    * numeric min/max as double, null for non-numeric columns. Exact
+    * distinct counts (`count(DISTINCT col)` per column in one aggregate —
+    * Spark plans the multi-distinct via expand); swap to
+    * `approx_count_distinct` at scales where exact per-column distinct
+    * state is unaffordable.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.schema.fields
+    val aggs: Seq[Column] = cols.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast("double"), max(c).cast("double"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct"),
+        mn.as(s"${f.name}__min"),
+        mx.as(s"${f.name}__max"))
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.indices.map { i =>
+      (cols(i).name,
+        row.getLong(i * 4),
+        row.getLong(i * 4 + 1),
+        Option(row.get(i * 4 + 2)).map(_.asInstanceOf[Double]),
+        Option(row.get(i * 4 + 3)).map(_.asInstanceOf[Double]))
+    }.toDF("col_name", "n_nulls", "n_distinct", "min_num", "max_num")
+  }
+
+  /** Fixed-bound equi-width histogram of a numeric column: bucket 0 =
+    * below lo, buckets+1 = at/above hi, else 1-based equal-width bins
+    * (width_bucket semantics, spelled as explicit floor arithmetic so the
+    * identical IEEE expression runs in any engine — built-in
+    * `width_bucket`s differ in evaluation order at bin boundaries).
+    * Fixed bounds keep it one pass; deriving bounds from the data is the
+    * cheap min/max pass [[profile]] already provides.
+    */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    val step = (hi - lo) / buckets
+    df.select(
+        when(c.isNull, lit(null))
+          .when(c < lo, lit(0L))
+          .when(c >= hi, lit(buckets + 1L))
+          .otherwise(floor((c - lit(lo)) / lit(step)) + 1L)
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+}

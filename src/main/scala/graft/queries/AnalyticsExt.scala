@@ -606,7 +606,48 @@ object AnalyticsExt {
       |    AS all_short
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** One-pass column profile of the orders table ([[graft.ops.Profiling]]):
+    * null counts, exact distinct counts, numeric min/max.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.profile(Readers.table(spark, dir, "orders"))
+      .orderBy("col_name")
+
+  val profileColumnsSql: String = {
+    val cols = Seq(
+      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderdate", false), ("o_orderpriority", false))
+    cols.map { case (c, numeric) =>
+      val mn = if (numeric) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+      val mx = if (numeric) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+      s"""SELECT '$c' AS col_name,
+         |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Fixed-bound equi-width histogram of order totals (12 bins over
+    * [0, 600000), under/overflow buckets 0 and 13).
+    */
+  def histogramPrice(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.histogram(Readers.table(spark, dir, "orders"),
+        col("o_totalprice"), lo = 0.0, hi = 600000.0, buckets = 12)
+      .orderBy("bucket")
+
+  val histogramPriceSql: String =
+    """SELECT bucket, count(*) AS n FROM (
+      |  SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+      |    WHEN o_totalprice < 0.0::DOUBLE THEN 0::BIGINT
+      |    WHEN o_totalprice >= 600000.0::DOUBLE THEN 13::BIGINT
+      |    ELSE CAST(floor((o_totalprice - 0.0::DOUBLE) / 50000.0::DOUBLE) AS BIGINT)
+      |         + 1::BIGINT END AS bucket
+      |  FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> profileColumns,
+    "histogram_price" -> histogramPrice,
     "window_rank_variants" -> windowRankVariants,
     "array_hof" -> arrayHof,
     "set_ops_all" -> setOpsAll,
@@ -633,6 +674,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_columns" -> profileColumnsSql,
+    "histogram_price" -> histogramPriceSql,
     "window_rank_variants" -> windowRankVariantsSql,
     "array_hof" -> arrayHofSql,
     "set_ops_all" -> setOpsAllSql,

@@ -29,6 +29,25 @@ object Sink {
     df.write.mode(SaveMode.Overwrite).parquet(s"$warehouseRoot/$dataset/$table")
   }
 
+  /** Key-based merge (upsert) as a declarative plan: rows of `updates`
+    * replace same-key rows of `existing`; all other existing rows survive.
+    * The reference only truncate-and-loads (`if_exists="replace"`); this is
+    * the incremental-load counterpart.
+    *
+    * Plan shape: one LEFT ANTI join on the key (existing rows whose key has
+    * no update) + union — a single shuffle of each input on the key, and
+    * with `updates` small it degrades to a broadcast anti join. Writers
+    * pair it with `overwriteTable` on the merged frame (a transactional
+    * table format would push the same plan into a MERGE).
+    */
+  def mergeByKey(existing: DataFrame, updates: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    updates.unionByName(
+      existing.join(updates.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+  }
+
   /** JSON-lines sink (training-data interchange). Distributed write — one
     * file per partition; callers needing shard-count control repartition
     * first.

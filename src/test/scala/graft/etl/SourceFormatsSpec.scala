@@ -73,4 +73,12 @@ class SourceFormatsSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(out == Seq(Row(1L, null), Row(2L, null)))
   }
+
+  test("mergeByKey: updates replace same-key rows, others survive") {
+    val existing = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val updates = Seq((2L, "new2"), (4L, "new4")).toDF("k", "v")
+    val merged = Sink.mergeByKey(existing, updates, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
+  }
 }

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Dev scratchpad for plan/perf experiments. Not part of the engine. */
 object Scratch {
@@ -7,18 +6,17 @@ object Scratch {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSessions.local("8")
     spark.sparkContext.setLogLevel("ERROR")
-
-    for (name <- Seq("join_semi_anti", "join_asof", "topk_per_group",
-        "join_range", "sliding_window", "ann_lsh_probe")) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
-      println(s"===== $name")
-      println(df.queryExecution.executedPlan.toString.split("\n")
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Aggregate") || l.contains("Window") || l.contains("Sort ") ||
-          l.contains("Generate") || l.contains("Scan parquet"))
-        .mkString("\n"))
+      val plan = df.queryExecution.executedPlan.toString
+      val sortAggs = plan.split("\n").count(_.contains("SortAggregate"))
+      val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+      val cartesian = plan.split("\n").count(_.contains("CartesianProduct"))
+      if (sortAggs + bnlj + cartesian > 0)
+        println(s"[audit] $name: sortAgg=$sortAggs bnlj=$bnlj cartesian=$cartesian")
     }
+    println("[audit] done")
     spark.stop()
   }
 }

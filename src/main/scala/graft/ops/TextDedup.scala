@@ -154,6 +154,53 @@ object TextDedup {
           .as("jaccard"))
   }
 
+  /** Duplicate CLUSTERS from verified near-dup pairs: connected components
+    * by iterative min-label propagation, labels = the component's smallest
+    * doc id (the canonical document to keep).
+    *
+    * This is the step that turns pairwise similarity into actual dedup
+    * decisions — "keep one doc per duplicate group" needs the transitive
+    * closure of the pair relation (A~B, B~C ⇒ one cluster {A,B,C}).
+    *
+    * Shape: a driver-side CONVERGENCE loop (bounded by `maxIters`) whose
+    * body is pure DataFrame ops — join neighbors' labels, take the min,
+    * compare change count. Iterative fixpoints are the one place a driver
+    * loop is the right Spark design (same as GraphX/Pregel); each pass is
+    * one shuffle, and the iteration count is the component DIAMETER in
+    * hops (doubling via label propagation), not the component size — near-
+    * dup clusters are shallow, so 3–5 passes converge in practice. Results
+    * are cached per iteration and unpersisted after the next is built.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .cache()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src"))
+        .agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   val SimhashBits = 16
 
   /** 16-bit SimHash over the distinct word set: each word's md5 contributes

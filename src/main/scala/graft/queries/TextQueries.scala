@@ -236,6 +236,52 @@ object TextQueries {
        |FROM base GROUP BY simhash HAVING count(*) > 1
        |ORDER BY simhash""".stripMargin
 
+  /** Duplicate clusters: the composed pipeline's verified pairs closed
+    * into connected components ([[TextDedup.duplicateClusters]]) — each doc
+    * labeled with its cluster's canonical (minimum) id and the cluster
+    * size. This is the operator that turns pairwise similarity into
+    * "keep one per group" dedup decisions.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+    val candidates = TextDedup.lshCandidatePairs(sigs, "doc_id", K)
+      .select("doc_a", "doc_b")
+    val pairs = TextDedup.jaccardOnPairs(docs, candidates, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val clusters = TextDedup.duplicateClusters(pairs)
+    val sizes = clusters.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("doc").as("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    // the pipeline's verified pairs, as a derived CTE (ORDER BY stripped)
+    val pipelineNoOrder =
+      dedupPipelineSql.linesIterator.toSeq.dropRight(1).mkString("\n")
+    s"""WITH RECURSIVE vpairs AS (
+       |  SELECT doc_a, doc_b FROM ($pipelineNoOrder)
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM vpairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+       |),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+       |SELECT doc_id, cluster, s.n AS cluster_size
+       |FROM lab JOIN (SELECT cluster, count(*) AS n FROM lab GROUP BY cluster) s
+       |  USING (cluster)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document analysis: token counts, quality, language heuristic,
     * fingerprint — one map-only pass.
     */
@@ -317,6 +363,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_pipeline" -> dedupPipeline,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "simhash_buckets" -> simhashBuckets,
     "text_stats" -> textStatsQ,
@@ -329,6 +376,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_pipeline" -> dedupPipelineSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_buckets" -> simhashBucketsSql,
     "text_stats" -> textStatsSql,

@@ -59,6 +59,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(0)._3 == 0.0)
   }
 
+  test("duplicateClusters: transitive closure with min-id canonical labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain → {1,2,3}
+      (5L, 6L),                     // pair  → {5,6}
+      (7L, 8L), (8L, 9L), (7L, 9L)  // triangle → {7,8,9}
+    ).toDF("doc_a", "doc_b")
+    val out = TextDedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -168,8 +168,11 @@ object TextDedup {
     * loop is the right Spark design (same as GraphX/Pregel); each pass is
     * one shuffle, and the iteration count is the component DIAMETER in
     * hops (doubling via label propagation), not the component size — near-
-    * dup clusters are shallow, so 3–5 passes converge in practice. Results
-    * are cached per iteration and unpersisted after the next is built.
+    * dup clusters are shallow, so 3–5 passes converge in practice.
+    * Intermediate label frames are cached per iteration and unpersisted
+    * when superseded; the RETURNED frame stays cached (one row per doc in
+    * any pair) — recomputing through the loop's lineage would replay every
+    * iteration, so callers should `unpersist()` it when done instead.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -180,21 +183,24 @@ object TextDedup {
       .withColumn("label", col("doc"))
       .cache()
     var iters = 0
-    var changed = 1L
-    while (changed > 0 && iters < maxIters) {
+    var changed = true
+    while (changed && iters < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src"))
         .agg(min("label").as("nmin"))
+      // the changed flag rides in the frame itself: one cached pass serves
+      // both the convergence probe (isEmpty short-circuits on the first
+      // changed row) and the next iteration — no second join, no full count
       val next = labels
         .join(neighborMin, labels("doc") === neighborMin("src"), "left")
         .select(col("doc"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("_changed"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter(col("label") =!= col("old")).count()
+      changed = !next.filter(col("_changed")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.drop("_changed")
       iters += 1
     }
     edges.unpersist()

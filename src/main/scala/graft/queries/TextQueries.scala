@@ -357,7 +357,66 @@ object TextQueries {
        |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary build: corpus word counts with frequency-ranked ids — the
+    * tokenizer-prep step of a training pipeline. One explode + one
+    * aggregate + one ranked id assignment.
+    */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    Readers.fanOut(Readers.table(spark, dir, "documents").select("text"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("word_id", row_number().over(w).cast("long"))
+      .orderBy("word_id")
+  }
+
+  val vocabBuildSql: String =
+    """SELECT word, count(*) AS n,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS BIGINT)
+      |    AS word_id
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY word_id""".stripMargin
+
+  /** TF-IDF scores: term frequency × ln(N / document frequency), the
+    * classic sparse text-feature weighting. Per-doc term counts and
+    * corpus document frequencies are two aggregates joined on the word;
+    * every stage is linear in total tokens.
+    */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val terms = Readers.fanOut(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(df_, Seq("word"))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  val tfIdfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms
+      |       GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word)
+      |SELECT doc_id, tf.word AS word, tf,
+      |  round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6)
+      |    AS tfidf
+      |FROM tf JOIN df ON tf.word = df.word
+      |WHERE doc_id < 20
+      |ORDER BY doc_id, word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_build" -> vocabBuild,
+    "tf_idf" -> tfIdf,
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -371,6 +430,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vocab_build" -> vocabBuildSql,
+    "tf_idf" -> tfIdfSql,
     "dedup_exact" -> dedupExactSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -39,13 +39,21 @@ object Sink {
     * with `updates` small it degrades to a broadcast anti join. Writers
     * pair it with `overwriteTable` on the merged frame (a transactional
     * table format would push the same plan into a MERGE).
+    *
+    * The anti join uses NULL-SAFE key equality, so a null-keyed existing
+    * row is replaced by a null-keyed update (plain equality would keep
+    * both — null never "matches"). Duplicate keys WITHIN `updates` are the
+    * caller's contract to prevent, as in SQL MERGE.
     */
   def mergeByKey(existing: DataFrame, updates: DataFrame,
                  keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    updates.unionByName(
-      existing.join(updates.select(keys.map(col): _*).distinct(),
-        keys, "left_anti"))
+    val updKeys = updates
+      .select(keys.map(col): _*).distinct()
+      .toDF(keys.map("_upd_" + _): _*)
+    val cond = keys.map(k => existing(k) <=> updKeys(s"_upd_$k"))
+      .reduce(_ && _)
+    updates.unionByName(existing.join(updKeys, cond, "left_anti"))
   }
 
   /** JSON-lines sink (training-data interchange). Distributed write — one

@@ -26,7 +26,9 @@ object Profiling {
     import spark.implicits._
     val cols = df.schema.fields
     val aggs: Seq[Column] = cols.flatMap { f =>
-      val c = col(f.name)
+      // backtick-quote: raw delivery column names may contain dots, which
+      // bare col() would parse as nested-field paths
+      val c = col(s"`${f.name}`")
       val (mn, mx) = f.dataType match {
         case _: NumericType =>
           (min(c).cast("double"), max(c).cast("double"))
@@ -64,7 +66,11 @@ object Profiling {
         when(c.isNull, lit(null))
           .when(c < lo, lit(0L))
           .when(c >= hi, lit(buckets + 1L))
-          .otherwise(floor((c - lit(lo)) / lit(step)) + 1L)
+          // least(): (c-lo)/step can round UP to exactly `buckets` for an
+          // in-range c one ULP under hi — clamp so in-range values never
+          // land in the overflow bucket (oracle must mirror the clamp)
+          .otherwise(least(floor((c - lit(lo)) / lit(step)) + 1L,
+            lit(buckets.toLong)))
           .as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))

@@ -164,24 +164,29 @@ object TextDedup {
     *
     * Shape: a driver-side CONVERGENCE loop (bounded by `maxIters`) whose
     * body is pure DataFrame ops — join neighbors' labels, take the min,
-    * compare change count. Iterative fixpoints are the one place a driver
-    * loop is the right Spark design (same as GraphX/Pregel); each pass is
-    * one shuffle, and the iteration count is the component DIAMETER in
-    * hops (doubling via label propagation), not the component size — near-
-    * dup clusters are shallow, so 3–5 passes converge in practice.
-    * Intermediate label frames are cached per iteration and unpersisted
-    * when superseded; the RETURNED frame stays cached (one row per doc in
-    * any pair) — recomputing through the loop's lineage would replay every
-    * iteration, so callers should `unpersist()` it when done instead.
+    * probe for change. Iterative fixpoints are the one place a driver
+    * loop is the right Spark design (same as GraphX/Pregel). Each pass is
+    * one shuffle and moves the minimum label ONE hop, so iterations are
+    * bounded by the longest min-label path in a component — near-dup
+    * clusters are shallow, so a handful of passes converge in practice;
+    * an unconverged exit THROWS rather than silently returning split
+    * clusters (raise `maxIters` for unusually elongated graphs).
+    *
+    * Each iteration `localCheckpoint`s its result: the loop body references
+    * the previous labels TWICE (neighbor join + carry-through), so without
+    * lineage truncation the logical plan doubles per pass — 2^iters nodes,
+    * analysis OOM long before the data is ever large. Checkpointing keeps
+    * the plan constant-size per pass; checkpoint blocks are released by the
+    * context cleaner when unreferenced.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .cache()
+      .localCheckpoint()
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {
@@ -189,21 +194,23 @@ object TextDedup {
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src"))
         .agg(min("label").as("nmin"))
-      // the changed flag rides in the frame itself: one cached pass serves
-      // both the convergence probe (isEmpty short-circuits on the first
-      // changed row) and the next iteration — no second join, no full count
+      // the changed flag rides in the frame itself: one checkpointed pass
+      // serves both the convergence probe (isEmpty short-circuits on the
+      // first changed row) and the next iteration — no second join or count
       val next = labels
         .join(neighborMin, labels("doc") === neighborMin("src"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("_changed"))
-        .cache()
+        .localCheckpoint()
       changed = !next.filter(col("_changed")).isEmpty
-      labels.unpersist()
       labels = next.drop("_changed")
       iters += 1
     }
-    edges.unpersist()
+    if (changed)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters iterations - " +
+          "components have longer min-label paths; raise maxIters")
     labels.withColumnRenamed("label", "cluster")
   }
 

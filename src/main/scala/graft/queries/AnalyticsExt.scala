@@ -640,8 +640,8 @@ object AnalyticsExt {
       |  SELECT CASE WHEN o_totalprice IS NULL THEN NULL
       |    WHEN o_totalprice < 0.0::DOUBLE THEN 0::BIGINT
       |    WHEN o_totalprice >= 600000.0::DOUBLE THEN 13::BIGINT
-      |    ELSE CAST(floor((o_totalprice - 0.0::DOUBLE) / 50000.0::DOUBLE) AS BIGINT)
-      |         + 1::BIGINT END AS bucket
+      |    ELSE least(CAST(floor((o_totalprice - 0.0::DOUBLE) / 50000.0::DOUBLE) AS BIGINT)
+      |               + 1::BIGINT, 12::BIGINT) END AS bucket
       |  FROM orders)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 

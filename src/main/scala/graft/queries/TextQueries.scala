@@ -185,7 +185,10 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupPipelineSql: String = {
+  /** Pipeline SQL without the final ORDER BY — reusable as a derived CTE
+    * (the clusters oracle builds on it).
+    */
+  private val dedupPipelineSqlBody: String = {
     val bands = (0 until K by TextDedup.BandSize).map { s =>
       "(" + (s until s + TextDedup.BandSize)
         .map(i => s"a.mh$i = b.mh$i").mkString(" AND ") + ")"
@@ -213,9 +216,11 @@ object TextQueries {
        |JOIN counts cb ON cb.doc_id = p.doc_b
        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
        |WHERE round(coalesce(i.n_inter, 0)::DOUBLE
-       |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5::DOUBLE
-       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+       |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5::DOUBLE""".stripMargin
   }
+
+  val dedupPipelineSql: String =
+    s"$dedupPipelineSqlBody\nORDER BY p.doc_a, p.doc_b"
 
   /** SimHash duplicate-candidate buckets: groups of documents with
     * identical 16-bit signatures (hamming distance 0). Bucket summaries
@@ -259,11 +264,8 @@ object TextQueries {
   }
 
   val dedupClustersSql: String = {
-    // the pipeline's verified pairs, as a derived CTE (ORDER BY stripped)
-    val pipelineNoOrder =
-      dedupPipelineSql.linesIterator.toSeq.dropRight(1).mkString("\n")
     s"""WITH RECURSIVE vpairs AS (
-       |  SELECT doc_a, doc_b FROM ($pipelineNoOrder)
+       |  SELECT doc_a, doc_b FROM ($dedupPipelineSqlBody)
        |),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
@@ -389,8 +391,10 @@ object TextQueries {
     val terms = Readers.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = terms.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, word) already) — deriving it
+    // from `terms` would re-run the corpus explode AND pay a distinct
+    // shuffle of every token occurrence
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(df_, Seq("word"))
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("word"), col("tf"),
@@ -405,8 +409,7 @@ object TextQueries {
       |),
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms
       |       GROUP BY doc_id, word),
-      |df AS (SELECT word, count(*) AS df
-      |       FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word)
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
       |SELECT doc_id, tf.word AS word, tf,
       |  round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6)
       |    AS tfidf

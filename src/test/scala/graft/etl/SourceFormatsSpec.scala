@@ -81,4 +81,13 @@ class SourceFormatsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(merged == Map(1L -> "old1", 2L -> "new2", 3L -> "old3", 4L -> "new4"))
   }
+
+  test("mergeByKey: null keys replace null-keyed rows (null-safe equality)") {
+    val existing = Seq((Option(1L), "old1"), (Option.empty[Long], "oldnull"))
+      .toDF("k", "v")
+    val updates = Seq((Option.empty[Long], "newnull")).toDF("k", "v")
+    val merged = Sink.mergeByKey(existing, updates, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(merged == Set((Some(1L), "old1"), (None, "newnull")))
+  }
 }

@@ -37,4 +37,13 @@ class ProfilingSpec extends AnyFunSuite {
     assert(h(Some(4L)) == 1)      // 30.0 overflows (hi exclusive)
     assert(h(None) == 1)          // null bucket
   }
+
+  test("histogram: an in-range value one ULP under hi never overflows") {
+    // (c - lo)/step rounds up to exactly `buckets` here without the clamp
+    val c0 = 0.09999999999999999
+    val df = Seq(c0).toDF("v")
+    val h = Profiling.histogram(df, col("v"), lo = 0.0, hi = 0.1, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(3L -> 1L))   // clamped into the top REAL bin, not 4
+  }
 }

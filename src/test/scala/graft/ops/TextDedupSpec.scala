@@ -71,6 +71,15 @@ class TextDedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateClusters: long chains converge; too-low maxIters throws") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.duplicateClusters(chain)
+    assert(out.as[(Long, Long)].collect().forall(_._2 == 1L))
+    intercept[IllegalStateException] {
+      TextDedup.duplicateClusters(chain, maxIters = 3)
+    }
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -33,6 +33,11 @@ object Similarity {
         + (lit(1.0) - abs(tPrice - price) / greatest(tPrice, price)) * 0.3,
       5)
 
+  /** Tier-3 formulation lives in [[graft.functions.SimilarityScore]]: a
+    * native 6-ary codegen expression, bit-identical to [[scoreExpr]]
+    * (spec-enforced), SQL-registered as `similarity_score_native`.
+    */
+
   /** Tier-2 formulation (SURVEY §2.8): the same scorer as a Scala UDF,
     * mirroring the reference's row-at-a-time shape 1:1. Black-box to the
     * optimizer — the column-expression tier is preferred in plans; this

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash, TopKStructs}
+import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKStructs(children(0), children(1), k)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("similarity_score_native"),
+      new ExpressionInfo(classOf[SimilarityScore].getName,
+        "similarity_score_native"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimilarityScore(children)))
 
     ext.injectFunction((
       FunctionIdentifier("html_unescape"),

@@ -645,7 +645,62 @@ object AnalyticsExt {
       |  FROM orders)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Equi-DEPTH binning (quantile buckets via ntile): complements the
+    * equi-width histogram — four buckets with equal populations, each
+    * summarized by its value range.
+    *
+    * Scale note: an unpartitioned ntile window funnels through one task —
+    * fine for the oracle-checked exact form here; at corpus scale compute
+    * approximate quantile BOUNDS first (percentile_approx, distributed)
+    * and assign bins by range comparison, which stays map-only.
+    */
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Readers.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("q", ntile(4).over(w))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("q")
+  }
+
+  val histogramQuantileSql: String =
+    """SELECT q, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM (SELECT o_totalprice,
+      |        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+      |          AS q
+      |      FROM orders)
+      |GROUP BY q ORDER BY q""".stripMargin
+
+  /** Collect-style aggregation: the distinct values of a group gathered
+    * into one deterministic string (sorted collect_set ≡ string_agg
+    * DISTINCT ... ORDER BY).
+    */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val aggCollectSql: String =
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+      |    AS priorities,
+      |  count(DISTINCT o_orderpriority) AS n_priorities,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "histogram_quantile" -> histogramQuantile,
+    "agg_collect" -> aggCollect,
     "profile_columns" -> profileColumns,
     "histogram_price" -> histogramPrice,
     "window_rank_variants" -> windowRankVariants,
@@ -674,6 +729,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "histogram_quantile" -> histogramQuantileSql,
+    "agg_collect" -> aggCollectSql,
     "profile_columns" -> profileColumnsSql,
     "histogram_price" -> histogramPriceSql,
     "window_rank_variants" -> windowRankVariantsSql,

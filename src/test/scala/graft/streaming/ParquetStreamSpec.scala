@@ -46,4 +46,30 @@ class ParquetStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("readStream sliding windows match the batch sliding aggregate") {
+    assume(Files.exists(Paths.get(s"$sfDir/events.parquet")))
+    val dir = Files.createTempDirectory("graft-stream-sliding")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sfDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream.format("memory").queryName("pq_sliding_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pq_sliding_test")
+        .select($"window_start", $"event_type", $"n", $"sum_value")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.queries.AnalyticsExt.slidingWindow(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -98,6 +98,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB — stands in for a real image resize (no codec libs in this
+    * container). Deterministic fake: the "resized" payload is a
+    * proportionally sub-sampled byte slice (every ceil(n/target)-th byte,
+    * truncated to `targetBytes`), metadata updated to the new size. The
+    * contract is what a real binding would have: bytes → bytes with a
+    * target dimension, applied batched per partition like
+    * [[extractFeatures]].
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val stride = math.max(1,
+        math.ceil(payload.length.toDouble / targetBytes).toInt)
+      payload.indices.collect {
+        case i if i % stride == 0 => payload(i)
+      }.take(targetBytes).toArray
+    }
+
+  /** Batched per-partition resize over the media table: same mapPartitions
+    * contract as [[extractFeatures]] — blobs never shuffle, the iterator is
+    * consumed in inference-shaped batches. Output schema mirrors the input
+    * (media_id, media, meta) with the payload and meta.n_bytes replaced.
+    */
+  def resizeMedia(media: DataFrame, targetBytes: Int,
+                  batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select("media_id", "media", "meta").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val resized = resizeStub(bytes, targetBytes)
+          Row(r.getLong(0), resized,
+            Row(meta.getString(0), meta.getString(1), resized.length.toLong))
+        }
+      }
+    }(enc)
+  }
+
   /** "Frame sampling": cut the payload into fixed-size slices and keep every
     * `stride`-th one — the video-frame analogue, as pure column expressions.
     */

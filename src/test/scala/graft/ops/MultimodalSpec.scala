@@ -44,6 +44,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.getString(2) == md5Engine)
   }
 
+  test("resizeMedia: payload shrunk to target, metadata updated, small pass through") {
+    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
+    val out = Multimodal.resizeMedia(m, targetBytes = 10)
+      .select($"media_id", octet_length($"media").cast("int").as("n"),
+        $"meta.n_bytes".as("meta_n"))
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // doc3 is 100 bytes → resized to ≤10, meta tracks the new size
+    assert(out(3L)._1 <= 10 && out(3L)._1 == out(3L)._2)
+    // doc2 (1 byte) passes through untouched
+    assert(out(2L) == (1, 1L))
+    // deterministic: same input → same bytes
+    val a = Multimodal.resizeMedia(m, 10).filter($"media_id" === 3L)
+      .select($"media".cast("string")).as[String].collect()(0)
+    val b = Multimodal.resizeMedia(m, 10).filter($"media_id" === 3L)
+      .select($"media".cast("string")).as[String].collect()(0)
+    assert(a == b)
+  }
+
   test("sampleFrames: slicing and stride arithmetic") {
     val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
     val framed = Multimodal.sampleFrames(m, frameBytes = 8, stride = 2)

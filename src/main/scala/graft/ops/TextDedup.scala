@@ -184,8 +184,12 @@ object TextDedup {
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // seed with the FIRST propagation directly: min(self, direct
+    // neighbors) is one aggregate over the edge list — a whole
+    // join+checkpoint+probe round the loop no longer pays
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("doc"), col("label"))
       .localCheckpoint()
     var iters = 0
     var changed = true

@@ -65,7 +65,7 @@ object AsOfJoin {
     val w = Window.partitionBy(key)
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(r.columns.map(col): _*).unionByName(r)
+    l.select(r.columns.toIndexedSeq.map(col): _*).unionByName(r)
       .withColumn("_match", last("_payload", ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++

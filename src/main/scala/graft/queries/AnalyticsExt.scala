@@ -698,7 +698,63 @@ object AnalyticsExt {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Generator null-preservation: `explode_outer` keeps a row (with a null
+    * element) for empty arrays, where plain `explode` drops the parent row
+    * — the LEFT-JOIN-shaped generator. Short documents (< 3 words, no
+    * shingles) prove the distinction.
+    */
+  def explodeOuterCounts(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode_outer(graft.ops.TextDedup.shinglesFromWords(col("w"))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rows"), count(col("s")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val explodeOuterCountsSql: String =
+    """SELECT d.doc_id,
+      |  CAST(greatest(coalesce(sh.n, 0), 1) AS BIGINT) AS n_rows,
+      |  CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shingles
+      |FROM documents d
+      |LEFT JOIN (
+      |  SELECT doc_id, count(*) AS n FROM (
+      |    SELECT doc_id,
+      |      unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |              for i in range(1, greatest(len(w) - 1, 1))]) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |  GROUP BY doc_id) sh USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Split-family string functions: split_part, element_at over split,
+    * size, contains/startswith/endswith predicates.
+    */
+  def stringSplitOps(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("pri_code"),
+        split_part(col("o_orderpriority"), lit("-"), lit(2)).as("pri_name"),
+        element_at(split(col("o_orderpriority"), "-"), -1).as("pri_last"),
+        size(split(col("o_orderpriority"), "-")).cast("int").as("n_parts"),
+        col("o_orderpriority").contains("URGENT").as("is_urgent_word"),
+        col("o_orderpriority").startsWith("1").as("is_top"),
+        col("o_orderpriority").endsWith("W").as("ends_w"))
+      .orderBy("o_orderkey")
+
+  val stringSplitOpsSql: String =
+    """SELECT o_orderkey,
+      |  split_part(o_orderpriority, '-', 1) AS pri_code,
+      |  split_part(o_orderpriority, '-', 2) AS pri_name,
+      |  string_split(o_orderpriority, '-')[-1] AS pri_last,
+      |  CAST(len(string_split(o_orderpriority, '-')) AS INTEGER) AS n_parts,
+      |  contains(o_orderpriority, 'URGENT') AS is_urgent_word,
+      |  starts_with(o_orderpriority, '1') AS is_top,
+      |  ends_with(o_orderpriority, 'W') AS ends_w
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "explode_outer_counts" -> explodeOuterCounts,
+    "string_split_ops" -> stringSplitOps,
     "histogram_quantile" -> histogramQuantile,
     "agg_collect" -> aggCollect,
     "profile_columns" -> profileColumns,
@@ -729,6 +785,8 @@ object AnalyticsExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "explode_outer_counts" -> explodeOuterCountsSql,
+    "string_split_ops" -> stringSplitOpsSql,
     "histogram_quantile" -> histogramQuantileSql,
     "agg_collect" -> aggCollectSql,
     "profile_columns" -> profileColumnsSql,

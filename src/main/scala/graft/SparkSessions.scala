@@ -17,6 +17,14 @@ object SparkSessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries. A session running
+      // a wide query surface (the 70-query bench suite emits several hundred
+      // whole-stage-codegen units per pass) churns it completely, so every
+      // pass re-pays Janino compilation + classloading for every stage —
+      // measured as the r2 join_left/join_salted "regression" (plans were
+      // byte-identical to r1; the 36-query r1 suite mostly fit the cache).
+      // A long-lived analytics session should size this to its working set.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark

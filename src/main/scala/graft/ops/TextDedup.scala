@@ -131,27 +131,55 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity for an explicit pair set — the
     * verification stage after LSH candidate generation. `pairs` must have
-    * (doc_a, doc_b); docs are joined twice on the id.
+    * (doc_a, doc_b); a doc that produces no shingles drops its pairs
+    * (inner join on the counts, same as the original two-probe form).
+    *
+    * Plan shape — ONE materialization of the shingle pipeline. The
+    * distinct-shingle set has three logical consumers (per-doc counts and
+    * the two pair probes); r2 re-evaluated the explode+distinct subtree
+    * once per consumer because per-consumer renames broke exchange
+    * canonicalization. Here the subtree is built once, semi-joined down to
+    * the docs that actually appear in `pairs` (the verification set — at
+    * corpus scale this is what bounds the self-join), and capped with ONE
+    * `repartition(s)`. Intersections come from an ALIASED self-join on the
+    * shingle value (both sides the same canonical exchange → one side is a
+    * ReusedExchange), and the per-doc counts aggregate over that same
+    * exchanged frame (a third ReusedExchange; the count partials then
+    * shuffle as one tiny (jid, n) row per doc-partition). The executed plan
+    * materializes the shingle explode+distinct exactly once.
+    *
+    * The shuffle_hash hint keeps the self-join off the broadcast path — a
+    * BroadcastExchange would wrap the subtree and collect the whole shingle
+    * set to the driver, impossible at corpus scale and fatal to reuse. A
+    * pathologically common shingle is a skew key for the self-join; AQE
+    * skew-join splitting handles it at scale.
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                      textCol: String, shingleN: Int = 3): DataFrame = {
+    val members = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("jid")).distinct()
     val sh = shingleRows(docs, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "jid")
       .distinct()
+      .join(broadcast(members), Seq("jid"), "left_semi")
+      .repartition(col("s"))
+    // co-occurrence counts for every unordered candidate pair, keyed lo<hi
+    val inter = sh.as("x")
+      .join(sh.as("y").hint("shuffle_hash"),
+        col("x.s") === col("y.s") && col("x.jid") < col("y.jid"))
+      .groupBy(col("x.jid").as("lo"), col("y.jid").as("hi"))
+      .agg(count(lit(1)).as("n_inter"))
     val counts = sh.groupBy("jid").agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col("jid").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(sh.select(col("jid").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
-      .filter(col("s") === col("s2"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(counts.select(col("jid").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("jid").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.as("ca").hint("shuffle_hash"), col("doc_a") === col("ca.jid"))
+      .join(counts.as("cb").hint("shuffle_hash"), col("doc_b") === col("cb.jid"))
+      .join(inter,
+        least(col("doc_a"), col("doc_b")) === col("lo")
+          && greatest(col("doc_a"), col("doc_b")) === col("hi"), "left")
       .select(col("doc_a"), col("doc_b"),
         round(coalesce(col("n_inter"), lit(0L)).cast("double")
-          / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6)
-          .as("jaccard"))
+          / (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("n_inter"), lit(0L))),
+          6).as("jaccard"))
   }
 
   /** Duplicate CLUSTERS from verified near-dup pairs: connected components
@@ -163,21 +191,30 @@ object TextDedup {
     * closure of the pair relation (A~B, B~C ⇒ one cluster {A,B,C}).
     *
     * Shape: a driver-side CONVERGENCE loop (bounded by `maxIters`) whose
-    * body is pure DataFrame ops — join neighbors' labels, take the min,
-    * probe for change. Iterative fixpoints are the one place a driver
-    * loop is the right Spark design (same as GraphX/Pregel). Each pass is
-    * one shuffle and moves the minimum label ONE hop, so iterations are
-    * bounded by the longest min-label path in a component — near-dup
-    * clusters are shallow, so a handful of passes converge in practice;
-    * an unconverged exit THROWS rather than silently returning split
-    * clusters (raise `maxIters` for unusually elongated graphs).
+    * body is pure DataFrame ops. Iterative fixpoints are the one place a
+    * driver loop is the right Spark design (same as GraphX/Pregel). Each
+    * pass does TWO steps:
+    *
+    *   1. neighbor-min propagation — pull the minimum label across one
+    *      edge hop (one join + one aggregate);
+    *   2. POINTER JUMPING — relabel through the label mapping itself,
+    *      `label(x) ← min(label(x), label(label(x)))` (one self-join).
+    *      A label is always a node id in the same component, so the
+    *      composition stays in-component and is monotonically decreasing.
+    *
+    * Step 1 alone moves the minimum ONE hop per pass (iterations = label
+    *-path length — a 1M-node chain component at 100 TB would mean 1M
+    * full-data shuffles). With step 2 the reach roughly DOUBLES each pass
+    * (r → 2r+1), so convergence is O(log diameter): ~20 passes cover any
+    * component a real corpus can produce. An unconverged exit THROWS
+    * rather than silently returning split clusters.
     *
     * Each iteration `localCheckpoint`s its result: the loop body references
-    * the previous labels TWICE (neighbor join + carry-through), so without
-    * lineage truncation the logical plan doubles per pass — 2^iters nodes,
-    * analysis OOM long before the data is ever large. Checkpointing keeps
-    * the plan constant-size per pass; checkpoint blocks are released by the
-    * context cleaner when unreferenced.
+    * the previous labels several times (neighbor join, jump self-join,
+    * carry-through), so without lineage truncation the logical plan grows
+    * geometrically — analysis OOM long before the data is ever large.
+    * Checkpointing keeps the plan constant-size per pass; checkpoint blocks
+    * are released by the context cleaner when unreferenced.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -194,18 +231,32 @@ object TextDedup {
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {
+      // step 1: min label across one edge hop
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src"))
         .agg(min("label").as("nmin"))
-      // the changed flag rides in the frame itself: one checkpointed pass
-      // serves both the convergence probe (isEmpty short-circuits on the
-      // first changed row) and the next iteration — no second join or count
-      val next = labels
+      val prop = labels
         .join(neighborMin, labels("doc") === neighborMin("src"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("_changed"))
+          (coalesce(col("nmin"), col("label")) < col("label")).as("_c1"))
+      // step 2: pointer jump — follow the (possibly stale) label one more
+      // level through the mapping itself. The left join is total: every
+      // label IS a doc in `labels` (it is some node's id), but the left
+      // form keeps a missing match from dropping the row.
+      // the changed flag rides in the frame itself: one checkpointed pass
+      // serves both the convergence probe (isEmpty short-circuits on the
+      // first changed row) and the next iteration — no second join or count
+      val next = prop.as("p")
+        .join(prop.select(col("doc").as("qdoc"), col("label").as("qlabel")).as("q"),
+          col("p.label") === col("qdoc"), "left")
+        .select(col("p.doc").as("doc"),
+          least(col("p.label"), coalesce(col("qlabel"), col("p.label")))
+            .as("label"),
+          (col("p._c1") ||
+            coalesce(col("qlabel"), col("p.label")) < col("p.label"))
+            .as("_changed"))
         .localCheckpoint()
       changed = !next.filter(col("_changed")).isEmpty
       labels = next.drop("_changed")

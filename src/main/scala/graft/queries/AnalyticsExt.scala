@@ -373,22 +373,44 @@ object AnalyticsExt {
       |WHERE levenshtein(a.c_name, b.c_name) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Approximate sketches: HyperLogLog++ distinct counts and GK quantile
+  /** Approximate sketches: HyperLogLog++ distinct counts and quantile
     * estimates — the sub-linear-memory path when exact distinct/percentile
     * state would not fit (billions of keys per group at 100 TB). Sketch
-    * internals are engine-specific, so there is no DuckDB hash oracle; the
-    * driver records a rows-only check and `AnalyticsExtSpec` asserts the
-    * estimates against exact values within the configured error bounds.
+    * internals are engine-specific (Spark HLL++/GK vs DuckDB HLL/t-digest),
+    * so the raw estimates can never hash-match an oracle. What CAN match is
+    * the sketch *contract*: each engine emits its exact values plus a
+    * boolean asserting its own estimate lies within the advertised error
+    * bound (3×rsd for HLL — ~99.7% of runs; 1% value tolerance for the
+    * rank-ε=1/10000 median, generous at this group size). Rows, schema and
+    * hash all check against DuckDB computing the same self-assertion.
     */
   def aggApproxSketch(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_orders_est"),
+        count(lit(1)).as("n"),
+        count_distinct(col("l_orderkey")).as("nd_exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("nd_est_"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_price_est"),
-        count(lit(1)).as("n"))
+          .as("p50_est_"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact_"))
+      .select(col("l_returnflag"), col("n"), col("nd_exact"),
+        (abs(col("nd_est_") - col("nd_exact"))
+          <= col("nd_exact") * lit(0.06)).as("nd_ok"),
+        (abs(col("p50_est_") - col("p50_exact_"))
+          <= col("p50_exact_") * lit(0.01)).as("p50_ok"))
       .orderBy("l_returnflag")
+
+  val aggApproxSketchSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_exact,
+      |  abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+      |    <= 0.06::DOUBLE * count(DISTINCT l_orderkey) AS nd_ok,
+      |  abs(approx_quantile(l_extendedprice, 0.5)
+      |      - quantile_cont(l_extendedprice, 0.5))
+      |    <= 0.01::DOUBLE * quantile_cont(l_extendedprice, 0.5) AS p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Sliding (hopping) event-time windows: 1-hour windows every 30
     * minutes — each event lands in exactly 2 overlapping windows. Same
@@ -799,6 +821,7 @@ object AnalyticsExt {
     "topk_per_group" -> topkPerGroupSql,
     "sliding_window" -> slidingWindowSql,
     "scalar_funcs" -> scalarFuncsSql,
+    "agg_approx_sketch" -> aggApproxSketchSql,
     "agg_cube" -> aggCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_filtered" -> aggFilteredSql,

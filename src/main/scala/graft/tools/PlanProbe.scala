@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.{SparkEntry, SparkSessions}
+
+/** Dev tool: print the executed plan of one named query (after a noop
+  * write so AQE has finalized it). Usage: runMain graft.tools.PlanProbe
+  * <queryName> [sfDir].
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSessions.local("8")
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // execute the df's OWN QueryExecution (a noop write would plan a fresh
+    // one) so the AdaptiveSparkPlan below is the FINAL plan with runtime
+    // stage reuse visible
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println(plan)
+    println(s"[probe] $name: exchanges=" +
+      plan.split("\n").count(_.trim.startsWith("+- Exchange")) +
+      " reused=" + plan.split("\n").count(_.contains("ReusedExchange")))
+    spark.stop()
+  }
+}

@@ -80,6 +80,18 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateClusters: pointer jumping converges a 150-node path in O(log d)") {
+    // a path graph is the worst case for plain min-label propagation
+    // (iterations = diameter, so 150 nodes would need ~150 passes); with
+    // pointer jumping the labeled reach doubles per pass, so maxIters=10
+    // (2^10 >> 150) only succeeds if the jump step actually works
+    val chain = (1L until 150L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.duplicateClusters(chain, maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(out.length == 150)
+    assert(out.forall(_._2 == 1L))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -36,22 +36,28 @@ object Bench {
     }
 
     runAll() // warmup
-    // two timed passes, per-query MIN: this host shows multi-second
-    // CPU-contention bursts that land on random queries; the min of two
-    // steady-state passes is the engine's actual throughput, the mean of
-    // one pass is a lottery
-    val (r1, f1) = runAll()
-    val (r2, f2) = runAll()
-    val results = r1.map { case (k, v) =>
-      k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
+    // three timed passes, per-query MIN plus the max for spread: this host
+    // shows multi-second CPU-contention bursts that land on random queries,
+    // and C2 JIT keeps improving hot paths past the warmup pass — r2's
+    // min-of-two recorded join_left at 2.7x its steady state purely from
+    // that. The min of three steady-state passes is the engine's actual
+    // throughput; the max makes contention attributable instead of
+    // masquerading as a plan regression.
+    val passes = Seq(runAll(), runAll(), runAll())
+    val failed = passes.flatMap(_._2).distinct
+    val perQuery = suite.map { case (name, _) =>
+      val vs = passes.map(_._1(name))
+      name -> (if (vs.exists(_ < 0)) (-1.0, -1.0) else (vs.min, vs.max))
     }
-    val failed = (f1 ++ f2).distinct
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = perQuery
+      .map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qsMax = perQuery
+      .map { case (k, (_, mx)) => "\"" + k + "\":" + mx }
+      .mkString("{", ",", "}")
+    val total = perQuery.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,16 +77,41 @@ object TextDedup {
     * and n·log(n) at corpus scale.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = NumHashes, shingleN: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+                        k: Int = NumHashes, shingleN: Int = 3): DataFrame =
+    minhashFromShingleSet(shingleRows(docs, idCol, textCol, shingleN), idCol, k)
+
+  /** MinHash signatures from pre-built (id, s) shingle rows. Duplicate
+    * shingles are harmless (`min` is idempotent), so this accepts either
+    * the raw exploded rows — the standalone path, where the map-side
+    * partial `min` means the shingle set itself never shuffles — or an
+    * already-distinct shingle frame shared with a Jaccard verification
+    * stage (see [[distinctShingles]]): MinHash over the distinct SET is
+    * definitionally the same signature.
+    */
+  def minhashFromShingleSet(shingleSet: DataFrame, idCol: String,
+                            k: Int = NumHashes): DataFrame = {
     val mins = (0 until k).map { i =>
       val salt = i / 4
       val off = (i % 4) * 8 + 1
       min(conv(substring(md5(concat(lit(s"s$salt|"), col("s"))), off, 8),
         16, 10).cast("long")).as(s"mh$i")
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    shingleSet.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
+
+  /** The distinct (id, s) shingle set — one logical frame the composed
+    * pipeline shares between signature generation and Jaccard
+    * verification. The optimizer specializes it per consumer rather than
+    * materializing it: the MinHash branch strips the distinct again
+    * (RemoveRedundantAggregates — min is duplicate-agnostic) keeping its
+    * zero-shuffle partial-min shape, and the verification branch pushes
+    * its candidate semi-join below the explode. Sharing the val is still
+    * the right API: semantics stay in one place and the planner picks the
+    * per-consumer physical form.
+    */
+  def distinctShingles(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3): DataFrame =
+    shingleRows(docs, idCol, textCol, shingleN).distinct()
 
   /** LSH candidate pairs: docs sharing at least one band (all `BandSize`
     * signature positions equal within the band), with the MinHash-estimated
@@ -155,12 +180,21 @@ object TextDedup {
     * skew-join splitting handles it at scale.
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                     textCol: String, shingleN: Int = 3): DataFrame = {
+                     textCol: String, shingleN: Int = 3): DataFrame =
+    jaccardFromShingleSet(distinctShingles(docs, idCol, textCol, shingleN),
+      pairs, idCol)
+
+  /** [[jaccardOnPairs]] over a pre-built distinct shingle frame — pass the
+    * same [[distinctShingles]] value the MinHash stage consumed so the
+    * shingle semantics live in one val (see [[distinctShingles]] for how
+    * the optimizer specializes each consumer).
+    */
+  def jaccardFromShingleSet(shingleSet: DataFrame, pairs: DataFrame,
+                            idCol: String): DataFrame = {
     val members = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("jid")).distinct()
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sh = shingleSet
       .withColumnRenamed(idCol, "jid")
-      .distinct()
       .join(broadcast(members), Seq("jid"), "left_semi")
       .repartition(col("s"))
     // co-occurrence counts for every unordered candidate pair, keyed lo<hi

@@ -177,10 +177,18 @@ object TextQueries {
     */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
-    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+    // one logical distinct-shingle frame for signature generation and
+    // verification (MinHash over the distinct set is the same signature).
+    // The optimizer then specializes each consumer: the MinHash branch
+    // drops the redundant distinct (min is duplicate-agnostic) and keeps
+    // the zero-shuffle map-side-partial shape, while the verification
+    // branch pushes its candidate semi-join BELOW the shingle explode —
+    // so at corpus scale the second explode runs only over candidate docs
+    val shSet = TextDedup.distinctShingles(docs, "doc_id", "text")
+    val sigs = TextDedup.minhashFromShingleSet(shSet, "doc_id", K)
     val candidates = TextDedup.lshCandidatePairs(sigs, "doc_id", K)
       .select("doc_a", "doc_b")
-    TextDedup.jaccardOnPairs(docs, candidates, "doc_id", "text")
+    TextDedup.jaccardFromShingleSet(shSet, candidates, "doc_id")
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -249,10 +257,11 @@ object TextQueries {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
-    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+    val shSet = TextDedup.distinctShingles(docs, "doc_id", "text")
+    val sigs = TextDedup.minhashFromShingleSet(shSet, "doc_id", K)
     val candidates = TextDedup.lshCandidatePairs(sigs, "doc_id", K)
       .select("doc_a", "doc_b")
-    val pairs = TextDedup.jaccardOnPairs(docs, candidates, "doc_id", "text")
+    val pairs = TextDedup.jaccardFromShingleSet(shSet, candidates, "doc_id")
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b")
     val clusters = TextDedup.duplicateClusters(pairs)

@@ -343,35 +343,66 @@ object AnalyticsExt {
       |WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 10 < 1
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Fuzzy matching: levenshtein distance over a bounded neighbor window
-    * of customer names (candidate pairs from a band join, exact edit
-    * distance as refinement — the same generate-then-verify shape as the
-    * LSH dedup pipeline).
+  /** Fuzzy matching by TOKEN BLOCKING — the standard entity-resolution
+    * shape: near-duplicate part names, where candidate pairs must share at
+    * least one full word and exact levenshtein refines them. Matching runs
+    * at the distinct-NAME level (with how many parts carry each name), the
+    * granularity a real dedup pipeline works at before mapping labels back
+    * to rows.
+    *
+    * Blocking-recall tradeoff: token blocking finds every pair that agrees
+    * on one complete word ("hot gear" ~ "red gear"), and *misses* pairs
+    * where every word is typo'd ("red widget" ~ "rad wdget" is within the
+    * distance bound but shares no token, so it is never compared). That
+    * miss is the price of never materializing the N² name pairs; tighter
+    * recall needs finer keys (character q-gram bands, phonetic codes) at
+    * proportionally larger candidate volume. The blocking predicate is part
+    * of the operator's contract — the oracle expresses the same blocks.
+    *
+    * Scale shape: explode names into (token, name) rows and hash
+    * equi-join on the token — candidates are only same-block pairs, never
+    * a nested loop. The self-join aliases ONE exploded subtree (exchange
+    * reuse); a stopword-frequency token would be a skew key for AQE, and a
+    * production run would cap block sizes before the join (drop tokens
+    * blocking more than K names — not needed at this vocabulary).
     */
   def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
-    val c = Readers.table(spark, dir, "customer")
-    // candidate generation by EXPLODING each row into its neighbor ids and
-    // equi-joining — a `id_b BETWEEN id_a+1 AND id_a+5` join condition has
-    // no equi key, so Spark would nested-loop all N² name pairs through
-    // levenshtein; this shape is a hash join on id_b with N·5 probe rows
-    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      .withColumn("id_b", explode(sequence(col("id_a") + 1, col("id_a") + 5)))
-    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-    a.join(b, Seq("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 4)
-      .select("id_a", "id_b", "name_a", "name_b", "dist")
-      .orderBy("id_a", "id_b")
+    val names = Readers.table(spark, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val toks = names.select(col("name"), col("n_parts"),
+      explode(split(col("name"), " ")).as("tok"))
+    val cand = toks.as("a")
+      .join(toks.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+      .distinct() // a pair can share several tokens
+    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "n_a", "n_b", "dist")
+      .orderBy("name_a", "name_b")
   }
 
   val fuzzyNamePairsSql: String =
-    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-      |  a.c_name AS name_a, b.c_name AS name_b,
-      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-      |FROM customer a JOIN customer b
-      |  ON b.c_custkey > a.c_custkey AND b.c_custkey <= a.c_custkey + 5
-      |WHERE levenshtein(a.c_name, b.c_name) <= 4
-      |ORDER BY id_a, id_b""".stripMargin
+    """WITH names AS (
+      |  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY p_name
+      |),
+      |toks AS (
+      |  SELECT name, n_parts, unnest(string_split(name, ' ')) AS tok
+      |  FROM names
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+      |    a.n_parts AS n_a, b.n_parts AS n_b
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+      |)
+      |SELECT name_a, name_b, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
 
   /** Approximate sketches: HyperLogLog++ distinct counts and quantile
     * estimates — the sub-linear-memory path when exact distinct/percentile

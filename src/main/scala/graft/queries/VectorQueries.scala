@@ -232,12 +232,87 @@ object VectorQueries {
        |WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Recall@k of every ANN index against the brute-force ground truth —
+    * THE number a user tunes nprobe / plane count by. One row per query:
+    * hit counts and recall for IVF (nprobe=1), IVF (nprobe=2), and the
+    * LSH-bucket probe.
+    *
+    * Convention: each method is judged against ground truth under its own
+    * candidate rules. IVF searches include the query vector itself (it is
+    * assigned like any corpus vector), so their truth is the brute-force
+    * top-k as-is; the LSH probe excludes self matches, so its truth is the
+    * top-k among OTHER vectors (self need not be rank 1 when an identical
+    * twin with a lower id exists — hence the re-rank, not `rank-1`).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bf = annBruteforce(spark, dir)
+    val truthIncl = bf.filter(col("rank") <= IvfK).select("query_id", "vec_id")
+    val truthExcl = bf.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id").orderBy("rank")))
+      .filter(col("_r") <= IvfK)
+      .select("query_id", "vec_id")
+    def hitCount(method: DataFrame, truth: DataFrame, as: String): DataFrame =
+      method.select("query_id", "vec_id")
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    val qs = bf.select("query_id").distinct()
+    qs.join(hitCount(annIvf(spark, dir), truthIncl, "ivf_hits"),
+        Seq("query_id"), "left")
+      .join(hitCount(annIvfProbe2(spark, dir), truthIncl, "ivf2_hits"),
+        Seq("query_id"), "left")
+      .join(hitCount(annLshProbe(spark, dir), truthExcl, "lsh_hits"),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("ivf2_hits"), lit(0L)).as("ivf2_hits"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"))
+      .withColumn("ivf_recall", round(col("ivf_hits") / lit(IvfK.toDouble), 6))
+      .withColumn("ivf2_recall", round(col("ivf2_hits") / lit(IvfK.toDouble), 6))
+      .withColumn("lsh_recall", round(col("lsh_hits") / lit(IvfK.toDouble), 6))
+      .orderBy("query_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS ($annBruteforceSql),
+       |ivf AS ($annIvfSql),
+       |ivf2 AS ($annIvfProbe2Sql),
+       |lsh AS ($annLshProbeSql),
+       |truth_incl AS (SELECT query_id, vec_id FROM bf WHERE rank <= $IvfK),
+       |truth_excl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rank) AS r
+       |    FROM bf WHERE vec_id <> query_id)
+       |  WHERE r <= $IvfK
+       |),
+       |h1 AS (SELECT query_id, count(*) AS h FROM ivf
+       |       JOIN truth_incl USING (query_id, vec_id) GROUP BY query_id),
+       |h2 AS (SELECT query_id, count(*) AS h FROM ivf2
+       |       JOIN truth_incl USING (query_id, vec_id) GROUP BY query_id),
+       |h3 AS (SELECT query_id, count(*) AS h FROM lsh
+       |       JOIN truth_excl USING (query_id, vec_id) GROUP BY query_id)
+       |SELECT q.query_id,
+       |  CAST(coalesce(h1.h, 0) AS BIGINT) AS ivf_hits,
+       |  CAST(coalesce(h2.h, 0) AS BIGINT) AS ivf2_hits,
+       |  CAST(coalesce(h3.h, 0) AS BIGINT) AS lsh_hits,
+       |  round(coalesce(h1.h, 0) / ${IvfK.toDouble}::DOUBLE, 6) AS ivf_recall,
+       |  round(coalesce(h2.h, 0) / ${IvfK.toDouble}::DOUBLE, 6) AS ivf2_recall,
+       |  round(coalesce(h3.h, 0) / ${IvfK.toDouble}::DOUBLE, 6) AS lsh_recall
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN h1 USING (query_id)
+       |LEFT JOIN h2 USING (query_id)
+       |LEFT JOIN h3 USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe2" -> annIvfProbe2,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
+    "ann_recall" -> annRecall,
     "embedding_neardup" -> embeddingNeardup
   )
 
@@ -247,6 +322,7 @@ object VectorQueries {
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_probe" -> annLshProbeSql,
+    "ann_recall" -> annRecallSql,
     "embedding_neardup" -> embeddingNeardupSql
   )
 }

@@ -159,25 +159,34 @@ object TextDedup {
     * (doc_a, doc_b); a doc that produces no shingles drops its pairs
     * (inner join on the counts, same as the original two-probe form).
     *
-    * Plan shape — ONE materialization of the shingle pipeline. The
-    * distinct-shingle set has three logical consumers (per-doc counts and
-    * the two pair probes); r2 re-evaluated the explode+distinct subtree
-    * once per consumer because per-consumer renames broke exchange
-    * canonicalization. Here the subtree is built once, semi-joined down to
-    * the docs that actually appear in `pairs` (the verification set — at
-    * corpus scale this is what bounds the self-join), and capped with ONE
-    * `repartition(s)`. Intersections come from an ALIASED self-join on the
-    * shingle value (both sides the same canonical exchange → one side is a
-    * ReusedExchange), and the per-doc counts aggregate over that same
-    * exchanged frame (a third ReusedExchange; the count partials then
-    * shuffle as one tiny (jid, n) row per doc-partition). The executed plan
-    * materializes the shingle explode+distinct exactly once.
+    * Plan shape — PAIR-DRIVEN intersection over ONE materialization of the
+    * shingle pipeline. The intersection probe starts from `pairs` and joins
+    * each pair's own shingle sets ((doc_a → x.jid), then (doc_b → y.jid,
+    * x.s = y.s)), so intermediate work is bounded by
+    * Σ_pairs |shingles(doc_a)| — linear in the verification set. The
+    * earlier shingle-value SELF-join computed co-occurrence counts for
+    * every unordered doc pair sharing a shingle, O(block²) rows for a
+    * shingle block of `block` docs, with most aggregated pairs discarded by
+    * the later left join — a hot shingle inflated work far beyond |pairs|.
     *
-    * The shuffle_hash hint keeps the self-join off the broadcast path — a
-    * BroadcastExchange would wrap the subtree and collect the whole shingle
-    * set to the driver, impossible at corpus scale and fatal to reuse. A
-    * pathologically common shingle is a skew key for the self-join; AQE
-    * skew-join splitting handles it at scale.
+    * The shingle subtree is semi-joined down to docs appearing in `pairs`
+    * (at corpus scale this bounds the aggregate/probe input; no broadcast
+    * hint — the member set can exceed driver limits at scale, AQE picks the
+    * strategy from runtime size) and capped with ONE `repartition(jid)`:
+    * the doc_a probe and the per-doc counts consume that exchange directly,
+    * and the doc_b probe's (jid, s) reshuffle feeds off the same
+    * materialization (ReusedExchange) — the explode+distinct runs once.
+    *
+    * The shuffle_hash hints keep the probes off the broadcast path — a
+    * BroadcastExchange would wrap the shingle subtree and collect it to the
+    * driver, impossible at corpus scale and fatal to reuse. A doc in very
+    * many candidate pairs is a skew key for the probe joins; AQE skew-join
+    * splitting handles it at scale.
+    *
+    * A degenerate self-pair (d, d) yields jaccard 1.0 (its shingle set
+    * fully intersects itself). LSH candidate generation never emits
+    * self-pairs; callers passing hand-built pair sets get the
+    * mathematically consistent answer.
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                      textCol: String, shingleN: Int = 3): DataFrame =
@@ -195,21 +204,24 @@ object TextDedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("jid")).distinct()
     val sh = shingleSet
       .withColumnRenamed(idCol, "jid")
-      .join(broadcast(members), Seq("jid"), "left_semi")
-      .repartition(col("s"))
-    // co-occurrence counts for every unordered candidate pair, keyed lo<hi
-    val inter = sh.as("x")
-      .join(sh.as("y").hint("shuffle_hash"),
-        col("x.s") === col("y.s") && col("x.jid") < col("y.jid"))
-      .groupBy(col("x.jid").as("lo"), col("y.jid").as("hi"))
-      .agg(count(lit(1)).as("n_inter"))
+      .join(members, Seq("jid"), "left_semi")
+      .repartition(col("jid"))
     val counts = sh.groupBy("jid").agg(count(lit(1)).as("n_sh"))
+    // pair-driven intersection: replicate each pair across doc_a's
+    // shingles, then probe doc_b's set for matches — never a shingle-value
+    // self-join, so a hot shingle cannot blow up the intermediate
+    val inter = pairs
+      .join(sh.as("x").hint("shuffle_hash"), col("doc_a") === col("x.jid"))
+      .join(sh.as("y").hint("shuffle_hash"),
+        col("doc_b") === col("y.jid") && col("x.s") === col("y.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a").as("ia"), col("doc_b").as("ib"), col("n_inter"))
     pairs
       .join(counts.as("ca").hint("shuffle_hash"), col("doc_a") === col("ca.jid"))
       .join(counts.as("cb").hint("shuffle_hash"), col("doc_b") === col("cb.jid"))
       .join(inter,
-        least(col("doc_a"), col("doc_b")) === col("lo")
-          && greatest(col("doc_a"), col("doc_b")) === col("hi"), "left")
+        col("doc_a") === col("ia") && col("doc_b") === col("ib"), "left")
       .select(col("doc_a"), col("doc_b"),
         round(coalesce(col("n_inter"), lit(0L)).cast("double")
           / (col("ca.n_sh") + col("cb.n_sh") - coalesce(col("n_inter"), lit(0L))),

@@ -19,8 +19,11 @@ object PlanProbe {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     println(plan)
+    // strip the tree-prefix characters (+- :- : |) so Exchange nodes in
+    // non-last join/union branches (rendered ":- Exchange") count too
+    def op(line: String): String = line.dropWhile(c => "+-:| ".contains(c))
     println(s"[probe] $name: exchanges=" +
-      plan.split("\n").count(_.trim.startsWith("+- Exchange")) +
+      plan.split("\n").count(l => op(l).startsWith("Exchange ")) +
       " reused=" + plan.split("\n").count(_.contains("ReusedExchange")))
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, AnalyticsExt, Core, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, AnalyticsExt, Core, CurationQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      MultimodalQueries.queries ++ CurationQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Core.oracle ++ Analytics.oracle ++ AnalyticsExt.oracle ++
-      TextQueries.oracle ++ VectorQueries.oracle ++ MultimodalQueries.oracle
+      TextQueries.oracle ++ VectorQueries.oracle ++
+      MultimodalQueries.oracle ++ CurationQueries.oracle
 }

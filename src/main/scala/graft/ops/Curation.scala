@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between a raw crawl and a
+  * training set: quality filtering, deterministic train/val/test
+  * splitting, token-budget shard packing, incremental (new-batch vs
+  * corpus) dedup, and benchmark decontamination.
+  *
+  * Everything here composes the primitives from [[TextStats]] /
+  * [[TextDedup]] / [[Sampling]] into the decision-making operators a real
+  * pipeline runs, with the same two design rules: md5-deterministic
+  * hashing (reproducible across runs, engines, cluster layouts) and plan
+  * shapes that are map-only or hash-keyed — nothing quadratic in the
+  * corpus, nothing collected to the driver.
+  */
+object Curation {
+
+  /** Comparison thresholds are applied to values ROUNDED to 6 decimals so
+    * the keep/reject booleans cannot flip on cross-engine ULP differences
+    * at a rule boundary.
+    */
+  val MinTokens = 20
+  val MinTypeTokenRatio = 0.30
+  val MinStopwordRatio = 0.02
+
+  /** C4-style quality filter: per-document fluency/length/diversity
+    * signals plus a keep decision with the FIRST failing rule as the
+    * reject reason (rule order is part of the contract — downstream
+    * reject-reason dashboards depend on it being stable).
+    *
+    * Signals: whitespace token count, type-token ratio (distinct/total
+    * tokens — low = repetitive boilerplate), core-stopword ratio (zero ≈
+    * non-fluent or wrong-language text for an English-centric filter).
+    * All row-local column expressions: the filter is map-only and fuses
+    * into the scan's codegen stage at any scale.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val t = col(textCol)
+    val w = split(t, " ")
+    val nTokens = size(w).cast("long")
+    val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
+    val stopR = round(TextStats.stopwordRatio(t), 6)
+    val reason = when(nTokens < MinTokens, lit("too_short"))
+      .when(ttr < MinTypeTokenRatio, lit("low_diversity"))
+      .when(stopR < MinStopwordRatio, lit("no_stopwords"))
+    docs.select(col(idCol), nTokens.as("n_tokens"), ttr.as("ttr"),
+      stopR.as("stopword_ratio"), reason.isNull.as("keep"),
+      reason.as("reject_reason"))
+  }
+
+  /** Deterministic stratified-in-expectation train/val/test split:
+    * `md5(key) mod 100` buckets → train <`pctTrain`, val <`pctTrain` +
+    * `pctVal`, else test.
+    *
+    * Hash splitting is the shape that scales: it is map-only (no
+    * per-stratum sort or quota state), gives every stratum the same
+    * expected proportions, is stable under re-runs/appends (a doc never
+    * migrates between splits when the corpus grows — the property that
+    * keeps eval sets uncontaminated across pipeline versions), and keeps
+    * same-key rows in the same split across tables. Exact per-stratum
+    * quotas would need a rank over each stratum — a per-stratum sort that
+    * buys nothing at corpus sizes where strata are millions of docs.
+    */
+  def stratifiedSplit(keyCol: Column,
+                      pctTrain: Int = 80, pctVal: Int = 10): Column = {
+    val b = Sampling.hashBucket(keyCol, 100)
+    when(b < pctTrain, lit("train"))
+      .when(b < pctTrain + pctVal, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Greedy token-budget shard packing: within each stratum, documents in
+    * `orderCol` order accumulate into shards of ~`budget` tokens
+    * (`shard = exclusive-prefix-sum div budget` — a doc lands in the shard
+    * where it STARTS, so every shard except the last holds at least
+    * `budget` tokens once its boundary doc arrives).
+    *
+    * This is the operator that writes ~equal-sized training shards. The
+    * prefix sum is a running-total window per stratum: one shuffle on the
+    * stratum key, one sort per stratum. The stratum is the parallelism
+    * unit — at 100 TB you pack within finer strata (source × date, or
+    * hash-bucketed sub-strata) so no single ordered sequence exceeds a
+    * task; packing is inherently order-sequential WITHIN a shard sequence,
+    * so the stratum choice IS the scale knob.
+    */
+  def packShards(df: DataFrame, strataCol: Column, orderCol: Column,
+                 tokensCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wdw = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol).over(wdw).cast("long"))
+      .withColumn("shard",
+        ((col("cum_tokens") - tokensCol) / lit(budget)).cast("long"))
+  }
+
+  /** Incremental dedup — the every-crawl operation: drop incoming docs
+    * that already exist in the corpus, exactly (normalized-content
+    * fingerprint, [[TextStats.fingerprint]]) or nearly (identical 16-bit
+    * SimHash, [[TextDedup.simhash]]). Exact match wins the reason when
+    * both fire.
+    *
+    * `incoming`/`corpus` must carry (idCol, fp, simhash) — build both
+    * sides from ONE pass over the union'd corpus when they live in the
+    * same table ([[graft.queries.CurationQueries.dedupIncremental]] does)
+    * so signatures are computed once.
+    *
+    * Plan shape: the corpus side collapses to its DISTINCT fingerprint /
+    * signature sets (aggregates with map-side partials), then two hash
+    * LEFT joins keyed on those values. Nothing is ever pairwise; at 100 TB
+    * the corpus sets are the persisted dedup index a production pipeline
+    * maintains between crawls, and AQE broadcasts them only if they
+    * measure small.
+    */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+                       idCol: String): DataFrame = {
+    val corpFp = corpus.select(col("fp").as("c_fp")).distinct()
+    val corpSh = corpus.select(col("simhash").as("c_sh")).distinct()
+    incoming
+      .join(corpFp, col("fp") === col("c_fp"), "left")
+      .join(corpSh, col("simhash") === col("c_sh"), "left")
+      .select(col(idCol),
+        (col("c_fp").isNull && col("c_sh").isNull).as("keep"),
+        when(col("c_fp").isNotNull, lit("exact_dup"))
+          .when(col("c_sh").isNotNull, lit("near_dup")).as("drop_reason"))
+  }
+
+  /** Benchmark decontamination — per-candidate-document overlap of its
+    * n-gram shingle set against a benchmark's shingle set: `n_hit / n_sh`,
+    * flagged contaminated at `threshold`. This is the standard
+    * "is my training set leaking the eval set" check (the n-gram-overlap
+    * method used for LLM training corpora), run as data-engineering over
+    * the corpus rather than a post-hoc audit.
+    *
+    * Plan shape: candidate shingles LEFT-SEMI join the (distinct, usually
+    * tiny) benchmark shingle set on the shingle value — work is linear in
+    * candidate shingles, partitioned by shingle hash; the hit and total
+    * counts are two aggregates over the same exploded frame. Documents
+    * too short to produce a shingle have no overlap defined and are
+    * omitted (inner join on the totals), same convention as the Jaccard
+    * verifier.
+    */
+  def contamination(candidates: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, shingleN: Int = 3,
+                    threshold: Double = 0.5): DataFrame = {
+    val candSh = TextDedup.distinctShingles(candidates, idCol, textCol, shingleN)
+    val benchSh = TextDedup.distinctShingles(benchmark, idCol, textCol, shingleN)
+      .select("s").distinct()
+    val totals = candSh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val hits = candSh.join(benchSh, Seq("s"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6)
+          .as("overlap"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.{Curation, TextDedup, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries over `documents` — the raw-crawl → training-set
+  * decision operators: quality filtering, train/val/test splitting,
+  * token-budget shard packing, incremental dedup, benchmark
+  * decontamination. Every query has a DuckDB oracle (md5-deterministic
+  * hashing, thresholds compared on rounded values).
+  */
+object CurationQueries {
+
+  /** C4-style keep/reject with per-doc signals and first-failing-rule
+    * reasons ([[Curation.qualityFilter]]).
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityFilter(
+        Readers.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qualityFilterSql: String = {
+    val stops = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
+       |    round(len(list_filter(w, x -> list_contains([$stops], x)))::DOUBLE
+       |          / len(w), 6) AS stopword_ratio
+       |  FROM w
+       |),
+       |ruled AS (
+       |  SELECT doc_id, n_tokens, ttr, stopword_ratio,
+       |    CASE WHEN n_tokens < ${Curation.MinTokens} THEN 'too_short'
+       |         WHEN ttr < ${Curation.MinTypeTokenRatio}::DOUBLE
+       |           THEN 'low_diversity'
+       |         WHEN stopword_ratio < ${Curation.MinStopwordRatio}::DOUBLE
+       |           THEN 'no_stopwords' END AS reject_reason
+       |  FROM sig
+       |)
+       |SELECT doc_id, n_tokens, ttr, stopword_ratio,
+       |  reject_reason IS NULL AS keep, reject_reason
+       |FROM ruled ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic hash-bucket train/val/test assignment, 80/10/10
+    * ([[Curation.stratifiedSplit]]).
+    */
+  def splitStratified(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Curation.stratifiedSplit(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
+  val splitStratifiedSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  val ShardBudget = 1500L
+
+  /** Greedy token-budget shard packing per language stratum
+    * ([[Curation.packShards]]): running token total in doc_id order,
+    * shard = exclusive-prefix-sum div budget.
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Readers.table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Curation.packShards(t, col("lang"), col("doc_id"), col("n_tokens"),
+        ShardBudget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens", "shard")
+      .orderBy("lang", "doc_id")
+  }
+
+  val shardPackSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t
+       |)
+       |SELECT lang, doc_id, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // $ShardBudget AS shard
+       |FROM c ORDER BY lang, doc_id""".stripMargin
+
+  /** Incremental dedup: docs with `doc_id % 5 = 0` play the incoming
+    * crawl batch, the rest the existing corpus; drop incoming docs whose
+    * normalized fingerprint (exact) or 16-bit SimHash (near) already
+    * exists in the corpus ([[Curation.incrementalDedup]]). Fingerprints
+    * and signatures are computed in ONE pass over the full table, then
+    * split — not once per side.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .join(TextDedup.simhash(docs, "doc_id", "text"), Seq("doc_id"))
+    Curation.incrementalDedup(
+        base.filter(col("doc_id") % 5 === 0),
+        base.filter(col("doc_id") % 5 =!= 0), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH sims AS (${TextQueries.dedupSimhashSqlBody}),
+       |base AS (
+       |  SELECT d.doc_id,
+       |    md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp,
+       |    s.simhash
+       |  FROM documents d JOIN sims s USING (doc_id)
+       |),
+       |corp_fp AS (SELECT DISTINCT fp FROM base WHERE doc_id % 5 <> 0),
+       |corp_sh AS (SELECT DISTINCT simhash FROM base WHERE doc_id % 5 <> 0)
+       |SELECT i.doc_id,
+       |  (f.fp IS NULL AND h.simhash IS NULL) AS keep,
+       |  CASE WHEN f.fp IS NOT NULL THEN 'exact_dup'
+       |       WHEN h.simhash IS NOT NULL THEN 'near_dup' END AS drop_reason
+       |FROM (SELECT * FROM base WHERE doc_id % 5 = 0) i
+       |LEFT JOIN corp_fp f ON i.fp = f.fp
+       |LEFT JOIN corp_sh h ON i.simhash = h.simhash
+       |ORDER BY i.doc_id""".stripMargin
+
+  /** Benchmark decontamination: trigram-shingle overlap of every
+    * non-`src0` document against the `src0` "benchmark" shingle set
+    * ([[Curation.contamination]]).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    Curation.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ${TextQueries.shingleCte},
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |bench AS (
+       |  SELECT DISTINCT s FROM dsh JOIN documents USING (doc_id)
+       |  WHERE source = 'src0'
+       |),
+       |cand AS (
+       |  SELECT dsh.doc_id, dsh.s FROM dsh JOIN documents USING (doc_id)
+       |  WHERE source <> 'src0'
+       |),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY doc_id),
+       |hit AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM cand
+       |  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(coalesce(h.n_hit, 0)::DOUBLE / t.n_sh, 6) AS overlap,
+       |  round(coalesce(h.n_hit, 0)::DOUBLE / t.n_sh, 6) >= 0.5::DOUBLE
+       |    AS contaminated
+       |FROM tot t LEFT JOIN hit h USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filter" -> qualityFilter,
+    "split_stratified" -> splitStratified,
+    "shard_pack" -> shardPack,
+    "dedup_incremental" -> dedupIncremental,
+    "decontaminate" -> decontaminate)
+
+  val oracle: Map[String, String] = Map(
+    "quality_filter" -> qualityFilterSql,
+    "split_stratified" -> splitStratifiedSql,
+    "shard_pack" -> shardPackSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "decontaminate" -> decontaminateSql)
+}

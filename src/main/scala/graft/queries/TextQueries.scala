@@ -32,7 +32,7 @@ object TextQueries {
         Readers.table(spark, dir, "documents"), "doc_id", "text", K)
       .orderBy("doc_id")
 
-  private def shingleCte: String =
+  private[queries] def shingleCte: String =
     """sh AS (
       |  SELECT doc_id,
       |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -138,7 +138,7 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** SimHash signature SQL without a final ORDER BY, reusable as a CTE. */
-  private val dedupSimhashSqlBody: String = {
+  private[queries] val dedupSimhashSqlBody: String = {
     val digits = (0 until TextDedup.SimhashBits / 4)
       .map(p => s"strpos('0123456789abcdef', substr(md5(word), ${p + 1}, 1)) - 1 AS d$p")
       .mkString(",\n    ")

@@ -81,18 +81,48 @@ object AnalyticsExt {
       |    AS avg_large
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Exact interpolated percentiles (continuous quantiles) per group —
-    * Spark `percentile` ≡ SQL `quantile_cont` (lower + (upper-lower)·frac).
+  /** Exact interpolated percentiles (continuous quantiles) per group,
+    * matching SQL `quantile_cont`: at 0-based position `p·(n-1)`, value =
+    * `lower·(1-frac) + upper·frac` (Spark `Percentile`'s own formula;
+    * round(4) absorbs the formula-order ULPs vs DuckDB).
+    *
+    * Plan shape — SORT-based, not the built-in `percentile` aggregate: the
+    * `Percentile` TypedImperativeAggregate builds a value→count map per
+    * group per partition and serializes those maps through the shuffle —
+    * for mostly-distinct doubles that is the whole column shipped as
+    * fat map buffers, then a single-threaded sort per group at output. A
+    * rank window puts the same total order on the values with a
+    * partition-parallel sort, the per-group size is one tiny aggregate,
+    * and only the ≤2 boundary rows per requested percentile survive the
+    * filter — the shuffle carries plain (group, value) pairs. Same
+    * linearithmic work, but sorted in parallel and with none of the
+    * aggregation-buffer serialization.
     */
   def aggPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val ps = percentile(col("l_extendedprice"),
-      array(lit(0.25), lit(0.5), lit(0.9), lit(0.99)))
-    Readers.table(spark, dir, "lineitem")
+    val fracs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    // rank and group size from ONE sorted pass: the count window shares
+    // the rank window's partitioning (and tolerates its ordering), so both
+    // ride the same exchange+sort — no second evaluation, no sizes join
+    val withN = Readers.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    val pos = (p: Double) => lit(p) * (col("n") - 1)   // 0-based
+    val needed = fracs.map { case (_, p) =>
+      col("r") === floor(pos(p)) + 1 || col("r") === ceil(pos(p)) + 1
+    }.reduce(_ || _)
+    val interp = fracs.map { case (name, p) =>
+      val lower = max(when(col("r") === floor(pos(p)) + 1, col("v")))
+      val upper = max(when(col("r") === ceil(pos(p)) + 1, col("v")))
+      // n is constant within a group; max(n) re-expresses it post-agg
+      val posA = lit(p) * (max(col("n")) - 1)
+      val frac = posA - floor(posA)
+      round(lower * (lit(1.0) - frac) + upper * frac, 4).as(name)
+    }
+    withN.filter(needed)
       .groupBy("l_returnflag")
-      .agg(round(element_at(ps, 1), 4).as("p25"),
-        round(element_at(ps, 2), 4).as("p50"),
-        round(element_at(ps, 3), 4).as("p90"),
-        round(element_at(ps, 4), 4).as("p99"))
+      .agg(interp.head, interp.tail: _*)
       .orderBy("l_returnflag")
   }
 

@@ -68,4 +68,28 @@ class StorageLayoutSpec extends AnyFunSuite {
       .filter(col("event_type") === "purchase").count()
     assert(pruned.count() == expected && expected > 0)
   }
+
+  test("centroid-partitioned IVF index prunes partitions on the probe path") {
+    // the 100 TB IVF layout: persist centroid assignments partitioned by
+    // centroid_id, so an nprobe probe reads ONLY the probed cells'
+    // directories instead of scanning the whole index
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val out = Files.createTempDirectory("graft-ivf").toString
+    Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(out)
+
+    val probed = spark.read.parquet(out)
+      .filter(col("centroid_id").isin(1L, 3L))
+    val planStr = probed.queryExecution.executedPlan.toString
+    val prunedFilter = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*\\]".r
+    assert(prunedFilter.findFirstIn(planStr).isDefined, planStr)
+    // pruning read only the probed cells, and the cells are complete
+    val all = Vectors.assignToCentroids(emb, "vec_id", centroids)
+    assert(probed.count() ==
+      all.filter(col("centroid_id").isin(1L, 3L)).count())
+    assert(probed.count() > 0 && probed.count() < all.count())
+  }
 }

@@ -207,6 +207,34 @@ object Vectors {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding near-duplicate PAIRS at scale: LSH-signature equi-self-join
+    * (only same-bucket pairs ever materialize), then exact cosine on just
+    * those collisions — the embedding twin of the text MinHash→LSH→verify
+    * pipeline, and the production alternative to [[nearestNeighborExact]]'s
+    * O(N²) baseline when the task is "find duplicate pairs", not "rank
+    * neighbors". Output: (vec_a, vec_b, cos), vec_a < vec_b, norms
+    * precomputed once per vector (never per pair).
+    *
+    * The candidate volume is Σ_buckets (bucket choose 2): the plane count
+    * dials bucket size (more planes → smaller buckets → fewer candidates,
+    * lower recall). A degenerate hot bucket (a spam cluster of
+    * near-identical vectors) is a skew key for AQE's skew-join splitting;
+    * a production run would cap bucket sizes before the join, like the
+    * fuzzy-matching token blocker.
+    */
+  def lshNeardupPairs(vectors: DataFrame, idCol: String,
+                      numPlanes: Int, dim: Int,
+                      vecCol: String = "embedding"): DataFrame = {
+    val sigs = vectors
+      .withColumn("sig", lshSignature(col(vecCol), numPlanes, dim))
+      .withColumn("_n", norm(col(vecCol)))
+    sigs.as("a").join(sigs.as("b").hint("shuffle_hash"),
+        col("a.sig") === col("b.sig") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        round(safeDiv(dot(col(s"a.$vecCol"), col(s"b.$vecCol")),
+          col("a._n") * col("b._n")), 6).as("cos"))
+  }
+
   /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is
     * the build-time assignment). Output: input columns + `centroid_id`,
     * ≤ nprobe rows per vector.

@@ -232,6 +232,30 @@ object VectorQueries {
        |WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 
+  val NeardupCos = 0.45
+
+  /** Embedding near-duplicate pairs at scale
+    * ([[Vectors.lshNeardupPairs]]): same-signature candidate pairs with
+    * exact cosine, flagged at the near-dup threshold. This is the
+    * embedding-dedup DECISION operator — `embedding_neardup` is its exact
+    * O(N²) recall baseline, this is the linear-ish shape that ships.
+    */
+  def embeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.fanOut(
+      Readers.table(spark, dir, "embeddings").select("vec_id", "embedding"))
+    Vectors.lshNeardupPairs(emb, "vec_id", LshPlanes, Dim)
+      .withColumn("near_dup", col("cos") >= lit(NeardupCos))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embeddingNeardupLshSql: String =
+    s"""WITH ${lshSigCte}
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${cosSql("a", "b")}, 6) AS cos,
+       |  round(${cosSql("a", "b")}, 6) >= $NeardupCos::DOUBLE AS near_dup
+       |FROM lsig a JOIN lsig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Recall@k of every ANN index against the brute-force ground truth —
     * THE number a user tunes nprobe / plane count by. One row per query:
     * hit counts and recall for IVF (nprobe=1), IVF (nprobe=2), and the
@@ -312,6 +336,7 @@ object VectorQueries {
     "ann_ivf_nprobe2" -> annIvfProbe2,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
+    "embedding_neardup_lsh" -> embeddingNeardupLsh,
     "ann_recall" -> annRecall,
     "embedding_neardup" -> embeddingNeardup
   )
@@ -322,6 +347,7 @@ object VectorQueries {
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_probe" -> annLshProbeSql,
+    "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_recall" -> annRecallSql,
     "embedding_neardup" -> embeddingNeardupSql
   )

@@ -36,6 +36,21 @@ object Curation {
     * All row-local column expressions: the filter is map-only and fuses
     * into the scan's codegen stage at any scale.
     */
+  /** The first-failing-rule reject reason (null = keep) as a bare column
+    * expression — shared by the batch [[qualityFilter]] and the streaming
+    * twin ([[graft.streaming.DocStreams]]) so the rule set cannot drift
+    * between the two.
+    */
+  def rejectReason(text: Column): Column = {
+    val w = split(text, " ")
+    val nTokens = size(w).cast("long")
+    val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
+    val stopR = round(TextStats.stopwordRatio(text), 6)
+    when(nTokens < MinTokens, lit("too_short"))
+      .when(ttr < MinTypeTokenRatio, lit("low_diversity"))
+      .when(stopR < MinStopwordRatio, lit("no_stopwords"))
+  }
+
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
     val t = col(textCol)
@@ -43,9 +58,7 @@ object Curation {
     val nTokens = size(w).cast("long")
     val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
     val stopR = round(TextStats.stopwordRatio(t), 6)
-    val reason = when(nTokens < MinTokens, lit("too_short"))
-      .when(ttr < MinTypeTokenRatio, lit("low_diversity"))
-      .when(stopR < MinStopwordRatio, lit("no_stopwords"))
+    val reason = rejectReason(t)
     docs.select(col(idCol), nTokens.as("n_tokens"), ttr.as("ttr"),
       stopR.as("stopword_ratio"), reason.isNull.as("keep"),
       reason.as("reject_reason"))

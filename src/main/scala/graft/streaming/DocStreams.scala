@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.ops.{Curation, TextStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation — the crawl-stream → training-ready-stream
+  * path: the batch [[graft.ops.Curation]] decisions applied to an
+  * unbounded document source. Callers supply any streaming DataFrame with
+  * (doc_id, text, ts: timestamp); `readStream` over parquet/kafka, or
+  * MemoryStream in tests.
+  *
+  * The quality rules are row-local column expressions (no state at all);
+  * dedup keys state by content fingerprint and EVICTS it at the watermark
+  * horizon, so state is bounded by (ingest rate × watermark) — the
+  * trade-off vs the batch corpus index is explicit: a duplicate arriving
+  * after the horizon passes through, and the periodic batch
+  * `dedup_incremental` against the persisted index is what catches it.
+  * That stream-filters-fast / batch-reconciles-fully split is the
+  * standard production arrangement.
+  */
+object DocStreams {
+
+  /** Quality-filtered stream: drops docs failing the shared
+    * [[Curation.rejectReason]] rule set (same first-failing-rule semantics
+    * as the batch `quality_filter`). Map-only — fuses into the source scan,
+    * no state store.
+    */
+  def qualityFiltered(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(Curation.rejectReason(col(textCol)).isNull)
+
+  /** Content-dedup'd stream: first doc with a given normalized fingerprint
+    * ([[TextStats.fingerprint]]) wins; duplicates arriving within the
+    * watermark horizon are dropped and seen-fingerprint state older than
+    * the horizon is evicted. The id-keyed twin is
+    * [[EventStreams.dedupEvents]]; keying on CONTENT is what makes this
+    * dedup rather than replay protection.
+    */
+  def dedupByFingerprint(docs: DataFrame, textCol: String = "text",
+                         watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", TextStats.fingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** The composed curation stream: quality filter, then content dedup —
+    * filter FIRST so rejected docs never enter the dedup state store.
+    */
+  def curated(docs: DataFrame, textCol: String = "text",
+              watermark: String = "2 hours"): DataFrame =
+    dedupByFingerprint(qualityFiltered(docs, textCol), textCol, watermark)
+}

@@ -25,6 +25,37 @@ object Curation {
   val MinTypeTokenRatio = 0.30
   val MinStopwordRatio = 0.02
 
+  /** Per-token quality signals from a BOUND word-array attribute (never an
+    * inline `split` — codegen does not CSE inside `when` branches, so an
+    * unbound split would re-tokenize the document once per rule; same
+    * lesson as [[TextDedup.shinglesFromWords]]).
+    */
+  private def nTokensOf(words: Column): Column = size(words).cast("long")
+  private def ttrOf(words: Column): Column =
+    round(size(array_distinct(words)).cast("double") / size(words), 6)
+  private def stopRatioOf(words: Column): Column =
+    round(size(filter(words, x => x.isin(TextStats.Stopwords: _*)))
+      .cast("double") / size(words), 6)
+
+  /** The first-failing-rule reject reason (null = keep) over a bound
+    * word-array attribute — shared by the batch [[qualityFilter]] and the
+    * streaming twin ([[graft.streaming.DocStreams]]) so the rule set
+    * cannot drift between the two. A NULL document is rejected outright
+    * (`empty`) — every downstream signal is undefined on it, and a
+    * null-text record is exactly the junk the filter exists to stop.
+    */
+  def rejectReasonFromWords(text: Column, words: Column): Column =
+    when(text.isNull, lit("empty"))
+      .when(nTokensOf(words) < MinTokens, lit("too_short"))
+      .when(ttrOf(words) < MinTypeTokenRatio, lit("low_diversity"))
+      .when(stopRatioOf(words) < MinStopwordRatio, lit("no_stopwords"))
+
+  /** Convenience single-expression form; hot paths should project
+    * `split(text, " ")` to an attribute and use [[rejectReasonFromWords]].
+    */
+  def rejectReason(text: Column): Column =
+    rejectReasonFromWords(text, split(text, " "))
+
   /** C4-style quality filter: per-document fluency/length/diversity
     * signals plus a keep decision with the FIRST failing rule as the
     * reject reason (rule order is part of the contract — downstream
@@ -34,34 +65,19 @@ object Curation {
     * tokens — low = repetitive boilerplate), core-stopword ratio (zero ≈
     * non-fluent or wrong-language text for an English-centric filter).
     * All row-local column expressions: the filter is map-only and fuses
-    * into the scan's codegen stage at any scale.
+    * into the scan's codegen stage at any scale. The word split is bound
+    * to an attribute once; the signals and the rule chain all read that
+    * one tokenization.
     */
-  /** The first-failing-rule reject reason (null = keep) as a bare column
-    * expression — shared by the batch [[qualityFilter]] and the streaming
-    * twin ([[graft.streaming.DocStreams]]) so the rule set cannot drift
-    * between the two.
-    */
-  def rejectReason(text: Column): Column = {
-    val w = split(text, " ")
-    val nTokens = size(w).cast("long")
-    val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
-    val stopR = round(TextStats.stopwordRatio(text), 6)
-    when(nTokens < MinTokens, lit("too_short"))
-      .when(ttr < MinTypeTokenRatio, lit("low_diversity"))
-      .when(stopR < MinStopwordRatio, lit("no_stopwords"))
-  }
-
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    val t = col(textCol)
-    val w = split(t, " ")
-    val nTokens = size(w).cast("long")
-    val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
-    val stopR = round(TextStats.stopwordRatio(t), 6)
-    val reason = rejectReason(t)
-    docs.select(col(idCol), nTokens.as("n_tokens"), ttr.as("ttr"),
-      stopR.as("stopword_ratio"), reason.isNull.as("keep"),
-      reason.as("reject_reason"))
+    val bound = docs.select(col(idCol), col(textCol).as("__t"),
+      split(col(textCol), " ").as("__w"))
+    val reason = rejectReasonFromWords(col("__t"), col("__w"))
+    bound.select(col(idCol), nTokensOf(col("__w")).as("n_tokens"),
+      ttrOf(col("__w")).as("ttr"),
+      stopRatioOf(col("__w")).as("stopword_ratio"),
+      reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
   /** Deterministic stratified-in-expectation train/val/test split:
@@ -111,9 +127,11 @@ object Curation {
 
   /** Incremental dedup — the every-crawl operation: drop incoming docs
     * that already exist in the corpus, exactly (normalized-content
-    * fingerprint, [[TextStats.fingerprint]]) or nearly (identical 16-bit
-    * SimHash, [[TextDedup.simhash]]). Exact match wins the reason when
-    * both fire.
+    * fingerprint, [[TextStats.fingerprint]]) or nearly (identical
+    * SimHash, [[TextDedup.simhash]] — use an INDEX-width signature, 48
+    * bits, not the 16-bit banding width: equality against a whole corpus
+    * saturates a small signature space and would false-drop everything).
+    * Exact match wins the reason when both fire.
     *
     * `incoming`/`corpus` must carry (idCol, fp, simhash) — build both
     * sides from ONE pass over the union'd corpus when they live in the

@@ -200,7 +200,15 @@ object TextDedup {
     */
   def jaccardFromShingleSet(shingleSet: DataFrame, pairs: DataFrame,
                             idCol: String): DataFrame = {
-    val members = pairs
+    // the intersection must count each pair's shingle matches exactly
+    // once: a duplicated (doc_a, doc_b) row would k-fold-inflate n_inter
+    // (and an inflated n_inter can zero the union denominator — an ANSI
+    // divide-by-zero). The distinct pair set drives the probes; the
+    // caller's original frame drives the output, so duplicate input pairs
+    // still yield duplicate (correct) output rows, as before the
+    // pair-driven rewrite.
+    val uniq = pairs.select("doc_a", "doc_b").distinct()
+    val members = uniq
       .select(explode(array(col("doc_a"), col("doc_b"))).as("jid")).distinct()
     val sh = shingleSet
       .withColumnRenamed(idCol, "jid")
@@ -210,7 +218,7 @@ object TextDedup {
     // pair-driven intersection: replicate each pair across doc_a's
     // shingles, then probe doc_b's set for matches — never a shingle-value
     // self-join, so a hot shingle cannot blow up the intermediate
-    val inter = pairs
+    val inter = uniq
       .join(sh.as("x").hint("shuffle_hash"), col("doc_a") === col("x.jid"))
       .join(sh.as("y").hint("shuffle_hash"),
         col("doc_b") === col("y.jid") && col("x.s") === col("y.s"))
@@ -317,24 +325,36 @@ object TextDedup {
 
   val SimhashBits = 16
 
-  /** 16-bit SimHash over the distinct word set: each word's md5 contributes
-    * ±1 per bit position; the signature bit is the sign of the sum. Near
+  /** SimHash over the distinct word set: each word's md5 contributes ±1
+    * per bit position; the signature bit is the sign of the sum. Near
     * duplicates differ in few bits (compare with hamming distance, or band
     * the bits for an LSH-style join).
+    *
+    * Width is the capacity dial: the default 16 bits suit banding /
+    * hamming comparison, but EQUALITY matching against a large corpus
+    * needs enough space that unrelated docs do not collide — a 16-bit
+    * space (65k values) saturates at ~10⁵ docs (birthday math), so the
+    * incremental-dedup index uses 48 bits (2.8·10¹⁴ — spurious-match
+    * probability ~n/2⁴⁸ per doc, negligible below ~10¹¹ docs). Capped at
+    * 56 so the positive bit sum always fits a signed 64-bit integer in
+    * every engine.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = SimhashBits): DataFrame = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 56,
+      s"simhash bits must be a positive multiple of 4, <= 56, got $bits")
     val words = graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("word"))
       .withColumn("hex", md5(col("word")))
-    val withDigits = (0 until SimhashBits / 4).foldLeft(words) { (df, p) =>
+    val withDigits = (0 until bits / 4).foldLeft(words) { (df, p) =>
       df.withColumn(s"d$p",
         expr(s"instr('0123456789abcdef', substring(hex, ${p + 1}, 1)) - 1"))
     }
-    val contribs = (0 until SimhashBits).map { j =>
+    val contribs = (0 until bits).map { j =>
       sum(expr(s"((d${j / 4} div ${1 << (j % 4)}) % 2) * 2 - 1")).as(s"c$j")
     }
     val sums = withDigits.groupBy(idCol).agg(contribs.head, contribs.tail: _*)
-    val sig = (0 until SimhashBits)
+    val sig = (0 until bits)
       .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col(idCol), sig.as("simhash"))

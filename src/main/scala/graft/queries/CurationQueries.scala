@@ -36,7 +36,8 @@ object CurationQueries {
        |),
        |ruled AS (
        |  SELECT doc_id, n_tokens, ttr, stopword_ratio,
-       |    CASE WHEN n_tokens < ${Curation.MinTokens} THEN 'too_short'
+       |    CASE WHEN n_tokens IS NULL THEN 'empty'
+       |         WHEN n_tokens < ${Curation.MinTokens} THEN 'too_short'
        |         WHEN ttr < ${Curation.MinTypeTokenRatio}::DOUBLE
        |           THEN 'low_diversity'
        |         WHEN stopword_ratio < ${Curation.MinStopwordRatio}::DOUBLE
@@ -101,9 +102,17 @@ object CurationQueries {
        |  (cum_tokens - n_tokens) // $ShardBudget AS shard
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  /** The dedup-index SimHash width: equality matching against a whole
+    * corpus needs a space unrelated docs cannot saturate — 48 bits, vs
+    * the 16 the banding/hamming queries use (see [[TextDedup.simhash]]'s
+    * width note; 16 bits saturate at ~10⁵ docs and would false-drop
+    * nearly every incoming doc at corpus scale).
+    */
+  val IndexSimhashBits = 48
+
   /** Incremental dedup: docs with `doc_id % 5 = 0` play the incoming
     * crawl batch, the rest the existing corpus; drop incoming docs whose
-    * normalized fingerprint (exact) or 16-bit SimHash (near) already
+    * normalized fingerprint (exact) or 48-bit SimHash (near) already
     * exists in the corpus ([[Curation.incrementalDedup]]). Fingerprints
     * and signatures are computed in ONE pass over the full table, then
     * split — not once per side.
@@ -112,7 +121,8 @@ object CurationQueries {
     val docs = Readers.table(spark, dir, "documents")
     val base = docs
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-      .join(TextDedup.simhash(docs, "doc_id", "text"), Seq("doc_id"))
+      .join(TextDedup.simhash(docs, "doc_id", "text", IndexSimhashBits),
+        Seq("doc_id"))
     Curation.incrementalDedup(
         base.filter(col("doc_id") % 5 === 0),
         base.filter(col("doc_id") % 5 =!= 0), "doc_id")
@@ -120,7 +130,7 @@ object CurationQueries {
   }
 
   val dedupIncrementalSql: String =
-    s"""WITH sims AS (${TextQueries.dedupSimhashSqlBody}),
+    s"""WITH sims AS (${TextQueries.simhashSqlBody(IndexSimhashBits)}),
        |base AS (
        |  SELECT d.doc_id,
        |    md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS fp,

@@ -137,15 +137,17 @@ object TextQueries {
     TextDedup.simhash(Readers.table(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** SimHash signature SQL without a final ORDER BY, reusable as a CTE. */
-  private[queries] val dedupSimhashSqlBody: String = {
-    val digits = (0 until TextDedup.SimhashBits / 4)
+  /** SimHash signature SQL without a final ORDER BY, reusable as a CTE;
+    * `bits` mirrors [[TextDedup.simhash]]'s width parameter.
+    */
+  private[queries] def simhashSqlBody(bits: Int): String = {
+    val digits = (0 until bits / 4)
       .map(p => s"strpos('0123456789abcdef', substr(md5(word), ${p + 1}, 1)) - 1 AS d$p")
       .mkString(",\n    ")
-    val contribs = (0 until TextDedup.SimhashBits)
+    val contribs = (0 until bits)
       .map(j => s"sum(((d${j / 4} // ${1 << (j % 4)}) % 2) * 2 - 1) AS c$j")
       .mkString(",\n    ")
-    val sig = (0 until TextDedup.SimhashBits)
+    val sig = (0 until bits)
       .map(j => s"CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""WITH words AS (
@@ -165,6 +167,9 @@ object TextQueries {
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
        |FROM sums""".stripMargin
   }
+
+  private[queries] val dedupSimhashSqlBody: String =
+    simhashSqlBody(TextDedup.SimhashBits)
 
   val dedupSimhashSql: String =
     s"$dedupSimhashSqlBody ORDER BY doc_id"

@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
 object DocStreams {
 
   /** Quality-filtered stream: drops docs failing the shared
-    * [[Curation.rejectReason]] rule set (same first-failing-rule semantics
-    * as the batch `quality_filter`). Map-only — fuses into the source scan,
-    * no state store.
+    * [[Curation.rejectReasonFromWords]] rule set (same first-failing-rule
+    * semantics as the batch `quality_filter`, including the NULL-text
+    * reject). Map-only — fuses into the source scan, no state store; the
+    * tokenization is bound to an attribute so the rule chain splits each
+    * document once.
     */
   def qualityFiltered(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.filter(Curation.rejectReason(col(textCol)).isNull)
+    docs.withColumn("__w", split(col(textCol), " "))
+      .filter(Curation.rejectReasonFromWords(col(textCol), col("__w")).isNull)
+      .drop("__w")
 
   /** Content-dedup'd stream: first doc with a given normalized fingerprint
     * ([[TextStats.fingerprint]]) wins; duplicates arriving within the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, AnalyticsExt, Core, CurationQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, AnalyticsExt, Core, CurationQueries, LayoutQueries, MultimodalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      MultimodalQueries.queries ++ CurationQueries.queries
+      MultimodalQueries.queries ++ CurationQueries.queries ++
+      LayoutQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracle ++ Analytics.oracle ++ AnalyticsExt.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
-      MultimodalQueries.oracle ++ CurationQueries.oracle
+      MultimodalQueries.oracle ++ CurationQueries.oracle ++
+      LayoutQueries.oracle
 }

@@ -24,7 +24,9 @@ object SparkSessions {
       // measured as the r2 join_left/join_salted "regression" (plans were
       // byte-identical to r1; the 36-query r1 suite mostly fit the cache).
       // A long-lived analytics session should size this to its working set.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // (env-overridable so cache-churn hypotheses are testable per run)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark

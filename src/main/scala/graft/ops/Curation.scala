@@ -158,6 +158,36 @@ object Curation {
           .when(col("c_sh").isNotNull, lit("near_dup")).as("drop_reason"))
   }
 
+  /** PII redaction patterns, applied in order (most-specific first so a
+    * later, looser pattern never eats part of an earlier entity — an email
+    * must be replaced before its digits could look like anything else).
+    * The regex subset is deliberately conservative — character classes,
+    * bounded repetition, `\b` — valid and IDENTICAL in Java regex (Spark)
+    * and RE2 (DuckDB, and the engines a policy team would lint these
+    * with); no lookarounds or backreferences, which RE2 rejects.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Text with every PII pattern replaced by its placeholder — a map-only
+    * column expression (three codegen'd regexp_replace passes), so
+    * redaction fuses into the scan stage at any scale.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-pattern match counts on the UNREDACTED text (audit trail: how
+    * much PII each document carried), as `n_<name>` columns.
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }
+
   /** Benchmark decontamination — per-candidate-document overlap of its
     * n-gram shingle set against a benchmark's shingle set: `n_hit / n_sh`,
     * flagged contaminated at `threshold`. This is the standard

@@ -29,4 +29,17 @@ object Sampling {
   def hashBucket(keyCol: Column, outOf: Int): Column =
     conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
       .cast("long") % outOf
+
+  /** Per-row weighted keep decision: bucket in [0, 10000) < `keepBps`
+    * (basis points, so a policy table can express rates down to 0.01%).
+    *
+    * This is the mixture-shaping primitive: `keepBps` usually arrives by
+    * joining a tiny per-domain policy table (broadcast), the decision
+    * itself is map-only, and — because the bucket is a pure function of
+    * the key — the SAME rows are kept on every run, engine, and appended
+    * re-run. Downsampling a 100 TB corpus to a declared domain mix is one
+    * scan, no shuffle.
+    */
+  def weightedKeep(keyCol: Column, keepBps: Column): Column =
+    hashBucket(keyCol, 10000) < keepBps
 }

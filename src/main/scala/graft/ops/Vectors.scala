@@ -235,6 +235,53 @@ object Vectors {
           col("a._n") * col("b._n")), 6).as("cos"))
   }
 
+  /** Product-quantization assignment: split each `dim`-dimensional vector
+    * into `m` contiguous subvectors and code each against a `k`-entry
+    * sub-codebook — the standard ANN memory-compression step (an IVF-PQ
+    * index stores the m small codes, ~m·log2(k) bits, instead of dim
+    * floats: 64 floats → 4 codes here). Output: (id, sub, code, err2) — one
+    * row per subspace with the chosen code and its squared L2 residual,
+    * the quantity PQ training minimizes and a pipeline monitors.
+    *
+    * Codebook: the subvectors of the first `k` seed rows (`id < k`), the
+    * same deterministic seeding the IVF centroids use — training a real
+    * codebook is k-means over exactly this assignment step iterated.
+    *
+    * Plan shape: vectors posexplode into m subvector rows (map-only,
+    * narrow); the codebook (m·k rows — tiny BY DEFINITION, that is the
+    * whole point of PQ) broadcasts; argmin per (id, sub) is a
+    * row_number window over the m·k candidates of each vector — bounded
+    * fan-out, no shuffle of the corpus beyond the window's hash partition
+    * on id. At 100 TB: same shape, codebook still tiny, scan still one
+    * pass.
+    *
+    * err2 = x·x − 2·x·c + c·c (rounded to 6; ties broken by code id) —
+    * each term the same sequential-fold dot both engines compute
+    * identically, so assignment is oracle-checkable.
+    */
+  def pqAssign(vectors: DataFrame, idCol: String, m: Int, k: Int, dim: Int,
+               vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    def subs(c: Column): Column =
+      array((0 until m).map(s => slice(c, s * subDim + 1, subDim)): _*)
+    val parts = vectors
+      .select(col(idCol), posexplode(subs(col(vecCol))).as(Seq("sub", "sv")))
+    val cents = vectors.filter(col(idCol) < k)
+      .select(col(idCol).as("code"),
+        posexplode(subs(col(vecCol))).as(Seq("sub", "cv")))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("err2"), col("code"))
+    parts.join(broadcast(cents), Seq("sub"))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"),
+        round(dot(col("sv"), col("sv"))
+          - lit(2.0) * dot(col("sv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6).as("err2"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is
     * the build-time assignment). Output: input columns + `centroid_id`,
     * ≤ nprobe rows per vector.

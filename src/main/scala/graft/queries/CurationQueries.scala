@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.etl.Readers
 import graft.ops.{Curation, TextDedup, TextStats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries over `documents` — the raw-crawl → training-set
@@ -183,17 +183,153 @@ object CurationQueries {
        |FROM tot t LEFT JOIN hit h USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** PII redaction ([[Curation.redactPii]]): per-document redacted text
+    * plus per-pattern counts. The synthetic corpus carries no PII, so the
+    * query first APPENDS deterministic doc_id-derived PII spans (email /
+    * phone / IPv4, each present for only some docs so the zero-count path
+    * is exercised too) — the injection is part of the query in BOTH
+    * engines, so the oracle genuinely checks the redaction regexes, not
+    * a no-op pass over clean text.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val raw = concat(
+      substring(col("text"), 1, 40),
+      when(d % 3 =!= 0,
+        concat(lit(" contact user"), s(d), lit("@mail"), s(d % 7), lit(".org")))
+        .otherwise(lit("")),
+      when(d % 4 =!= 0,
+        concat(lit(" call +1-"), lpad(s(d % 1000), 3, "0"), lit("-"),
+          lpad(s(d * 7 % 1000), 3, "0"), lit("-"),
+          lpad(s(d * 13 % 10000), 4, "0"))).otherwise(lit("")),
+      when(d % 5 =!= 0,
+        concat(lit(" from 10."), s(d % 256), lit("."), s(d * 3 % 256),
+          lit("."), s(d * 7 % 256))).otherwise(lit("")))
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select((col("doc_id") +: Curation.piiCounts(col("raw")))
+        :+ Curation.redactPii(col("raw")).as("redacted"): _*)
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val pats = Curation.PiiPatterns
+    val counts = pats.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(raw, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val redacted = pats.foldLeft("raw") { case (e, (_, pat, repl)) =>
+      s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 40)
+       |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id
+       |         || '@mail' || (doc_id % 7) || '.org' ELSE '' END
+       |    || CASE WHEN doc_id % 4 <> 0 THEN ' call +1-'
+       |         || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+       |         || lpad((doc_id * 7 % 1000)::VARCHAR, 3, '0') || '-'
+       |         || lpad((doc_id * 13 % 10000)::VARCHAR, 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 5 <> 0 THEN ' from 10.' || (doc_id % 256)
+       |         || '.' || (doc_id * 3 % 256) || '.' || (doc_id * 7 % 256)
+       |         ELSE '' END AS raw
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  $counts,
+       |  $redacted AS redacted
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Declared-mixture downsampling ([[graft.ops.Sampling.weightedKeep]]):
+    * a per-domain keep rate (basis points — here a CASE policy on the
+    * source id standing in for the joined policy table) drives a
+    * deterministic hash keep per doc; output is the per-source mixing
+    * ledger (total, kept, rate) a pipeline records for every mix run.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    val bps = when(suffix % 3 === 0, 10000L)
+      .when(suffix % 3 === 1, 5000L).otherwise(2000L)
+    Readers.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), bps.as("keep_bps"))
+      .withColumn("_keep",
+        graft.ops.Sampling.weightedKeep(col("doc_id"), col("keep_bps")))
+      .groupBy("source", "keep_bps")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val domainMixSql: String =
+    """SELECT source, keep_bps, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      |    % 10000 < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM (
+      |  SELECT source, doc_id,
+      |    CASE regexp_extract(source, '([0-9]+)', 1)::BIGINT % 3
+      |      WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 2000 END::BIGINT
+      |      AS keep_bps
+      |  FROM documents
+      |)
+      |GROUP BY source, keep_bps ORDER BY source""".stripMargin
+
+  val LenBucketWidth = 16L
+
+  /** Sequence-length bucketing — the batch-padding ledger: bucket docs by
+    * token count (fixed-width buckets), and per bucket report the doc
+    * count, real token total, and the padding waste if every doc were
+    * padded to the bucket cap. This is the histogram a training pipeline
+    * reads to pick packing strategy (pure padding vs concat-and-split):
+    * one map + one small aggregate, integer arithmetic end to end.
+    */
+  def lenBuckets(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("n_tokens"),
+        floor(col("n_tokens") / LenBucketWidth).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .select(col("bucket"),
+        ((col("bucket") + 1L) * LenBucketWidth).as("bucket_cap"),
+        col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * (col("bucket") + 1L) * LenBucketWidth
+          - col("sum_tokens")).as("pad_waste"))
+      .orderBy("bucket")
+
+  val lenBucketsSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT n_tokens // $LenBucketWidth AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT bucket, (bucket + 1) * $LenBucketWidth AS bucket_cap,
+       |  n_docs, sum_tokens,
+       |  n_docs * (bucket + 1) * $LenBucketWidth - sum_tokens AS pad_waste
+       |FROM g ORDER BY bucket NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filter" -> qualityFilter,
     "split_stratified" -> splitStratified,
     "shard_pack" -> shardPack,
     "dedup_incremental" -> dedupIncremental,
-    "decontaminate" -> decontaminate)
+    "decontaminate" -> decontaminate,
+    "pii_redact" -> piiRedact,
+    "domain_mix" -> domainMix,
+    "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
     "quality_filter" -> qualityFilterSql,
     "split_stratified" -> splitStratifiedSql,
     "shard_pack" -> shardPackSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "decontaminate" -> decontaminateSql)
+    "decontaminate" -> decontaminateSql,
+    "pii_redact" -> piiRedactSql,
+    "domain_mix" -> domainMixSql,
+    "len_buckets" -> lenBucketsSql)
 }

@@ -330,6 +330,51 @@ object VectorQueries {
        |LEFT JOIN h3 USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  val PqSubspaces = 4
+  val PqCodebook = 4
+
+  /** Product-quantization codes + per-subspace squared residual
+    * ([[Vectors.pqAssign]]): 64 floats → 4 codebook ids per vector, the
+    * memory-compression layer an IVF-PQ index stores instead of raw
+    * vectors.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Vectors.pqAssign(
+        Readers.fanOut(Readers.table(spark, dir, "embeddings")
+          .select("vec_id", "embedding")),
+        "vec_id", PqSubspaces, PqCodebook, Dim)
+      .orderBy("vec_id", "sub")
+
+  val pqCodesSql: String = {
+    val subDim = Dim / PqSubspaces
+    def dotSql(a: String, b: String) = s"list_dot_product($a, $b)"
+    s"""WITH subs AS (SELECT unnest(range($PqSubspaces)) AS sub),
+       |parts AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(embedding, sub * $subDim + 1,
+       |      sub * $subDim + $subDim)::DOUBLE[] AS sv
+       |  FROM embeddings, subs
+       |),
+       |cents AS (
+       |  SELECT vec_id AS code, sub,
+       |    list_slice(embedding, sub * $subDim + 1,
+       |      sub * $subDim + $subDim)::DOUBLE[] AS cv
+       |  FROM embeddings, subs WHERE vec_id < $PqCodebook
+       |),
+       |scored AS (
+       |  SELECT p.vec_id, p.sub, c.code,
+       |    round(${dotSql("p.sv", "p.sv")} - 2.0::DOUBLE * ${dotSql("p.sv", "c.cv")}
+       |      + ${dotSql("c.cv", "c.cv")}, 6) AS err2,
+       |    row_number() OVER (PARTITION BY p.vec_id, p.sub
+       |      ORDER BY round(${dotSql("p.sv", "p.sv")}
+       |        - 2.0::DOUBLE * ${dotSql("p.sv", "c.cv")}
+       |        + ${dotSql("c.cv", "c.cv")}, 6), c.code) AS rn
+       |  FROM parts p JOIN cents c USING (sub)
+       |)
+       |SELECT vec_id, sub, code, err2 FROM scored WHERE rn = 1
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
@@ -338,6 +383,7 @@ object VectorQueries {
     "ann_lsh_probe" -> annLshProbe,
     "embedding_neardup_lsh" -> embeddingNeardupLsh,
     "ann_recall" -> annRecall,
+    "pq_codes" -> pqCodes,
     "embedding_neardup" -> embeddingNeardup
   )
 
@@ -349,6 +395,7 @@ object VectorQueries {
     "ann_lsh_probe" -> annLshProbeSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_recall" -> annRecallSql,
+    "pq_codes" -> pqCodesSql,
     "embedding_neardup" -> embeddingNeardupSql
   )
 }

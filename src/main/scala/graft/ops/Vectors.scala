@@ -249,19 +249,25 @@ object Vectors {
     *
     * Plan shape: vectors posexplode into m subvector rows (map-only,
     * narrow); the codebook (m·k rows — tiny BY DEFINITION, that is the
-    * whole point of PQ) broadcasts; argmin per (id, sub) is a
-    * row_number window over the m·k candidates of each vector — bounded
-    * fan-out, no shuffle of the corpus beyond the window's hash partition
-    * on id. At 100 TB: same shape, codebook still tiny, scan still one
-    * pass.
+    * whole point of PQ) broadcasts; argmin per (id, sub) packs
+    * (rounded err2, code) into one long and takes `min(long)` — a
+    * HashAggregate with MAP-SIDE partial aggregation, so each task ships
+    * one row per local (vec, sub), never the k candidate rows (the same
+    * packed-argmax shape as [[nearestNeighborExact]]; a ranked window
+    * would sort the k-replicated corpus instead). At 100 TB: same shape,
+    * codebook still tiny, scan still one pass.
     *
-    * err2 = x·x − 2·x·c + c·c (rounded to 6; ties broken by code id) —
-    * each term the same sequential-fold dot both engines compute
-    * identically, so assignment is oracle-checkable.
+    * err2 = x·x − 2·x·c + c·c (rounded to 6 via the floor half-up that
+    * decodes to the same double as `round(…, 6)`; ties broken by code
+    * id) — each term the same sequential-fold dot both engines compute
+    * identically, so assignment is oracle-checkable. Squared residuals
+    * are ≥ 0 up to FP noise and bounded by the embedding scale, so the
+    * ×1e6 key plus a codebook id < 1000 fits a long with ~2^33 headroom.
     */
   def pqAssign(vectors: DataFrame, idCol: String, m: Int, k: Int, dim: Int,
                vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(k <= 1000, s"codebook size $k exceeds the packed-key id space")
     val subDim = dim / m
     def subs(c: Column): Column =
       array((0 until m).map(s => slice(c, s * subDim + 1, subDim)): _*)
@@ -270,16 +276,24 @@ object Vectors {
     val cents = vectors.filter(col(idCol) < k)
       .select(col(idCol).as("code"),
         posexplode(subs(col(vecCol))).as(Seq("sub", "cv")))
-    val w = Window.partitionBy(col(idCol), col("sub"))
-      .orderBy(col("err2"), col("code"))
+    // the three dots are bound to one projected attribute before the key
+    // is built (codegen does not CSE across the floor/cast chain)
+    val err2 = col("_d2")
+    val pack = floor(err2 * 1e6 + 0.5).cast("long") * 1000L + col("code")
     parts.join(broadcast(cents), Seq("sub"))
-      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"),
-        round(dot(col("sv"), col("sv"))
+      .select(col(idCol), col("sub"), col("code"),
+        (dot(col("sv"), col("sv"))
           - lit(2.0) * dot(col("sv"), col("cv"))
-          + dot(col("cv"), col("cv")), 6).as("err2"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+          + dot(col("cv"), col("cv"))).as("_d2"))
+      .select(col(idCol), col("sub"), pack.as("_pack"))
+      .groupBy(col(idCol), col("sub").cast("long").as("sub"))
+      .agg(min("_pack").as("_p"))
+      .select(col(idCol), col("sub"),
+        (col("_p") % 1000L).as("code"),
+        // integer-div first (shift the code digits off), THEN the /1e6
+        // decode — a fused double division would leak code/1e9 into err2
+        (((col("_p") - col("_p") % 1000L) / 1000L).cast("double") / 1e6)
+          .as("err2"))
   }
 
   /** The `nprobe` nearest centroids per vector (IVF probe list; nprobe=1 is

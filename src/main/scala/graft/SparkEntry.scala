@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, AnalyticsExt, Core, CurationQueries, LayoutQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, AnalyticsExt, BehaviorQueries, Core, CurationQueries, LayoutQueries, MultimodalQueries, SearchQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Core.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       MultimodalQueries.queries ++ CurationQueries.queries ++
-      LayoutQueries.queries
+      LayoutQueries.queries ++ BehaviorQueries.queries ++
+      SearchQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     Core.oracle ++ Analytics.oracle ++ AnalyticsExt.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
       MultimodalQueries.oracle ++ CurationQueries.oracle ++
-      LayoutQueries.oracle
+      LayoutQueries.oracle ++ BehaviorQueries.oracle ++
+      SearchQueries.oracle
 }

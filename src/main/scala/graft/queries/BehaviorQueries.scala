@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.Behavior
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics queries over `events`: ordered funnel, cohort
+  * retention, last-touch attribution, z-score outliers. Each has a DuckDB
+  * oracle spelled with the same window frames; timestamps travel as
+  * epoch-micros BIGINTs (exact in both engines).
+  */
+object BehaviorQueries {
+
+  val FunnelSteps = Seq("view", "click", "purchase")
+  val TouchTypes  = Seq("click", "error", "signup", "view")
+
+  /** Per-user ordered funnel view → click → purchase: first qualifying
+    * micros per step + depth. "Ordered" = each step strictly after a
+    * qualifying previous step in (ts, event_id) stream order.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        FunnelSteps)
+      .orderBy("user_id")
+
+  private val beforeFrame =
+    """PARTITION BY user_id ORDER BY us, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING""".stripMargin
+
+  val funnelConversionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |),
+       |q0 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(0)}' THEN us END AS qual_0
+       |  FROM e
+       |),
+       |q1 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(1)}' AND
+       |      min(qual_0) OVER ($beforeFrame) IS NOT NULL
+       |    THEN us END AS qual_1
+       |  FROM q0
+       |),
+       |q2 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(2)}' AND
+       |      min(qual_1) OVER ($beforeFrame) IS NOT NULL
+       |    THEN us END AS qual_2
+       |  FROM q1
+       |)
+       |SELECT user_id,
+       |  CAST(min(qual_0) AS BIGINT) AS step1_us,
+       |  CAST(min(qual_1) AS BIGINT) AS step2_us,
+       |  CAST(min(qual_2) AS BIGINT) AS step3_us,
+       |  CAST(CASE WHEN min(qual_2) IS NOT NULL THEN 3
+       |            WHEN min(qual_1) IS NOT NULL THEN 2
+       |            WHEN min(qual_0) IS NOT NULL THEN 1
+       |            ELSE 0 END AS INT) AS depth
+       |FROM q2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Weekly cohort retention triangle: (first-event week, week offset) →
+    * distinct active users.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(Readers.events(spark, dir),
+        col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset")
+
+  val cohortRetentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    date_trunc('week', min(CAST(ts AS TIMESTAMP))
+      |      OVER (PARTITION BY user_id)) AS cohort_week,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+      |  FROM events
+      |)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7
+      |       AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Last-touch attribution: each purchase attributed to the user's most
+    * recent preceding non-purchase event (packed-long window argmax).
+    */
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame =
+    Behavior.lastTouchAttribution(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        conversionType = "purchase", touchTypes = TouchTypes)
+      .orderBy("event_id")
+
+  val attributionLastTouchSql: String = {
+    val code = TouchTypes.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
+    val decode = TouchTypes.zipWithIndex
+      .map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |),
+       |p AS (
+       |  SELECT *,
+       |    max(CASE WHEN event_type <> 'purchase'
+       |        THEN us * 8 + (CASE event_type $code END) END)
+       |      OVER ($beforeFrame) AS prev_packed
+       |  FROM e
+       |)
+       |SELECT event_id, user_id, us AS purchase_us,
+       |  CASE prev_packed % 8 $decode END AS attr_type,
+       |  CAST(prev_packed // 8 AS BIGINT) AS attr_us
+       |FROM p WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  }
+
+  val OutlierThreshold = 2.5
+
+  /** Per-event-type z-score outliers on `value` (|z| > 2.5, z rounded
+    * before thresholding so both engines make the same keep decision).
+    */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame =
+    Behavior.zScoreOutliers(
+        Readers.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"), OutlierThreshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value_r"), col("z"))
+      .orderBy("event_id")
+
+  val outlierZscoreSql: String =
+    s"""WITH s AS (
+       |  SELECT event_id, event_type, value,
+       |    round((value - avg(value) OVER (PARTITION BY event_type))
+       |          / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+       |  FROM events
+       |)
+       |SELECT event_id, event_type, round(value, 6) AS value_r, z
+       |FROM s WHERE abs(z) > $OutlierThreshold ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion" -> funnelConversion,
+    "cohort_retention" -> cohortRetention,
+    "attribution_last_touch" -> attributionLastTouch,
+    "outlier_zscore" -> outlierZscore)
+
+  val oracle: Map[String, String] = Map(
+    "funnel_conversion" -> funnelConversionSql,
+    "cohort_retention" -> cohortRetentionSql,
+    "attribution_last_touch" -> attributionLastTouchSql,
+    "outlier_zscore" -> outlierZscoreSql)
+}

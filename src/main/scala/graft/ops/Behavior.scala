@@ -131,6 +131,55 @@ object Behavior {
         expr("prev_packed DIV 8").as("attr_us"))
   }
 
+  /** Slowly-changing-dimension (type 2) build from an event stream: per
+    * key, collapse consecutive same-state events into versioned validity
+    * intervals `[valid_from_us, valid_to_us)` (null `valid_to_us` = the
+    * current version). The warehouse op that turns a change log into a
+    * point-in-time-joinable dimension.
+    *
+    * Shape: one exchange on the key feeds three same-spec window ops
+    * (change detection via `lag`, then `lead` + `row_number` over the
+    * surviving change rows — Catalyst plans one sort, the second window
+    * reuses the partitioning). No self-joins; at 100 TB this is the only
+    * shuffle and it is the unavoidable one (per-key ordering).
+    */
+  def scd2(events: DataFrame, key: Column, ts: Column, tieBreak: Column,
+           state: Column): DataFrame = {
+    val base = events.select(key.as("k"), unix_micros(ts).as("us"),
+      tieBreak.as("tb"), state.as("state"))
+    val stream = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+    val changes = base
+      .withColumn("prev", lag(col("state"), 1).over(stream))
+      // null-safe inequality: the first event (prev = null) opens version 1
+      .filter(!(col("state") <=> col("prev")))
+    changes
+      .withColumn("version", row_number().over(stream).cast("long"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(stream))
+      .select(col("k"), col("version"), col("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** First-order Markov transition matrix over an event stream: for each
+    * ordered pair of consecutive event states within a key, the transition
+    * count and the row-normalized probability. The `lag` is one keyed
+    * window (the same single unavoidable shuffle as [[scd2]]); the
+    * (from, to) aggregate map-side combines down to |states|² rows, so the
+    * matrix costs one more (tiny) exchange regardless of input size.
+    */
+  def markovTransitions(events: DataFrame, key: Column, ts: Column,
+                        tieBreak: Column, state: Column): DataFrame = {
+    val stream = Window.partitionBy(col("k")).orderBy(col("us"), col("tb"))
+    events.select(key.as("k"), unix_micros(ts).as("us"), tieBreak.as("tb"),
+        state.as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(stream))
+      .filter(col("from_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_state"))), 6))
+  }
+
   /** Per-group z-score outliers: rows whose value is more than `threshold`
     * sample standard deviations from their group mean. Group stats come
     * from whole-partition windows (one shuffle on the group key); the

@@ -139,15 +139,69 @@ object BehaviorQueries {
        |SELECT event_id, event_type, round(value, 6) AS value_r, z
        |FROM s WHERE abs(z) > $OutlierThreshold ORDER BY event_id""".stripMargin
 
+  /** SCD-type-2 dimension build: per user, versioned event-type validity
+    * intervals (consecutive same-type events collapse into one version).
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    Behavior.scd2(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumnRenamed("k", "user_id")
+      .orderBy("user_id", "version")
+
+  val scd2BuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    event_type AS state
+      |  FROM events
+      |),
+      |ch AS (
+      |  SELECT * FROM (
+      |    SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |    FROM e)
+      |  WHERE state IS DISTINCT FROM prev
+      |)
+      |SELECT user_id, version, state, valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
+      |    us AS valid_from_us, lead(us) OVER w AS valid_to_us
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |ORDER BY user_id, version""".stripMargin
+
+  /** First-order Markov transition matrix of event types per user stream. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    Behavior.markovTransitions(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("from_state", "to_state")
+
+  val markovTransitionsSql: String =
+    """WITH l AS (
+      |  SELECT event_type AS to_state,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS from_state
+      |  FROM events
+      |)
+      |SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+      |  round(count(*) / (sum(count(*)) OVER (PARTITION BY from_state))::DOUBLE,
+      |    6) AS p
+      |FROM l WHERE from_state IS NOT NULL
+      |GROUP BY from_state, to_state ORDER BY from_state, to_state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> funnelConversion,
     "cohort_retention" -> cohortRetention,
     "attribution_last_touch" -> attributionLastTouch,
-    "outlier_zscore" -> outlierZscore)
+    "outlier_zscore" -> outlierZscore,
+    "scd2_build" -> scd2Build,
+    "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
     "funnel_conversion" -> funnelConversionSql,
     "cohort_retention" -> cohortRetentionSql,
     "attribution_last_touch" -> attributionLastTouchSql,
-    "outlier_zscore" -> outlierZscoreSql)
+    "outlier_zscore" -> outlierZscoreSql,
+    "scd2_build" -> scd2BuildSql,
+    "markov_transitions" -> markovTransitionsSql)
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.TextModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus statistical-model queries over `documents`: Gopher-style n-gram
+  * repetition signals and bigram-LM (perplexity-filter) document scoring.
+  * Oracles spell the same integer-count arithmetic; only the final
+  * divisions/logs are floating point, rounded to 6 in both engines.
+  */
+object TextModelQueries {
+
+  /** Per-doc repetition quality signals. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TextModel.repetitionStats(
+        Readers.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private def gramCte(n: Int, name: String): String = {
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""$name AS (
+       |  SELECT doc_id, g, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      unnest([$gram for i in range(1, greatest(len(w) - ${n - 2}, 1))]) AS g
+       |    FROM t)
+       |  GROUP BY doc_id, g
+       |)""".stripMargin
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |${gramCte(2, "bgc")},
+       |${gramCte(3, "tgc")},
+       |bgs AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot, max(c) AS top,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup
+       |  FROM bgc GROUP BY doc_id),
+       |tgs AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup
+       |  FROM tgc GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  round(bgs.top / bgs.tot::DOUBLE, 6) AS top_bigram_frac,
+       |  round(bgs.dup / bgs.tot::DOUBLE, 6) AS dup_bigram_frac,
+       |  round(tgs.dup / tgs.tot::DOUBLE, 6) AS dup_trigram_frac
+       |FROM t LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Bigram-LM document scores (add-one smoothing, corpus-trained). */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextModel.bigramLmScore(
+        Readers.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val ngramLmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, string_split(g, chr(9))[1] AS w1,
+      |    string_split(g, chr(9))[2] AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([w[i] || chr(9) || w[i+1]
+      |              for i in range(1, greatest(len(w), 1))]) AS g
+      |    FROM t)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1  AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |v   AS (SELECT count(DISTINCT t2.t)::DOUBLE AS v
+      |        FROM (SELECT unnest(w) AS t FROM t) t2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp,
+      |  round(exp(-round(avg(ln((c12 + 1.0) / (c1 + v))), 6)), 4) AS ppl
+      |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_stats" -> repetitionStats,
+    "ngram_lm_score" -> ngramLmScore)
+
+  val oracle: Map[String, String] = Map(
+    "repetition_stats" -> repetitionStatsSql,
+    "ngram_lm_score" -> ngramLmScoreSql)
+}

@@ -38,6 +38,42 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("scd2: consecutive same-state events collapse into versions") {
+    val df = events(
+      // user 1: A A B A → A[1,3) B[3,4) A[4,∞)
+      (1L, 1L, 1L, "A"), (2L, 1L, 2L, "A"), (3L, 1L, 3L, "B"),
+      (4L, 1L, 4L, "A"),
+      // user 2: single event → one open version
+      (5L, 2L, 7L, "B"))
+    val out = Behavior.scd2(df, col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .select("k", "version", "state", "valid_from_us", "valid_to_us",
+        "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 1L, "A", 1000000L, Some(3000000L), false),
+      (1L, 2L, "B", 3000000L, Some(4000000L), false),
+      (1L, 3L, "A", 4000000L, None, true),
+      (2L, 1L, "B", 7000000L, None, true)))
+  }
+
+  test("markov: transition counts and row-normalized probabilities") {
+    val df = events(
+      // user 1: A→B, B→A, A→A ; user 2: A→B
+      (1L, 1L, 1L, "A"), (2L, 1L, 2L, "B"), (3L, 1L, 3L, "A"),
+      (4L, 1L, 4L, "A"),
+      (5L, 2L, 1L, "A"), (6L, 2L, 2L, "B"))
+    val out = Behavior.markovTransitions(df, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .select("from_state", "to_state", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    // from A: A→B twice, A→A once (p 2/3, 1/3); from B: B→A once (p 1)
+    assert(out == Set(
+      ("A", "B", 2L, 0.666667), ("A", "A", 1L, 0.333333),
+      ("B", "A", 1L, 1.0)))
+  }
+
   test("funnel: simultaneous events resolve by tiebreak order") {
     // same ts: event_id order makes view precede click precede purchase
     val df = events(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, AnalyticsExt, BehaviorQueries, Core, CurationQueries, LayoutQueries, MultimodalQueries, SearchQueries, TextModelQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, AnalyticsExt, BehaviorQueries, Core, CurationQueries, LayoutQueries, MultimodalQueries, QualityQueries, SearchQueries, TextModelQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++
       MultimodalQueries.queries ++ CurationQueries.queries ++
       LayoutQueries.queries ++ BehaviorQueries.queries ++
-      SearchQueries.queries ++ TextModelQueries.queries
+      SearchQueries.queries ++ TextModelQueries.queries ++
+      QualityQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       TextQueries.oracle ++ VectorQueries.oracle ++
       MultimodalQueries.oracle ++ CurationQueries.oracle ++
       LayoutQueries.oracle ++ BehaviorQueries.oracle ++
-      SearchQueries.oracle ++ TextModelQueries.oracle
+      SearchQueries.oracle ++ TextModelQueries.oracle ++
+      QualityQueries.oracle
 }

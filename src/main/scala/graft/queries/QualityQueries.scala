@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.Quality
+import graft.ops.Quality.RowCheck
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse reliability queries: the data-quality suite over the TPC-H-ish
+  * tables and a CDC upsert of an orders-derived change feed into customer.
+  * Oracles spell the identical checks/merge in portable SQL.
+  */
+object QualityQueries {
+
+  val OrderStatuses = Seq("F", "O", "P")
+
+  /** Full DQ suite: row-level checks ride one aggregate pass per table;
+    * uniqueness and referential integrity use their own minimal shapes.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Readers.table(spark, dir, "orders")
+    val lineitem = Readers.table(spark, dir, "lineitem")
+    val customer = Readers.table(spark, dir, "customer")
+    val results = Seq(
+      Quality.rowChecks(orders, Seq(
+        RowCheck("orders_custkey_not_null", col("o_custkey").isNull),
+        RowCheck("orders_status_accepted",
+          !col("o_orderstatus").isin(OrderStatuses: _*)),
+        RowCheck("orders_totalprice_positive", col("o_totalprice") <= 0.0))),
+      Quality.rowChecks(lineitem, Seq(
+        RowCheck("lineitem_discount_range",
+          col("l_discount") < 0.0 || col("l_discount") > 1.0),
+        RowCheck("lineitem_quantity_positive", col("l_quantity") <= 0.0),
+        RowCheck("lineitem_tax_nonnegative", col("l_tax") < 0.0))),
+      Quality.uniquenessCheck(orders, "orders_orderkey_unique",
+        Seq(col("o_orderkey"))),
+      Quality.uniquenessCheck(lineitem, "lineitem_line_unique",
+        Seq(col("l_orderkey"), col("l_linenumber"))),
+      Quality.referentialCheck(lineitem, col("l_orderkey"),
+        orders, col("o_orderkey"), "lineitem_orderkey_fk"),
+      Quality.referentialCheck(orders, col("o_custkey"),
+        customer, col("c_custkey"), "orders_custkey_fk"))
+    Quality.suite(results).orderBy("check_name")
+  }
+
+  val dqChecksSql: String = {
+    val statuses = OrderStatuses.map(s => s"'$s'").mkString(", ")
+    def row(name: String, table: String, fails: String) =
+      s"""SELECT '$name' AS check_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $fails THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+         |  sum(CASE WHEN $fails THEN 1 ELSE 0 END) = 0 AS pass
+         |FROM $table""".stripMargin
+    def uniq(name: String, table: String, keys: String) =
+      s"""SELECT '$name' AS check_name, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_failed,
+         |  sum(CASE WHEN n > 1 THEN n ELSE 0 END) = 0 AS pass
+         |FROM (SELECT count(*) AS n FROM $table GROUP BY $keys)""".stripMargin
+    def fk(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS check_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+         |    WHERE $ck NOT IN (SELECT $pk FROM $parent)) AS n_failed,
+         |  (SELECT count(*) FROM $child
+         |    WHERE $ck NOT IN (SELECT $pk FROM $parent)) = 0 AS pass""".stripMargin
+    Seq(
+      row("orders_custkey_not_null", "orders", "o_custkey IS NULL"),
+      row("orders_status_accepted", "orders",
+        s"o_orderstatus NOT IN ($statuses)"),
+      row("orders_totalprice_positive", "orders", "o_totalprice <= 0.0"),
+      row("lineitem_discount_range", "lineitem",
+        "l_discount < 0.0 OR l_discount > 1.0"),
+      row("lineitem_quantity_positive", "lineitem", "l_quantity <= 0.0"),
+      row("lineitem_tax_nonnegative", "lineitem", "l_tax < 0.0"),
+      uniq("orders_orderkey_unique", "orders", "o_orderkey"),
+      uniq("lineitem_line_unique", "lineitem", "l_orderkey, l_linenumber"),
+      fk("lineitem_orderkey_fk", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fk("orders_custkey_fk", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+  }
+
+  /** The deterministic change feed for the upsert demo, derived purely from
+    * `orders`: per customer the LATEST order (o_orderdate desc, o_orderkey
+    * desc) proposes a new account balance; orders whose key is ≡0 mod 101
+    * additionally propose an INSERT at key `o_custkey + 10_000_000` (a
+    * range no base customer occupies).
+    */
+  def changeFeed(orders: DataFrame): DataFrame = {
+    val updates = orders.select(
+      col("o_custkey").as("c_custkey"),
+      round(col("o_totalprice"), 2).as("c_acctbal"),
+      col("o_orderdate"), col("o_orderkey"))
+    val inserts = orders.filter(col("o_orderkey") % 101 === 0).select(
+      (col("o_custkey") + 10000000L).as("c_custkey"),
+      round(col("o_totalprice"), 2).as("c_acctbal"),
+      col("o_orderdate"), col("o_orderkey"))
+      .withColumn("c_name", concat(lit("NEW#"), col("c_custkey")))
+      .withColumn("c_mktsegment", lit("NEW"))
+    updates.unionByName(inserts, allowMissingColumns = true)
+  }
+
+  /** CDC upsert: the change feed merged into customer. Customers with
+    * orders get their latest order's total as the new balance (`update`),
+    * untouched customers pass through (`keep`), out-of-range keys append
+    * (`insert`).
+    */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    Quality.upsertLatest(base, changeFeed(Readers.table(spark, dir, "orders")),
+        key = "c_custkey",
+        version = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        payload = Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  val cdcUpsertSql: String =
+    """WITH feed AS (
+      |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS c_acctbal,
+      |    NULL AS c_name, NULL AS c_mktsegment, o_orderdate, o_orderkey
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey + 10000000 AS c_custkey, round(o_totalprice, 2),
+      |    'NEW#' || (o_custkey + 10000000), 'NEW', o_orderdate, o_orderkey
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |),
+      |latest AS (
+      |  SELECT c_custkey, c_acctbal, c_name, c_mktsegment FROM feed
+      |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |)
+      |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+      |  COALESCE(c.c_name, b.c_name) AS c_name,
+      |  round(COALESCE(c.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+      |  COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |  CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+      |         THEN 'update'
+      |       WHEN c.c_custkey IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS action
+      |FROM customer b FULL OUTER JOIN latest c ON b.c_custkey = c.c_custkey
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks,
+    "cdc_upsert" -> cdcUpsert)
+
+  val oracle: Map[String, String] = Map(
+    "dq_checks" -> dqChecksSql,
+    "cdc_upsert" -> cdcUpsertSql)
+}

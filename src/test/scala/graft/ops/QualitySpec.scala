@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.ops.Quality.RowCheck
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rowChecks: one aggregate pass, one result row per check") {
+    val df = Seq((1L, 10.0, "F"), (2L, -5.0, "O"), (3L, 0.0, "X"))
+      .toDF("id", "price", "status")
+    val out = Quality.rowChecks(df, Seq(
+        RowCheck("price_positive", col("price") <= 0.0),
+        RowCheck("status_accepted", !col("status").isin("F", "O"))))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("price_positive", 3L, 2L, false),
+      ("status_accepted", 3L, 1L, false)))
+  }
+
+  test("uniquenessCheck counts all rows of a duplicated key") {
+    val df = Seq(1L, 2L, 2L, 2L, 3L).toDF("k")
+    val out = Quality.uniquenessCheck(df, "k_unique", Seq(col("k")))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(out == ("k_unique", 5L, 3L, false))
+  }
+
+  test("referentialCheck counts orphan child rows") {
+    val child = Seq(1L, 1L, 2L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.referentialCheck(child, col("ck"), parent, col("pk"),
+        "fk").as[(String, Long, Long, Boolean)].head()
+    assert(out == ("fk", 4L, 1L, false))
+  }
+
+  test("upsertLatest: latest change wins; insert/update/keep actions") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, 111.0, 1L), (1L, 999.0, 2L), // v2 wins for key 1
+      (3L, 30.0, 1L))                   // new key → insert
+      .toDF("k", "bal", "v")
+    val out = Quality.upsertLatest(base, changes, "k",
+        version = Seq(col("v").desc), payload = Seq("name", "bal"))
+      .as[(Long, Option[String], Double, String)].collect().toSet
+    assert(out == Set(
+      (1L, Some("a"), 999.0, "update"),
+      (2L, Some("b"), 20.0, "keep"),
+      (3L, None, 30.0, "insert")))
+  }
+
+  test("dq suite over testdata: clean checks pass, the dirty one reports") {
+    val out = graft.queries.QualityQueries
+      .dqChecks(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length == 10)
+    // the synthetic lineitem deliberately reuses (l_orderkey, l_linenumber)
+    // — the suite must SURFACE that, not hide it
+    val (dirty, clean) = out.partition(_._1 == "lineitem_line_unique")
+    assert(dirty.head._3 > 0 && !dirty.head._4)
+    assert(clean.forall(_._4), s"failing: ${clean.filterNot(_._4).toSeq}")
+  }
+}

@@ -14,6 +14,30 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profiling {
 
+  /** Pairwise Pearson correlations of `cols`, all from ONE aggregation
+    * pass (n·(n-1)/2 parallel `corr` aggregates — each a constant-size
+    * co-moment state, map-side combined; the scan dominates, as it
+    * should). The 1-row aggregate is unpivoted in-plan via explode of a
+    * struct array — rows never move for the reshape. Correlations are
+    * rounded to 6 decimals: the co-moment merge order varies with
+    * partitioning, so the raw last ULP is not reproducible — the rounded
+    * value is.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__$b").as("pearson_r"))
+    }
+    one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Per-column profile: (column, n_nulls, n_distinct, min_num, max_num) —
     * numeric min/max as double, null for non-numeric columns. Exact
     * distinct counts (`count(DISTINCT col)` per column in one aggregate —

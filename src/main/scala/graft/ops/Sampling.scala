@@ -30,6 +30,22 @@ object Sampling {
     conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
       .cast("long") % outOf
 
+  /** Weighted-sampling priority (exponential race): score =
+    * -ln(u) / weight with u the key's md5-derived uniform in (0,1). The
+    * minimum of Exp(wᵢ) variables lands on item i with probability
+    * wᵢ/Σw, so ascending-score top-k IS weighted sampling without
+    * replacement (the A-ES ordering) — and, being a pure function of the
+    * key, the same k rows come back on every run and engine.
+    *
+    * Top-k by this score is a TakeOrdered (per-partition heap, k rows to
+    * the driver) — no global sort, no shuffle of the data.
+    */
+  def weightedPriority(keyCol: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    -log(u) / weight
+  }
+
   /** Per-row weighted keep decision: bucket in [0, 10000) < `keepBps`
     * (basis points, so a policy table can express rates down to 0.01%).
     *

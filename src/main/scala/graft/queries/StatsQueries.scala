@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.{Profiling, Sampling, Skyline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical / optimization queries: Pareto frontier, correlation
+  * matrix, weighted sampling. Oracles spell the same windowed/aggregate
+  * math in portable SQL (never the O(n²) NOT-EXISTS forms the operators
+  * exist to avoid — the oracle must also finish).
+  */
+object StatsQueries {
+
+  /** Pareto-optimal parts minimizing (retail price, size): the windowed
+    * skyline, not a self-join.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame =
+    Skyline.paretoFrontier(
+        Readers.table(spark, dir, "part")
+          .select("p_partkey", "p_retailprice", "p_size"),
+        col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+
+  val paretoFrontSql: String =
+    """WITH byx AS (
+      |  SELECT p_retailprice AS x, min(p_size) AS gmin
+      |  FROM part GROUP BY 1
+      |),
+      |fr AS (
+      |  SELECT x, gmin, min(gmin) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_min
+      |  FROM byx
+      |)
+      |SELECT p_partkey, p_retailprice, p_size
+      |FROM part JOIN fr ON p_retailprice = fr.x AND p_size = fr.gmin
+      |WHERE cheaper_min IS NULL OR gmin < cheaper_min
+      |ORDER BY p_partkey""".stripMargin
+
+  val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** All pairwise Pearson correlations of the lineitem measures in one
+    * scan.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    Profiling.corrMatrix(Readers.table(spark, dir, "lineitem"), CorrCols)
+      .orderBy("col_a", "col_b")
+
+  val corrMatrixSql: String = {
+    val rows = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+    } yield {
+      val (a, b) = (CorrCols(i), CorrCols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(corr($a, $b), 6) AS pearson_r FROM lineitem""".stripMargin
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  val SampleK = 25
+
+  /** Weighted sample of customers (weight = account balance clamped to
+    * ≥ 1): the k rows with the smallest exponential-race priority. The
+    * plan is a TakeOrdered over the scan — no shuffle.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(col("c_acctbal"), lit(1.0))
+    Readers.table(spark, dir, "customer")
+      .withColumn("score",
+        Sampling.weightedPriority(col("c_custkey"), w))
+      .orderBy(col("score"), col("c_custkey"))
+      .limit(SampleK)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("bal"), round(col("score"), 6).as("score_r"))
+      .orderBy("c_custkey")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH scored AS (
+       |  SELECT c_custkey, c_mktsegment, c_acctbal,
+       |    -ln((('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT + 0.5)
+       |        / 4294967296.0)
+       |      / greatest(c_acctbal, 1.0::DOUBLE) AS score
+       |  FROM customer
+       |)
+       |SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal,
+       |  round(score, 6) AS score_r
+       |FROM scored ORDER BY score, c_custkey LIMIT $SampleK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_front" -> paretoFront,
+    "corr_matrix" -> corrMatrix,
+    "sample_weighted" -> sampleWeighted)
+
+  val oracle: Map[String, String] = Map(
+    "pareto_front" -> paretoFrontSql,
+    "corr_matrix" -> corrMatrixSql,
+    "sample_weighted" -> sampleWeightedSql)
+}

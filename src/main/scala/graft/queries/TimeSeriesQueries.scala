@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.etl.Readers
+import graft.ops.TimeSeries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series queries over `events`, on integer grids (epoch days /
+  * hours — exact in both engines, no calendar arithmetic in the hot
+  * path). Oracles use the identical count-over-window group trick, so no
+  * engine-specific IGNORE NULLS is involved.
+  */
+object TimeSeriesQueries {
+
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("n"))
+
+  /** Daily event counts per type, densified onto the full day grid with
+    * zero-filled gaps.
+    */
+  def tsGapFill(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFill(dailyCounts(spark, dir), "event_type", "day_idx")
+      .select(col("event_type"), col("day_idx"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day_idx")
+
+  private val dailySql =
+    """SELECT event_type,
+      |  date_diff('day', DATE '1970-01-01',
+      |            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val gridSql =
+    """SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+      |FROM (SELECT event_type, min(day_idx) AS mn, max(day_idx) AS mx
+      |      FROM d GROUP BY 1)""".stripMargin
+
+  val tsGapFillSql: String =
+    s"""WITH d AS ($dailySql),
+       |grid AS ($gridSql)
+       |SELECT g.event_type, g.day_idx, COALESCE(d.n, 0) AS n
+       |FROM grid g LEFT JOIN d USING (event_type, day_idx)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Daily mean `value` per type with gaps forward-filled AND linearly
+    * interpolated. The daily mean is rounded to 6 decimals BEFORE
+    * interpolation, so the interpolation arithmetic runs on identical
+    * inputs in both engines and is bit-reproducible.
+    */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Readers.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        col("value"))
+      .groupBy("event_type", "day_idx")
+      .agg(round(avg(col("value")), 6).as("v"))
+    val dense = TimeSeries.gapFill(daily, "event_type", "day_idx")
+    TimeSeries.fillInterpolate(dense, "event_type", "day_idx", "v")
+      .select(col("event_type"), col("day_idx"), col("v"),
+        round(col("ffill"), 6).as("ffill_r"),
+        round(col("interp"), 6).as("interp_r"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsInterpolateSql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx,
+      |    round(avg(value), 6) AS v
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+      |  FROM (SELECT event_type, min(day_idx) AS mn, max(day_idx) AS mx
+      |        FROM d GROUP BY 1)
+      |),
+      |dense AS (
+      |  SELECT g.event_type, g.day_idx, d.v
+      |  FROM grid g LEFT JOIN d USING (event_type, day_idx)
+      |),
+      |staged AS (
+      |  SELECT *,
+      |    count(v) OVER (PARTITION BY event_type ORDER BY day_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_f,
+      |    count(v) OVER (PARTITION BY event_type ORDER BY day_idx DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_b
+      |  FROM dense
+      |),
+      |neighbors AS (
+      |  SELECT *,
+      |    max(v) OVER (PARTITION BY event_type, g_f) AS pv,
+      |    min(CASE WHEN v IS NOT NULL THEN day_idx END)
+      |      OVER (PARTITION BY event_type, g_f) AS pt,
+      |    max(v) OVER (PARTITION BY event_type, g_b) AS nv,
+      |    max(CASE WHEN v IS NOT NULL THEN day_idx END)
+      |      OVER (PARTITION BY event_type, g_b) AS nt
+      |  FROM staged
+      |)
+      |SELECT event_type, day_idx, v,
+      |  round(COALESCE(v, pv), 6) AS ffill_r,
+      |  round(CASE WHEN v IS NOT NULL THEN v
+      |             WHEN pv IS NULL THEN nv
+      |             WHEN nv IS NULL THEN pv
+      |             ELSE pv + (nv - pv) * (day_idx - pt) / (nt - pt)
+      |        END, 6) AS interp_r
+      |FROM neighbors ORDER BY event_type, day_idx""".stripMargin
+
+  /** Hourly OHLC-style resample of `value` per event type, with the
+    * deterministic open/close rule (min value among tied boundary
+    * timestamps).
+    */
+  def tsResample(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Readers.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"))
+    TimeSeries.resample(obs, "event_type",
+        expr("us DIV 3600000000").as("hour_idx"), "us", "value")
+      .withColumnRenamed("bucket", "hour_idx")
+      .orderBy("event_type", "hour_idx")
+  }
+
+  val tsResampleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events
+      |),
+      |w AS (
+      |  SELECT *, us // 3600000000 AS hour_idx,
+      |    min(us) OVER (PARTITION BY event_type, us // 3600000000) AS mn_t,
+      |    max(us) OVER (PARTITION BY event_type, us // 3600000000) AS mx_t
+      |  FROM e
+      |)
+      |SELECT event_type, hour_idx, CAST(count(value) AS BIGINT) AS n,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  round(avg(value), 6) AS vmean,
+      |  min(CASE WHEN us = mn_t THEN value END) AS open,
+      |  min(CASE WHEN us = mx_t THEN value END) AS close
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gap_fill" -> tsGapFill,
+    "ts_interpolate" -> tsInterpolate,
+    "ts_resample" -> tsResample)
+
+  val oracle: Map[String, String] = Map(
+    "ts_gap_fill" -> tsGapFillSql,
+    "ts_interpolate" -> tsInterpolateSql,
+    "ts_resample" -> tsResampleSql)
+}

@@ -158,6 +158,42 @@ object Curation {
           .when(col("c_sh").isNotNull, lit("near_dup")).as("drop_reason"))
   }
 
+  /** Sliding-window token chunking — the context-window packing step that
+    * turns documents into trainable sequences. Chunk i covers tokens
+    * [i·stride, i·stride + size); the last chunk is the first one that
+    * reaches the document's end (no fully-redundant trailing windows), and
+    * a document at most `size` tokens long is exactly one chunk.
+    *
+    * Map-only: `posexplode(sequence(...))` fans each row out to its chunk
+    * count with NO shuffle and no per-row array materialization beyond the
+    * one `split` — the expansion happens inside whole-stage codegen. At
+    * 100 TB this is the shape that matters: chunking is embarrassingly
+    * parallel and must never cost an exchange.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val toks = split(col(textCol), " ")
+    val n = size_(toks).cast("long")
+    // integer ceil((n-size)/stride); values are token counts, so the
+    // double round-trip inside floor() is exact
+    val lastStart = when(n <= size, lit(0L))
+      .otherwise(floor((n - size + (stride - 1)) / stride).cast("long"))
+    val chunkLen = least(lit(size.toLong), col("__n") - col("chunk_id") * stride)
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0L), lastStart)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"), chunkLen.as("n_tokens"),
+        array_join(
+          slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+            chunkLen.cast("int")),
+          " ").as("chunk_text"))
+  }
+
+  // size() the function, free of the ambient DataFrame.size
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** PII redaction patterns, applied in order (most-specific first so a
     * later, looser pattern never eats part of an earlier entity — an email
     * must be replaced before its digits could look like anything else).

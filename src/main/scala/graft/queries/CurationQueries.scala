@@ -313,7 +313,43 @@ object CurationQueries {
        |  n_docs * (bucket + 1) * $LenBucketWidth - sum_tokens AS pad_waste
        |FROM g ORDER BY bucket NULLS FIRST""".stripMargin
 
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Sliding-window token chunks of every document — the sequences a
+    * trainer would consume. Map-only fan-out; see
+    * [[graft.ops.Curation.chunkTokens]].
+    */
+  def chunkTokens(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkTokens(
+        Readers.table(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(generate_series(0, CASE WHEN n <= $ChunkSize THEN 0
+       |      ELSE (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+       |      END)) AS chunk_id
+       |  FROM t
+       |)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least($ChunkSize, n - chunk_id * $ChunkStride) AS BIGINT)
+       |    AS n_tokens,
+       |  array_to_string(toks[(chunk_id * $ChunkStride + 1):
+       |    (chunk_id * $ChunkStride +
+       |     least($ChunkSize, n - chunk_id * $ChunkStride))], ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_tokens" -> chunkTokens,
     "quality_filter" -> qualityFilter,
     "split_stratified" -> splitStratified,
     "shard_pack" -> shardPack,
@@ -324,6 +360,7 @@ object CurationQueries {
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
+    "chunk_tokens" -> chunkTokensSql,
     "quality_filter" -> qualityFilterSql,
     "split_stratified" -> splitStratifiedSql,
     "shard_pack" -> shardPackSql,

@@ -91,4 +91,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("overlap") == 0.0)
     assert(!out(1).getAs[Boolean]("contaminated"))
   }
+
+  test("chunkTokens: sliding windows, short docs are one chunk") {
+    val docs = Seq(
+      (2L, (1 to 4).map(i => s"u$i").mkString(" ")),  // n == size → 1 chunk
+      (3L, (1 to 11).map(i => s"v$i").mkString(" "))) // starts 0,3,6,9
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id", "text",
+        size = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out(2L) == Seq((2L, 0L, 4L, "u1 u2 u3 u4")))
+    assert(out(3L) == Seq(
+      (3L, 0L, 4L, "v1 v2 v3 v4"),
+      (3L, 1L, 4L, "v4 v5 v6 v7"),
+      (3L, 2L, 4L, "v7 v8 v9 v10"),
+      (3L, 3L, 2L, "v10 v11")))
+    // every token of doc 3 is covered and the final chunk reaches the end
+    assert(out(3L).last._4.endsWith("v11"))
+  }
 }

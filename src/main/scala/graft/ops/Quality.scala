@@ -87,6 +87,39 @@ object Quality {
   def suite(results: Seq[DataFrame]): DataFrame =
     results.map(_.select(resultCols: _*)).reduce(_.unionByName(_))
 
+  /** Table reconciliation: compare two keyed tables and report, in ONE
+    * full-outer-join pass, the row-presence split (`only_left`,
+    * `only_right`, `n_common`) and a null-safe per-column mismatch count
+    * over the common rows. The migration-validation op ("did the new
+    * pipeline produce the same table?") — output is metric rows, constant
+    * size regardless of input.
+    */
+  def tableDiff(left: DataFrame, right: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val l = left.select(col(key) +: compareCols.map(c => col(c).as(s"l_$c"))
+      :+ lit(true).as("l_present"): _*)
+    val r = right.select(col(key) +: compareCols.map(c => col(c).as(s"r_$c"))
+      :+ lit(true).as("r_present"): _*)
+    val joined = l.join(r, Seq(key), "full_outer")
+      .na.fill(false, Seq("l_present", "r_present"))
+    val both = col("l_present") && col("r_present")
+    val aggs =
+      sum(when(col("l_present") && !col("r_present"), 1L).otherwise(0L))
+        .as("only_left") +:
+      sum(when(col("r_present") && !col("l_present"), 1L).otherwise(0L))
+        .as("only_right") +:
+      sum(when(both, 1L).otherwise(0L)).as("n_common") +:
+      compareCols.map(c =>
+        sum(when(both && !(col(s"l_$c") <=> col(s"r_$c")), 1L).otherwise(0L))
+          .as(s"diff_$c"))
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("only_left", "only_right", "n_common") ++
+      compareCols.map(c => s"diff_$c")
+    val stacked = metrics.map(m =>
+      struct(lit(m).as("metric"), col(m).as("n")))
+    one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
+  }
+
   /** CDC upsert (MERGE): apply a change feed to a base table.
     *
     *   - the change feed is deduplicated keep-LATEST per key (`version`

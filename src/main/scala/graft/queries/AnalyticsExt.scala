@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.{AsOfJoin, RangeJoin, Sampling}
+import graft.ops.{AsOfJoin, RangeJoin, Sampling, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -433,6 +433,67 @@ object AnalyticsExt {
       |FROM cand
       |WHERE levenshtein(name_a, name_b) <= 3
       |ORDER BY name_a, name_b""".stripMargin
+
+  /** End-to-end entity resolution over part names: token-blocked
+    * candidate pairs (the [[fuzzyNamePairs]] shape) → levenshtein ≤ 3
+    * edges → connected components ([[graft.ops.TextDedup.duplicateClusters]],
+    * pointer-jumped min-label propagation) → canonical entity = the
+    * lexicographic min name of each component; singletons resolve to
+    * themselves. The full blocking→matching→clustering→canonicalization
+    * pipeline a real MDM/dedup system runs, each stage the scale shape
+    * already verified on its own query.
+    */
+  def entityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val names = Readers.table(spark, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok"))
+    val pairs = toks.as("a")
+      .join(toks.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("doc_a"), col("b.name").as("doc_b"))
+      .distinct()
+      .filter(levenshtein(col("doc_a"), col("doc_b")) <= 3)
+    val clusters = TextDedup.duplicateClusters(pairs)
+    val resolved = names
+      .join(clusters, names("name") === clusters("doc"), "left")
+      .select(col("name"),
+        coalesce(col("cluster"), col("name")).as("entity"), col("n_parts"))
+    resolved
+      .withColumn("entity_size",
+        count(lit(1)).over(Window.partitionBy(col("entity"))))
+      .orderBy("name")
+  }
+
+  val entityResolveSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1
+      |),
+      |toks AS (
+      |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM names
+      |),
+      |pairs AS (
+      |  SELECT a, b FROM (
+      |    SELECT DISTINCT a.name AS a, b.name AS b
+      |    FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name)
+      |  WHERE levenshtein(a, b) <= 3
+      |),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL SELECT b, a FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+      |),
+      |lab AS (SELECT a AS name, min(b) AS entity FROM reach GROUP BY a)
+      |SELECT n.name, COALESCE(l.entity, n.name) AS entity,
+      |  CAST(n.n_parts AS BIGINT) AS n_parts,
+      |  CAST(count(*) OVER (PARTITION BY COALESCE(l.entity, n.name))
+      |    AS BIGINT) AS entity_size
+      |FROM names n LEFT JOIN lab l ON l.name = n.name
+      |ORDER BY n.name""".stripMargin
 
   /** Approximate sketches: HyperLogLog++ distinct counts and quantile
     * estimates — the sub-linear-memory path when exact distinct/percentile
@@ -892,7 +953,8 @@ object AnalyticsExt {
     "join_asof" -> joinAsof,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
-    "fuzzy_name_pairs" -> fuzzyNamePairs
+    "fuzzy_name_pairs" -> fuzzyNamePairs,
+    "entity_resolve" -> entityResolve
   )
 
   val oracle: Map[String, String] = Map(
@@ -924,6 +986,7 @@ object AnalyticsExt {
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
-    "fuzzy_name_pairs" -> fuzzyNamePairsSql
+    "fuzzy_name_pairs" -> fuzzyNamePairsSql,
+    "entity_resolve" -> entityResolveSql
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.Behavior
+import graft.ops.{AsOfJoin, Behavior}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,58 @@ object BehaviorQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
       |ORDER BY user_id, version""".stripMargin
 
+  /** Point-in-time (SCD-2) lookup: each purchase joined to the state
+    * version valid AT its timestamp. Dimension = SCD-2 build over the
+    * user's NON-purchase events; the lookup is the as-of backward join
+    * (one keyed window pass — never an interval nested loop), which is
+    * exactly the PIT join because SCD-2 validity intervals tile time.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val versions = Behavior.scd2(
+        events.filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumnRenamed("k", "user_id")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    AsOfJoin.backward(purchases, versions, key = "user_id",
+        leftTime = "purchase_us", rightTime = "valid_from_us",
+        rightPayload = Seq("version", "state"), rightTieBreak = "version")
+      .orderBy("event_id")
+  }
+
+  val scd2LookupSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    event_type AS state
+      |  FROM events WHERE event_type <> 'purchase'
+      |),
+      |ch AS (
+      |  SELECT * FROM (
+      |    SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |    FROM e)
+      |  WHERE state IS DISTINCT FROM prev
+      |),
+      |v AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
+      |    us AS valid_from_us, lead(us) OVER w AS valid_to_us
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.purchase_us,
+      |  v.version AS asof_version, v.state AS asof_state
+      |FROM p LEFT JOIN v
+      |  ON v.user_id = p.user_id
+      | AND v.valid_from_us <= p.purchase_us
+      | AND (v.valid_to_us IS NULL OR p.purchase_us < v.valid_to_us)
+      |ORDER BY p.event_id""".stripMargin
+
   /** First-order Markov transition matrix of event types per user stream. */
   def markovTransitions(spark: SparkSession, dir: String): DataFrame =
     Behavior.markovTransitions(Readers.events(spark, dir),
@@ -195,6 +247,7 @@ object BehaviorQueries {
     "attribution_last_touch" -> attributionLastTouch,
     "outlier_zscore" -> outlierZscore,
     "scd2_build" -> scd2Build,
+    "scd2_lookup" -> scd2Lookup,
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
@@ -203,5 +256,6 @@ object BehaviorQueries {
     "attribution_last_touch" -> attributionLastTouchSql,
     "outlier_zscore" -> outlierZscoreSql,
     "scd2_build" -> scd2BuildSql,
+    "scd2_lookup" -> scd2LookupSql,
     "markov_transitions" -> markovTransitionsSql)
 }

@@ -140,11 +140,83 @@ object QualityQueries {
       |FROM customer b FULL OUTER JOIN latest c ON b.c_custkey = c.c_custkey
       |ORDER BY 1""".stripMargin
 
+  /** The deterministic "migrated copy" of customer the diff runs against:
+    * keys ≡0 mod 97 dropped, balances bumped for ≡0 mod 7, segment
+    * rewritten for ≡0 mod 13, extra rows appended at key+10M for ≡0 mod
+    * 101 — every metric the reconciliation reports is exercised.
+    */
+  def mutatedCustomer(customer: DataFrame): DataFrame = {
+    val kept = customer.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 13 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")))
+    val extra = customer.filter(col("c_custkey") % 101 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    kept.unionByName(extra)
+  }
+
+  /** Reconciliation of customer against its mutated twin: one full-outer
+    * pass, metric rows out.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Readers.table(spark, dir, "customer")
+    Quality.tableDiff(customer, mutatedCustomer(customer), "c_custkey",
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy("metric")
+  }
+
+  val tableDiffSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+      |         ELSE c_mktsegment END AS c_mktsegment,
+      |    c_name
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment, c_name
+      |  FROM customer WHERE c_custkey % 101 = 0
+      |),
+      |j AS (
+      |  SELECT l.c_custkey IS NOT NULL AS lp, r.c_custkey IS NOT NULL AS rp,
+      |    l.c_name AS ln, r.c_name AS rn,
+      |    l.c_acctbal AS lb, r.c_acctbal AS rb,
+      |    l.c_mktsegment AS lm, r.c_mktsegment AS rm
+      |  FROM customer l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+      |),
+      |s AS (
+      |  SELECT
+      |    sum(CASE WHEN lp AND NOT rp THEN 1 ELSE 0 END) AS only_left,
+      |    sum(CASE WHEN rp AND NOT lp THEN 1 ELSE 0 END) AS only_right,
+      |    sum(CASE WHEN lp AND rp THEN 1 ELSE 0 END) AS n_common,
+      |    sum(CASE WHEN lp AND rp AND ln IS DISTINCT FROM rn
+      |        THEN 1 ELSE 0 END) AS diff_c_name,
+      |    sum(CASE WHEN lp AND rp AND lb IS DISTINCT FROM rb
+      |        THEN 1 ELSE 0 END) AS diff_c_acctbal,
+      |    sum(CASE WHEN lp AND rp AND lm IS DISTINCT FROM rm
+      |        THEN 1 ELSE 0 END) AS diff_c_mktsegment
+      |  FROM j
+      |)
+      |SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'only_left' AS metric, only_left AS n FROM s
+      |  UNION ALL SELECT 'only_right', only_right FROM s
+      |  UNION ALL SELECT 'n_common', n_common FROM s
+      |  UNION ALL SELECT 'diff_c_name', diff_c_name FROM s
+      |  UNION ALL SELECT 'diff_c_acctbal', diff_c_acctbal FROM s
+      |  UNION ALL SELECT 'diff_c_mktsegment', diff_c_mktsegment FROM s
+      |) ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> dqChecks,
-    "cdc_upsert" -> cdcUpsert)
+    "cdc_upsert" -> cdcUpsert,
+    "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
     "dq_checks" -> dqChecksSql,
-    "cdc_upsert" -> cdcUpsertSql)
+    "cdc_upsert" -> cdcUpsertSql,
+    "table_diff" -> tableDiffSql)
 }

@@ -431,7 +431,57 @@ object TextQueries {
       |WHERE doc_id < 20
       |ORDER BY doc_id, word""".stripMargin
 
+  val KeywordsK = 3
+
+  /** Per-document keyword extraction: the top-k TF-IDF terms of every
+    * document. Same two linear aggregates as [[tfIdf]], then a per-doc
+    * window top-k (per-doc term counts are bounded by the doc itself, so
+    * the window sort is cheap; for UNBOUNDED groups the
+    * `graft_top_k` heap aggregate in `topk_per_group` is the shape).
+    * Ties break by word so the boundary row is engine-stable.
+    */
+  def keywordsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val terms = Readers.fanOut(docs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(df_, Seq("word"))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= KeywordsK)
+      .select("doc_id", "rank", "word", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val keywordsTopkSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM terms
+       |       GROUP BY doc_id, word),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |scored AS (
+       |  SELECT doc_id, tf.word AS word,
+       |    round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6)
+       |      AS tfidf
+       |  FROM tf JOIN df ON tf.word = df.word
+       |)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tfidf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, word) AS rank
+       |  FROM scored)
+       |WHERE rank <= $KeywordsK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keywords_topk" -> keywordsTopk,
     "vocab_build" -> vocabBuild,
     "tf_idf" -> tfIdf,
     "dedup_exact" -> dedupExact,
@@ -447,6 +497,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "keywords_topk" -> keywordsTopkSql,
     "vocab_build" -> vocabBuildSql,
     "tf_idf" -> tfIdfSql,
     "dedup_exact" -> dedupExactSql,

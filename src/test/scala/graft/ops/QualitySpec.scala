@@ -53,6 +53,20 @@ class QualitySpec extends AnyFunSuite {
       (3L, None, 30.0, "insert")))
   }
 
+  test("tableDiff: presence split and null-safe per-column mismatches") {
+    val left = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, Some("c"), 3.0), (4L, None, 4.0)).toDF("k", "name", "bal")
+    val right = Seq((1L, Some("a"), 1.0),      // identical
+      (2L, Some("B"), 2.0),                    // name differs
+      (4L, None, 40.0),                        // bal differs, null name equal
+      (5L, Some("e"), 5.0))                    // only right
+    .toDF("k", "name", "bal")
+    val out = Quality.tableDiff(left, right, "k", Seq("name", "bal"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("only_left" -> 1L, "only_right" -> 1L,
+      "n_common" -> 3L, "diff_name" -> 1L, "diff_bal" -> 1L))
+  }
+
   test("dq suite over testdata: clean checks pass, the dirty one reports") {
     val out = graft.queries.QualityQueries
       .dqChecks(spark, "/root/testdata/sf0.001")

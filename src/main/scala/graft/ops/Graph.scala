@@ -34,7 +34,11 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val e = edges.select("src", "dst")
+    // materialize the edge list ONCE: everything below (nodes, degrees,
+    // and every iteration's src-join) re-reads it, and without the
+    // checkpoint the caller's edge-construction plan (often a join +
+    // distinct) would re-execute per iteration
+    val e = edges.select("src", "dst").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()

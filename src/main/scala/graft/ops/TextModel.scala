@@ -28,14 +28,26 @@ object TextModel {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Contiguous word n-grams as a string array; empty when the doc has
-    * fewer than `n` tokens. (Guarded: `sequence(0, negative)` would count
-    * DOWN and fabricate grams.)
+    * fewer than `n` tokens.
+    *
+    * Built by zipping shifted SLICES of the token array, never by indexing
+    * the outer array from inside a lambda: `element_at(w, i)` in a
+    * transform looks harmless, but after Catalyst collapses projections
+    * `w` is the tokenizer EXPRESSION, and the lambda would re-run it per
+    * element — O(tokens²) per document. The zip form references `w` a
+    * constant number of times and binds lambda variables, so the
+    * tokenizer runs once regardless of how projections collapse. (r6:
+    * this exact effect made `repetition_stats` ~7× slower than it should
+    * be.)
     */
-  def ngrams(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+  def ngrams(w: Column, n: Int): Column = {
+    require(n >= 1, "n-grams need n >= 1")
+    val m = size(w) - (n - 1) // gram count when the doc is long enough
+    val joined = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), m), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(w) >= n, joined).otherwise(array().cast("array<string>"))
+  }
 
   /** Per-document n-gram repetition signals (Gopher-style quality rules):
     *
@@ -52,27 +64,47 @@ object TextModel {
     * fractions.
     */
   def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
-    val base = docs.select(col(id).as("doc_id"), tokens(col(text)).as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        ngrams(col("w"), 2).as("bg"), ngrams(col("w"), 3).as("tg"))
-
-    def gramStats(gram: String, prefix: String): DataFrame =
-      base.select(col("doc_id"), explode(col(gram)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as(s"${prefix}_tot"), max("c").as(s"${prefix}_top"),
-          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as(s"${prefix}_dup"))
-
     def frac(num: Column, denom: Column): Column =
       round(when(denom > 0, num.cast("double") / denom), 6)
-
-    base.select("doc_id", "n_tokens")
-      .join(gramStats("bg", "b"), Seq("doc_id"), "left")
-      .join(gramStats("tg", "t"), Seq("doc_id"), "left")
+    // ZERO exchanges: the stats are per-document, so they must never leave
+    // the row — sort the doc's gram array and run-length scan it in one
+    // aggregate() pass (r2..r5 shipped this as explode → two hash
+    // aggregates → join-back; correct, but it shuffled every distinct
+    // per-doc gram and re-joined, ~7x slower at sf0.1 and a pointless
+    // exchange at 100 TB). Memory is bounded by the document itself: the
+    // gram array is a constant factor of the text already in the row.
+    docs
+      .select(col(id).as("doc_id"), tokens(col(text)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        runStats(ngrams(col("w"), 2)).as("b"),
+        runStats(ngrams(col("w"), 3)).as("t"))
       .select(col("doc_id"), col("n_tokens"),
-        frac(col("b_top"), col("b_tot")).as("top_bigram_frac"),
-        frac(col("b_dup"), col("b_tot")).as("dup_bigram_frac"),
-        frac(col("t_dup"), col("t_tot")).as("dup_trigram_frac"))
+        frac(col("b.top"), col("b.tot")).as("top_bigram_frac"),
+        frac(col("b.dup"), col("b.tot")).as("dup_bigram_frac"),
+        frac(col("t.dup"), col("t.tot")).as("dup_trigram_frac"))
+  }
+
+  /** Run-length stats of a gram array in one in-row pass: sort, then scan
+    * with an aggregate() state machine. Returns struct(top, dup, tot) —
+    * the max multiplicity, the occurrences belonging to any gram seen
+    * more than once, and the total count.
+    */
+  private def runStats(grams: Column): Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("top"), lit(0L).as("dup"),
+      lit(0L).as("tot"))
+    val scanned = aggregate(array_sort(grams), zero, (acc, x) => {
+      val run = when(acc("prev") <=> x, acc("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc("top"), run).as("top"),
+        // a run contributes to dup from its 2nd member on — retroactively
+        // count the 1st when the 2nd arrives
+        (acc("dup") + when(run === 2L, 2L).when(run > 2L, 1L)
+          .otherwise(0L)).as("dup"),
+        (acc("tot") + 1L).as("tot"))
+    })
+    struct(scanned("top").as("top"), scanned("dup").as("dup"),
+      scanned("tot").as("tot"))
   }
 
   /** Score every document under an add-one-smoothed bigram LM trained on
@@ -94,11 +126,12 @@ object TextModel {
     */
   def bigramLmScore(docs: DataFrame, id: String, text: String): DataFrame = {
     val w = docs.select(col(id).as("doc_id"), tokens(col(text)).as("w"))
+    // zip of shifted slices, not element_at-in-lambda — see [[ngrams]]
+    val m = size(col("w")) - 1
     val bg = w.select(col("doc_id"),
         explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(0), size(col("w")) - 2),
-            i => struct(element_at(col("w"), i + 1).as("w1"),
-                        element_at(col("w"), i + 2).as("w2"))))
+          zip_with(slice(col("w"), lit(1), m), slice(col("w"), lit(2), m),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))

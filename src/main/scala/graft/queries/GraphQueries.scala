@@ -16,12 +16,17 @@ object GraphQueries {
   val Iterations = 3
   val Damping = 0.85
 
-  /** Who-bought-from-whom edges, symmetric: c<k> ↔ s<k>. */
+  /** Who-bought-from-whom edges, symmetric: c<k> ↔ s<k>. Node ids stay
+    * NUMERIC through the whole computation (customer 2k, supplier 2k+1 —
+    * disjoint by parity): the distinct shuffles long pairs instead of
+    * freshly-concatenated strings, and every iteration joins/aggregates on
+    * long keys. The display label is built once, on the |V|-sized output.
+    */
   def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders.join(lineitem,
         orders("o_orderkey") === lineitem("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
       .distinct()
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
@@ -31,7 +36,11 @@ object GraphQueries {
         tradeEdges(Readers.table(spark, dir, "orders"),
           Readers.table(spark, dir, "lineitem")),
         Iterations, Damping)
-      .select(col("node"), round(col("rank"), 8).as("rank_r"))
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("c"), expr("node DIV 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) DIV 2")))
+          .as("node"),
+        round(col("rank"), 8).as("rank_r"))
       .orderBy("node")
 
   val pagerankSql: String = {

@@ -72,6 +72,29 @@ object TimeSeries {
       .drop("__g_f", "__g_b", "__pv", "__pt", "__nv", "__nt")
   }
 
+  /** Truncated exponentially-weighted moving average: Σ αᵏ·lag(v,k) over
+    * the last `depth` observations, normalized by the weights actually
+    * present (so the series head uses the weights it has). The exact
+    * recurrence needs either unbounded history or a sequential scan;
+    * truncation turns it into a FIXED stack of lags on one window spec —
+    * one keyed sort, bit-identical in any engine, and the dropped tail is
+    * bounded by α^depth (callers pick depth to put that under their
+    * tolerance).
+    */
+  def ewmaTruncated(seriesCol: Column, orderCol: Column, valueCol: Column,
+                    alpha: Double, depth: Int): Column = {
+    require(depth >= 1 && alpha > 0 && alpha < 1, "need depth>=1, 0<alpha<1")
+    val w = Window.partitionBy(seriesCol).orderBy(orderCol)
+    val terms = (0 until depth).map { k =>
+      val v = lag(valueCol, k).over(w)
+      (when(v.isNotNull, v * math.pow(alpha, k)), // weighted value or null
+        when(v.isNotNull, lit(math.pow(alpha, k))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    when(den > 0.0, num / den)
+  }
+
   /** Resample to the coarser grid `bucket(t)`: count / min / max / mean
     * plus deterministic `open`/`close` — the value at the earliest /
     * latest t in the bucket, min-value tie-break.

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs}
+import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -47,6 +47,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_top_k: k must be an integer literal, got $other")
         }
         TopKStructs(children(0), children(1), k)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersSketch].getName,
+        "graft_heavy_hitters"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_heavy_hitters expects (item, k literal)")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters: k must be an integer literal, got $other")
+        }
+        HeavyHittersSketch(children(0), k)
       }))
 
     ext.injectFunction((

@@ -87,13 +87,56 @@ object StatsQueries {
        |  round(score, 6) AS score_r
        |FROM scored ORDER BY score, c_custkey LIMIT $SampleK""".stripMargin
 
+  val HeavyK = 4
+
+  /** Misra–Gries heavy hitters with the sketch-style verification
+    * contract: the sketch's internal state is engine-specific, but its
+    * GUARANTEE is not — every item above the n/(k+1) frequency threshold
+    * must be present with an estimate in [true − n/(k+1), true]. Both
+    * engines emit the exact counts of the true heavy items plus a boolean
+    * that is provably TRUE for any correct sketch under any merge order —
+    * so rows, schema, and hash all check. (k=4 under 5 near-uniform event
+    * types keeps the counters churning — the adversarial case for the
+    * bound.)
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir).select(col("event_type").as("item"))
+    val sketch = ev
+      .agg(graft.functions.HeavyHittersFunctions
+        .heavyHitters(col("item"), HeavyK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+    val exact = ev.groupBy("item").agg(count(lit(1)).as("n_exact"))
+    val tot = ev.agg(count(lit(1)).cast("double").as("n"))
+    val slack = col("n") / (HeavyK + 1)
+    exact.crossJoin(broadcast(tot))
+      .filter(col("n_exact") > slack)
+      .join(sketch, Seq("item"), "left")
+      .select(col("item"), col("n_exact"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - slack).as("ok"))
+      .orderBy("item")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH e AS (SELECT event_type AS item FROM events),
+       |x AS (SELECT item, CAST(count(*) AS BIGINT) AS n_exact
+       |      FROM e GROUP BY 1),
+       |t AS (SELECT count(*)::DOUBLE AS n FROM e)
+       |SELECT item, n_exact, TRUE AS ok
+       |FROM x CROSS JOIN t
+       |WHERE n_exact > n / ${HeavyK + 1}
+       |ORDER BY item""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
-    "sample_weighted" -> sampleWeighted)
+    "sample_weighted" -> sampleWeighted,
+    "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,
-    "sample_weighted" -> sampleWeightedSql)
+    "sample_weighted" -> sampleWeightedSql,
+    "heavy_hitters" -> heavyHittersSql)
 }

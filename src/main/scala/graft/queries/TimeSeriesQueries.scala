@@ -3,6 +3,7 @@ package graft.queries
 import graft.etl.Readers
 import graft.ops.TimeSeries
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series queries over `events`, on integer grids (epoch days /
@@ -145,13 +146,79 @@ object TimeSeriesQueries {
       |  min(CASE WHEN us = mx_t THEN value END) AS close
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  val EwmaAlpha = 0.7
+  val EwmaDepth = 8
+
+  private def dailyMeans(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        col("value"))
+      .groupBy("event_type", "day_idx")
+      .agg(round(avg(col("value")), 6).as("v"))
+
+  /** Smoothed daily series: truncated EWMA plus a 7-observation rolling
+    * median, both on ONE window partitioning (Catalyst plans a single
+    * sort). The rounded daily mean is the shared input so every
+    * downstream double op is bit-reproducible.
+    */
+  def tsSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(-6, Window.currentRow)
+    dailyMeans(spark, dir)
+      .withColumn("ewma",
+        round(TimeSeries.ewmaTruncated(col("event_type"), col("day_idx"),
+          col("v"), EwmaAlpha, EwmaDepth), 6))
+      // Spark refuses exact percentile aggregates over a FRAME; a 7-row
+      // frame makes collect+sort+interpolate the honest equivalent (and
+      // the array is bounded by the frame, not the data)
+      .withColumn("__fr", array_sort(collect_list(col("v")).over(w)))
+      .withColumn("med7", round(
+        when(size(col("__fr")) % 2 === 1,
+          element_at(col("__fr"),
+            ((size(col("__fr")) + 1) / 2).cast("int")))
+          .otherwise((
+            element_at(col("__fr"), (size(col("__fr")) / 2).cast("int")) +
+            element_at(col("__fr"),
+              (size(col("__fr")) / 2).cast("int") + 1)) / 2.0), 6))
+      .drop("__fr")
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsSmoothSql: String = {
+    val terms = (0 until EwmaDepth).map { k =>
+      val wt = s"power(${EwmaAlpha}::DOUBLE, $k)"
+      (s"COALESCE(lag(v, $k) OVER ws * $wt, 0.0)",
+        s"CASE WHEN lag(v, $k) OVER ws IS NOT NULL THEN $wt ELSE 0.0 END")
+    }
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01',
+       |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx,
+       |    round(avg(value), 6) AS v
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day_idx, v,
+       |  round((${terms.map(_._1).mkString(" + ")}) /
+       |        (${terms.map(_._2).mkString(" + ")}), 6) AS ewma,
+       |  round(median(v) OVER (PARTITION BY event_type
+       |    ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+       |    AS med7
+       |FROM d
+       |WINDOW ws AS (PARTITION BY event_type ORDER BY day_idx)
+       |ORDER BY event_type, day_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gap_fill" -> tsGapFill,
     "ts_interpolate" -> tsInterpolate,
-    "ts_resample" -> tsResample)
+    "ts_resample" -> tsResample,
+    "ts_smooth" -> tsSmooth)
 
   val oracle: Map[String, String] = Map(
     "ts_gap_fill" -> tsGapFillSql,
     "ts_interpolate" -> tsInterpolateSql,
-    "ts_resample" -> tsResampleSql)
+    "ts_resample" -> tsResampleSql,
+    "ts_smooth" -> tsSmoothSql)
 }

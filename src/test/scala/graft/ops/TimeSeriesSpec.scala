@@ -36,6 +36,17 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(6L) == ((Some(40.0), Some(40.0))))   // trailing edge
   }
 
+  test("ewmaTruncated: weighted window, head normalizes by present weights") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("s", "t", "v")
+      .withColumn("ewma",
+        TimeSeries.ewmaTruncated(col("s"), col("t"), col("v"), 0.5, 2))
+    val out = df.select("t", "ewma").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 10.0) < 1e-12)                      // head: only itself
+    assert(math.abs(out(2L) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)
+    assert(math.abs(out(3L) - (30.0 + 0.5 * 20.0) / 1.5) < 1e-12) // depth 2 drops t=1
+  }
+
   test("resample: deterministic open/close with tied timestamps") {
     val obs = Seq(
       // bucket 0: ties at t=1 (values 5,3) and t=9 (values 7,2)

@@ -21,6 +21,59 @@ object StatefulOps {
   case class UserProfile(user_id: Long, n_events: Long, n_purchases: Long,
                          sum_value: Double, last_seen_micros: Long)
 
+  /** Per-user funnel progress: epoch-micros each step was first reached
+    * (-1 = not yet), plus the derived depth. The state is MONOTONE — a
+    * reached step never unreaches — which is what makes it safe to carry
+    * across micro-batches forever (and makes late events conservative:
+    * an out-of-order step can miss a conversion, never invent one).
+    */
+  case class FunnelProgress(user_id: Long, step_us: Seq[Long], depth: Int)
+
+  /** Fold a (within-batch, time-sorted) event iterator into funnel
+    * progress. Shared by the streaming operator and its batch-parity
+    * spec: step i qualifies only strictly after a qualified step i-1.
+    */
+  private[streaming] def foldFunnel(userId: Long, steps: Seq[String],
+                                    events: Iterator[UserEvent],
+                                    prior: Option[FunnelProgress])
+  : FunnelProgress = {
+    val cur = prior.map(_.step_us.toArray)
+      .getOrElse(Array.fill(steps.size)(-1L))
+    events.toSeq.sortBy(e => (e.ts_micros, e.user_id)).foreach { e =>
+      val i = steps.indexOf(e.event_type)
+      if (i == 0 && cur(0) < 0) cur(0) = e.ts_micros
+      else if (i > 0 && cur(i) < 0 && cur(i - 1) >= 0 &&
+        cur(i - 1) < e.ts_micros) cur(i) = e.ts_micros
+    }
+    FunnelProgress(userId, cur.toSeq, cur.count(_ >= 0))
+  }
+
+  /** Streaming ordered funnel: the stateful twin of
+    * [[graft.ops.Behavior.funnel]]. State per user is a fixed-size array
+    * of step timestamps — O(steps), the smallest possible funnel state.
+    * Emits the refreshed progress for each user touched in the
+    * micro-batch. Ordering contract: event-time order is respected
+    * WITHIN a batch (sorted here) and ACROSS batches only as the source
+    * delivers it — the streaming answer converges to the batch answer
+    * when per-user delivery is in order (the Kafka-partition-by-user
+    * deployment), and undercounts otherwise; the batch operator is the
+    * reconciliation pass, same split as DocStreams.
+    */
+  def funnelProgress(events: Dataset[UserEvent], steps: Seq[String])
+  : Dataset[FunnelProgress] = {
+    implicit val enc = Encoders.product[FunnelProgress]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[FunnelProgress]) => {
+          val next = foldFunnel(userId, steps, batch, state.getOption)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
   /** Fold a batch of events into the carried state. */
   private[streaming] def fold(userId: Long, events: Iterator[UserEvent],
                               prior: Option[UserProfile]): UserProfile =

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
-import graft.streaming.StatefulOps.{UserEvent, UserProfile}
+import graft.streaming.StatefulOps.{FunnelProgress, UserEvent, UserProfile}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -43,6 +43,43 @@ class StatefulOpsSpec extends AnyFunSuite {
         .groupBy(_.user_id).map { case (u, ps) => u -> ps.maxBy(_.n_events) }
       assert(latest(1L) == UserProfile(1L, 3L, 2L, 10.0, 400L))
       assert(latest(2L) == UserProfile(2L, 1L, 0L, 2.0, 150L))
+    } finally q.stop()
+  }
+
+  private val Steps = Seq("view", "click", "purchase")
+
+  test("streaming funnel state matches the batch funnel operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StatefulOps.funnelProgress(mem.toDS(), Steps)
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("update").start()
+    // user 1 converts across two micro-batches; user 2 clicks before
+    // viewing (depth stalls at 1); user 3 views only
+    val batch1 = Seq(
+      UserEvent(1L, "view", 0, 1000000L), UserEvent(1L, "click", 0, 2000000L),
+      UserEvent(2L, "click", 0, 1000000L), UserEvent(2L, "view", 0, 2000000L),
+      UserEvent(3L, "view", 0, 1000000L))
+    val batch2 = Seq(
+      UserEvent(1L, "purchase", 0, 3000000L),
+      UserEvent(2L, "purchase", 0, 3000000L))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_test").as[FunnelProgress]
+        .collect().groupBy(_.user_id)
+        .map { case (u, ps) => u -> ps.maxBy(_.depth).depth }
+      // batch twin over the full log
+      import org.apache.spark.sql.functions._
+      val batchDf = (batch1 ++ batch2)
+        .map(e => (e.user_id, new java.sql.Timestamp(e.ts_micros / 1000),
+          e.ts_micros, e.event_type))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batched = graft.ops.Behavior.funnel(batchDf, col("user_id"),
+          col("ts"), col("event_id"), col("event_type"), Steps)
+        .select("user_id", "depth").as[(Long, Int)].collect().toMap
+      assert(streamed == batched)
+      assert(streamed == Map(1L -> 3, 2L -> 1, 3L -> 1))
     } finally q.stop()
   }
 }

@@ -128,13 +128,104 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  val WilsonZ = 1.96
+
+  /** Per-arm conversion rates with Wilson 95% intervals — the A/B readout.
+    * One aggregate pass; the interval is closed-form IEEE arithmetic
+    * (+,×,÷,√ are exactly rounded), so both engines produce bit-identical
+    * bounds from identical counts; rounded to 6 for the contract anyway.
+    */
+  def abMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Readers.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("conv"))
+    val z2 = WilsonZ * WilsonZ
+    val n = col("n").cast("double"); val p = col("conv") / n
+    val center = p + lit(z2) / (lit(2.0) * n)
+    val margin = lit(WilsonZ) *
+      sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))
+    val denom = lit(1.0) + lit(z2) / n
+    agg.select(col("arm"), col("n"), col("conv"),
+        round(p, 6).as("rate"),
+        round((center - margin) / denom, 6).as("wilson_lo"),
+        round((center + margin) / denom, 6).as("wilson_hi"))
+      .orderBy("arm")
+  }
+
+  val abMetricsSql: String = {
+    val z = WilsonZ
+    s"""WITH a AS (
+       |  SELECT o_orderpriority AS arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT arm, n, conv,
+       |  round(conv / n::DOUBLE, 6) AS rate,
+       |  round((conv / n::DOUBLE + ${z * z}::DOUBLE / (2 * n) -
+       |    $z::DOUBLE * sqrt(conv / n::DOUBLE * (1.0::DOUBLE - conv / n::DOUBLE)
+       |      / n + ${z * z}::DOUBLE / (4.0::DOUBLE * n * n)))
+       |    / (1.0::DOUBLE + ${z * z}::DOUBLE / n), 6) AS wilson_lo,
+       |  round((conv / n::DOUBLE + ${z * z}::DOUBLE / (2 * n) +
+       |    $z::DOUBLE * sqrt(conv / n::DOUBLE * (1.0::DOUBLE - conv / n::DOUBLE)
+       |      / n + ${z * z}::DOUBLE / (4.0::DOUBLE * n * n)))
+       |    / (1.0::DOUBLE + ${z * z}::DOUBLE / n), 6) AS wilson_hi
+       |FROM a ORDER BY arm""".stripMargin
+  }
+
+  /** Pre-join skew diagnostic: per key column, the cardinality, the
+    * heaviest key's share, and the Shannon entropy of the key
+    * distribution (in nats) — the report that decides salted-vs-broadcast
+    * before a 100 TB join. One keyed aggregate per column, then a tiny
+    * re-aggregate; never a sort.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def forKey(df: DataFrame, colName: String): DataFrame =
+      df.groupBy(col(colName).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("top_count"),
+          sum(col("c") * log(col("c"))).as("__clogc"))
+        .select(lit(colName).as("key_col"), col("n"), col("n_keys"),
+          round(col("top_count") / col("n").cast("double"), 6)
+            .as("top_share"),
+          // H = ln n − (Σ c·ln c)/n, computed from the same two exact
+          // integer aggregates in both engines
+          round(log(col("n").cast("double")) -
+            col("__clogc") / col("n").cast("double"), 6).as("entropy"))
+    val lineitem = Readers.table(spark, dir, "lineitem")
+    val orders = Readers.table(spark, dir, "orders")
+    forKey(lineitem, "l_suppkey")
+      .unionByName(forKey(lineitem, "l_partkey"))
+      .unionByName(forKey(orders, "o_custkey"))
+      .orderBy("key_col")
+  }
+
+  val skewReportSql: String = {
+    def one(table: String, colName: String) =
+      s"""SELECT '$colName' AS key_col, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  round(max(c) / sum(c)::DOUBLE, 6) AS top_share,
+         |  round(ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c)::DOUBLE,
+         |    6) AS entropy
+         |FROM (SELECT count(*)::DOUBLE AS c FROM $table GROUP BY $colName)"""
+        .stripMargin
+    Seq(one("lineitem", "l_suppkey"), one("lineitem", "l_partkey"),
+      one("orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_metrics" -> abMetrics,
+    "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
     "sample_weighted" -> sampleWeighted,
     "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "ab_metrics" -> abMetricsSql,
+    "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,
     "sample_weighted" -> sampleWeightedSql,

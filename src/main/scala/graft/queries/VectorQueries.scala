@@ -375,7 +375,49 @@ object VectorQueries {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  /** Per-label centroid (element-wise mean, components rounded to 6 so
+    * downstream dot products run on identical inputs in both engines) and
+    * the pairwise cosine similarity between centroids — the
+    * cluster-quality readout after any labeling/IVF pass. The centroid is
+    * kept as a COMPONENT table (label, dim, v): the pairwise cosine is
+    * then one equi-join on the dim key + an aggregate — no array rebuild,
+    * and the same shape scales to centroid counts where the pairwise
+    * matrix itself must be distributed.
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Readers.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(round(avg(col("col").cast("double")), 6).as("v"))
+    val a = comp.as("a"); val b = comp.as("b")
+    a.join(b, col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.v") * col("b.v")).as("dot"),
+        sqrt(sum(col("a.v") * col("a.v"))).as("na"),
+        sqrt(sum(col("b.v") * col("b.v"))).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val centroidSimilaritySql: String =
+    """WITH comp AS (
+      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      |  GROUP BY label, i
+      |),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    sum(a.v * b.v) AS dot,
+      |    sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+      |  FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_similarity" -> centroidSimilarity,
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe2" -> annIvfProbe2,
@@ -388,6 +430,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "centroid_similarity" -> centroidSimilaritySql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs}
+import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "similarity_score_native"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimilarityScore(children)))
+
+    ext.injectFunction((
+      FunctionIdentifier("unicode_nfc"),
+      new ExpressionInfo(classOf[UnicodeNfc].getName, "unicode_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "unicode_nfc expects 1 argument")
+        UnicodeNfc(children.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("html_unescape"),

@@ -431,6 +431,43 @@ object TextQueries {
       |WHERE doc_id < 20
       |ORDER BY doc_id, word""".stripMargin
 
+  /** Unicode NFC normalization over a corpus slice with decomposed
+    * sequences injected deterministically in-query (the synthetic corpus
+    * is ASCII, so the injection exercises real composition AND the
+    * identity path — same pattern as `pii_redact`). Emits char lengths
+    * before/after, an md5 of the normalized form, and the changed flag —
+    * the audit columns a normalization pass reports.
+    */
+  def unicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    // DECOMPOSED sequences (e + U+0301, A + U+030A): NFC must compose them
+    val dec = when(col("doc_id") % 3 === 0, lit(" café"))
+      .when(col("doc_id") % 3 === 1, lit(" Å"))
+      .otherwise(lit(""))
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 20), dec).as("raw"))
+      .withColumn("nfc",
+        graft.functions.StringExpressions.unicodeNfc(col("raw")))
+      .select(col("doc_id"), length(col("raw")).as("len_raw"),
+        length(col("nfc")).as("len_nfc"), md5(col("nfc")).as("nfc_md5"),
+        (col("nfc") =!= col("raw")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val unicodeNfcSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, substr(text, 1, 20) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+      |         WHEN doc_id % 3 = 1 THEN ' A' || chr(778)
+      |         ELSE '' END AS raw
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(length(raw) AS INTEGER) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc,
+      |  md5(nfc_normalize(raw)) AS nfc_md5,
+      |  nfc_normalize(raw) <> raw AS changed
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val KeywordsK = 3
 
   /** Per-document keyword extraction: the top-k TF-IDF terms of every
@@ -482,6 +519,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keywords_topk" -> keywordsTopk,
+    "unicode_nfc" -> unicodeNfc,
     "vocab_build" -> vocabBuild,
     "tf_idf" -> tfIdf,
     "dedup_exact" -> dedupExact,
@@ -498,6 +536,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "keywords_topk" -> keywordsTopkSql,
+    "unicode_nfc" -> unicodeNfcSql,
     "vocab_build" -> vocabBuildSql,
     "tf_idf" -> tfIdfSql,
     "dedup_exact" -> dedupExactSql,

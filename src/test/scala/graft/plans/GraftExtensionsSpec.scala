@@ -56,4 +56,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[String].collect()(0)
     assert(r == "в'ячеславівна & <tag> €")
   }
+
+  test("unicode_nfc composes decomposed sequences, SQL-callable") {
+    // 'e' + combining acute (U+0301) composes to U+00E9
+    val r = spark.sql("SELECT unicode_nfc('café ok') AS s, " +
+        "length(unicode_nfc('café')) AS n")
+      .as[(String, Int)].collect()(0)
+    assert(r._1 == "café ok")
+    assert(r._2 == 4)
+  }
 }

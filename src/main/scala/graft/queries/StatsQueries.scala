@@ -215,7 +215,54 @@ object StatsQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
   }
 
+  /** Equal-frequency (quartile) feature binning: exact interpolated cut
+    * points from ONE aggregate, broadcast into a map-only band
+    * assignment, then per-band stats. This is the scale shape — a global
+    * `ntile()` would sort the whole table on one reducer; cut points +
+    * CASE costs one tiny aggregate plus a scan.
+    */
+  def quantileBands(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Readers.table(spark, dir, "orders")
+    val cuts = orders.agg(
+      expr("percentile(o_totalprice, 0.25)").as("p25"),
+      expr("percentile(o_totalprice, 0.50)").as("p50"),
+      expr("percentile(o_totalprice, 0.75)").as("p75"))
+    val band = when(col("o_totalprice") <= col("p25"), 1)
+      .when(col("o_totalprice") <= col("p50"), 2)
+      .when(col("o_totalprice") <= col("p75"), 3)
+      .otherwise(4)
+    orders.crossJoin(broadcast(cuts))
+      .select(band.as("band"), col("o_totalprice"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(avg(col("o_totalprice")), 6).as("mean"))
+      .orderBy("band")
+  }
+
+  val quantileBandsSql: String =
+    """WITH c AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+      |    quantile_cont(o_totalprice, 0.50) AS p50,
+      |    quantile_cont(o_totalprice, 0.75) AS p75
+      |  FROM orders
+      |),
+      |b AS (
+      |  SELECT CASE WHEN o_totalprice <= p25 THEN 1
+      |              WHEN o_totalprice <= p50 THEN 2
+      |              WHEN o_totalprice <= p75 THEN 3
+      |              ELSE 4 END AS band,
+      |    o_totalprice
+      |  FROM orders CROSS JOIN c
+      |)
+      |SELECT CAST(band AS INTEGER) AS band, CAST(count(*) AS BIGINT) AS n,
+      |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi,
+      |  round(avg(o_totalprice), 6) AS mean
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_bands" -> quantileBands,
     "ab_metrics" -> abMetrics,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
@@ -224,6 +271,7 @@ object StatsQueries {
     "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "quantile_bands" -> quantileBandsSql,
     "ab_metrics" -> abMetricsSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,

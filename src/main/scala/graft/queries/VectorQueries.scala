@@ -416,7 +416,36 @@ object VectorQueries {
       |SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos
       |FROM p ORDER BY label_a, label_b""".stripMargin
 
+  /** Int8 scalar quantization of every embedding: per-vector code sum
+    * (the checksum-style compact output) and reconstruction SSE.
+    */
+  def sqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vectors.scalarQuantize(
+        Readers.fanOut(Readers.table(spark, dir, "embeddings")
+          .select("vec_id", "embedding")),
+        "vec_id")
+      .orderBy("vec_id")
+
+  val sqCodesSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+      |),
+      |stats AS (SELECT i, min(v) AS lo, max(v) AS hi FROM comp GROUP BY i),
+      |c AS (
+      |  SELECT vec_id, v, lo, hi,
+      |    CASE WHEN hi - lo > 0
+      |      THEN round((v - lo) / (hi - lo) * 255.0)
+      |      ELSE 0.0 END AS code
+      |  FROM comp JOIN stats USING (i)
+      |)
+      |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+      |  round(sum((v - (lo + code / 255.0 * (hi - lo))) *
+      |            (v - (lo + code / 255.0 * (hi - lo)))), 10) AS sse
+      |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_codes" -> sqCodes,
     "centroid_similarity" -> centroidSimilarity,
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
@@ -430,6 +459,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sq_codes" -> sqCodesSql,
     "centroid_similarity" -> centroidSimilaritySql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf" -> annIvfSql,

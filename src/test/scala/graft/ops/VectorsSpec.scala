@@ -90,4 +90,18 @@ class VectorsSpec extends AnyFunSuite {
     assert(out(11L) == 1L)
     assert(out(12L) == 1L)  // -x axis: cos −1 vs 0 → centroid 1 wins
   }
+
+  test("scalarQuantize: range endpoints reconstruct exactly, codes bounded") {
+    // dim 0 spans [0,1]; dim 1 is constant (zero scale → code 0, exact)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)), (3L, Seq(0.5f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.scalarQuantize(vecs, "vec_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // endpoints: code 0 and 255 → zero reconstruction error on both dims
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0.0)
+    assert(out(2L)._2 == 255L && out(2L)._3 == 0.0)
+    // midpoint: code 128 (0.5*255 = 127.5 rounds half-up), small error
+    assert(out(3L)._2 == 128L && out(3L)._3 > 0.0 && out(3L)._3 < 1e-4)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.etl.Readers
 import graft.ops.{Profiling, Sampling, Skyline}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Statistical / optimization queries: Pareto frontier, correlation
@@ -261,7 +261,34 @@ object StatsQueries {
       |  round(avg(o_totalprice), 6) AS mean
       |FROM b GROUP BY band ORDER BY band""".stripMargin
 
+  /** 2-D equi-width histogram over (extendedprice, quantity) — the joint
+    * density readout behind scatter-density plots and copula checks. One
+    * scan, one tiny aggregate; integer bucket arithmetic end to end.
+    */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(c: Column, lo: Double, hi: Double, bins: Int): Column =
+      least(greatest(
+        floor((c - lo) / ((hi - lo) / bins)).cast("int"), lit(0)),
+        lit(bins - 1))
+    Readers.table(spark, dir, "lineitem")
+      .select(bucket(col("l_extendedprice"), 0.0, 80000.0, 8).as("bx"),
+        bucket(col("l_quantity"), 0.0, 50.0, 5).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("n"))
+      .orderBy("bx", "by")
+  }
+
+  val histogram2dSql: String =
+    """SELECT bx, by, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT
+      |    CAST(least(greatest(floor(l_extendedprice / 10000.0), 0), 7)
+      |      AS INTEGER) AS bx,
+      |    CAST(least(greatest(floor(l_quantity / 10.0), 0), 4)
+      |      AS INTEGER) AS by
+      |  FROM lineitem)
+      |GROUP BY bx, by ORDER BY bx, by""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "histogram2d" -> histogram2d,
     "quantile_bands" -> quantileBands,
     "ab_metrics" -> abMetrics,
     "skew_report" -> skewReport,
@@ -271,6 +298,7 @@ object StatsQueries {
     "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "histogram2d" -> histogram2dSql,
     "quantile_bands" -> quantileBandsSql,
     "ab_metrics" -> abMetricsSql,
     "skew_report" -> skewReportSql,

@@ -210,13 +210,66 @@ object TimeSeriesQueries {
        |ORDER BY event_type, day_idx""".stripMargin
   }
 
+  val RollN = 7
+
+  /** Rolling 7-observation Pearson correlation between a series' value
+    * and its own day index (a trend detector): all five sufficient sums
+    * ride ONE window spec, and the correlation is closed-form arithmetic
+    * on them. Windows with zero variance emit null. Inputs are the
+    * rounded daily means, so the sums are engine-identical up to
+    * summation order (round 6 absorbs the ULPs).
+    */
+  def tsRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(-(RollN - 1), Window.currentRow)
+    val x = col("day_idx").cast("double"); val y = col("v")
+    val n = count(y).over(w).cast("double")
+    val sx = sum(x).over(w); val sy = sum(y).over(w)
+    val sxy = sum(x * y).over(w)
+    val sxx = sum(x * x).over(w); val syy = sum(y * y).over(w)
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
+    dailyMeans(spark, dir)
+      .withColumn("trend_r",
+        round(when(varx > 0.0 && vary > 0.0,
+          cov / sqrt(varx) / sqrt(vary)), 6))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsRollingCorrSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '1970-01-01',
+       |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx,
+       |    round(avg(value), 6) AS v
+       |  FROM events GROUP BY 1, 2
+       |),
+       |s AS (
+       |  SELECT event_type, day_idx, v,
+       |    count(v) OVER w::DOUBLE AS n,
+       |    sum(day_idx::DOUBLE) OVER w AS sx, sum(v) OVER w AS sy,
+       |    sum(day_idx::DOUBLE * v) OVER w AS sxy,
+       |    sum(day_idx::DOUBLE * day_idx::DOUBLE) OVER w AS sxx,
+       |    sum(v * v) OVER w AS syy
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+       |    ROWS BETWEEN ${RollN - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_type, day_idx, v,
+       |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN (n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+       |         / sqrt(n * syy - sy * sy) END, 6) AS trend_r
+       |FROM s ORDER BY event_type, day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_rolling_corr" -> tsRollingCorr,
     "ts_gap_fill" -> tsGapFill,
     "ts_interpolate" -> tsInterpolate,
     "ts_resample" -> tsResample,
     "ts_smooth" -> tsSmooth)
 
   val oracle: Map[String, String] = Map(
+    "ts_rolling_corr" -> tsRollingCorrSql,
     "ts_gap_fill" -> tsGapFillSql,
     "ts_interpolate" -> tsInterpolateSql,
     "ts_resample" -> tsResampleSql,

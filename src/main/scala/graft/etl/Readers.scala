@@ -43,6 +43,15 @@ object Readers {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** ORC source with an explicit schema (columnar like parquet — column
+    * pruning and predicate pushdown work the same way; ORC files carry
+    * their own schema, so the explicit one here acts as a projection +
+    * type assertion).
+    */
+  def orc(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JSON-lines source with an EXPLICIT schema — never inference, which is
     * a full extra pass over the data (deadly at corpus scale) and
     * type-unstable between samples. JSONL is the interchange format

@@ -56,6 +56,12 @@ object Sink {
     updates.unionByName(existing.join(updKeys, cond, "left_anti"))
   }
 
+  /** ORC sink — the columnar alternative when the downstream stack is
+    * Hive/Trino-first; same overwrite contract as the parquet sink.
+    */
+  def overwriteOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** JSON-lines sink (training-data interchange). Distributed write — one
     * file per partition; callers needing shard-count control repartition
     * first.

@@ -21,6 +21,36 @@ class SourceFormatsSpec extends AnyFunSuite {
     s"$d/out"
   }
 
+  test("orc round-trip preserves types; filters and projection push down") {
+    val path = tmp("orc")
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5))
+      .toDF("k", "s", "v")
+    Sink.overwriteOrc(df, path)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = Readers.orc(spark, path, schema)
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5)))
+    // scan hygiene: the filter reaches the ORC reader and the projection
+    // prunes to the two referenced columns
+    val q = back.filter(col("k") > 1L).select("k", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,1)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint,v:double>"), plan)
+  }
+
+  test("parquet scan: predicate pushdown + column pruning visible in plan") {
+    val li = Readers.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,45.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan)
+  }
+
   test("jsonl round-trip preserves nested structs, arrays, nulls, unicode") {
     val schema = StructType(Seq(
       StructField("id", LongType),

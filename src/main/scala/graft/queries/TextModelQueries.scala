@@ -14,8 +14,12 @@ object TextModelQueries {
 
   /** Per-doc repetition quality signals. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    // fanOut: the in-row run-length scan is map-only, so WITHOUT a
+    // re-split the whole corpus pass runs on however few tasks the file
+    // count allows (one, for a single-file testdata table)
     TextModel.repetitionStats(
-        Readers.table(spark, dir, "documents"), "doc_id", "text")
+        Readers.fanOut(Readers.table(spark, dir, "documents")
+          .select("doc_id", "text")), "doc_id", "text")
       .orderBy("doc_id")
 
   private def gramCte(n: Int, name: String): String = {
@@ -51,7 +55,8 @@ object TextModelQueries {
   /** Bigram-LM document scores (add-one smoothing, corpus-trained). */
   def ngramLmScore(spark: SparkSession, dir: String): DataFrame =
     TextModel.bigramLmScore(
-        Readers.table(spark, dir, "documents"), "doc_id", "text")
+        Readers.fanOut(Readers.table(spark, dir, "documents")
+          .select("doc_id", "text")), "doc_id", "text")
       .orderBy("doc_id")
 
   val ngramLmScoreSql: String =

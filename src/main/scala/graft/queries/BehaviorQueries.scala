@@ -222,6 +222,47 @@ object BehaviorQueries {
       | AND (v.valid_to_us IS NULL OR p.purchase_us < v.valid_to_us)
       |ORDER BY p.event_id""".stripMargin
 
+  /** Rolling 7-day active users (the WAU curve): a sliding COUNT DISTINCT,
+    * which no engine supports as a window function — the scalable
+    * formulation explodes each (user, active-day) onto the ≤7 report days
+    * it contributes to and distinct-counts per report day. Work is
+    * O(active-pairs × window), independent of total event volume (events
+    * collapse to distinct (user, day) first — that dedup is the only
+    * event-volume-sized shuffle).
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Readers.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val span = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .crossJoin(broadcast(span))
+      .filter(col("report_day") <= col("mx"))
+      .groupBy("report_day")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy("report_day")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+      |  FROM events
+      |),
+      |mx AS (SELECT max(day) AS mx FROM ud),
+      |e AS (
+      |  SELECT user_id, unnest(generate_series(day, day + 6)) AS report_day
+      |  FROM ud
+      |)
+      |SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT)
+      |  AS active_users
+      |FROM e CROSS JOIN mx WHERE report_day <= mx
+      |GROUP BY report_day ORDER BY report_day""".stripMargin
+
   /** First-order Markov transition matrix of event types per user stream. */
   def markovTransitions(spark: SparkSession, dir: String): DataFrame =
     Behavior.markovTransitions(Readers.events(spark, dir),
@@ -248,6 +289,7 @@ object BehaviorQueries {
     "outlier_zscore" -> outlierZscore,
     "scd2_build" -> scd2Build,
     "scd2_lookup" -> scd2Lookup,
+    "rolling_active_users" -> rollingActiveUsers,
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
@@ -257,5 +299,6 @@ object BehaviorQueries {
     "outlier_zscore" -> outlierZscoreSql,
     "scd2_build" -> scd2BuildSql,
     "scd2_lookup" -> scd2LookupSql,
+    "rolling_active_users" -> rollingActiveUsersSql,
     "markov_transitions" -> markovTransitionsSql)
 }

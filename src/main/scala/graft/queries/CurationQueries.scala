@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.{Curation, TextDedup, TextStats}
+import graft.ops.{Curation, Sampling, TextDedup, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -348,7 +348,54 @@ object CurationQueries {
        |    AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** GROUP-aware train/val/test split with a leakage audit: the split key
+    * is the USER (md5 bucket, 80/10/10), so every event of a user lands
+    * in exactly one split — the leakage-safe assignment supervised
+    * training needs (row-level splits leak user behavior across splits).
+    * `leak_users` counts users observed in more than one split and is 0
+    * BY CONSTRUCTION — the query emits the audit a pipeline would gate
+    * on, not just the assignment.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Sampling.hashBucket(col("user_id"), 10)
+    val split = when(bucket < 8, "train").when(bucket < 9, "val")
+      .otherwise("test")
+    val assigned = Readers.events(spark, dir)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("split", split)
+    val perUser = assigned.groupBy("user_id")
+      .agg(count_distinct(col("split")).as("n_splits"),
+        min(col("split")).as("split"), count(lit(1)).as("n_events"))
+    perUser.groupBy("split")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leak_users"))
+      .orderBy("split")
+  }
+
+  val groupSplitSql: String =
+    """WITH a AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+      |           % 10 < 8 THEN 'train'
+      |         WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+      |           % 10 < 9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM events
+      |),
+      |u AS (
+      |  SELECT user_id, count(DISTINCT split) AS n_splits,
+      |    min(split) AS split, count(*) AS n_events
+      |  FROM a GROUP BY user_id
+      |)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leak_users
+      |FROM u GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_split" -> groupSplit,
     "chunk_tokens" -> chunkTokens,
     "quality_filter" -> qualityFilter,
     "split_stratified" -> splitStratified,
@@ -360,6 +407,7 @@ object CurationQueries {
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
+    "group_split" -> groupSplitSql,
     "chunk_tokens" -> chunkTokensSql,
     "quality_filter" -> qualityFilterSql,
     "split_stratified" -> splitStratifiedSql,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.etl.Readers
 import graft.ops.{Profiling, Sampling, Skyline}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical / optimization queries: Pareto frontier, correlation
@@ -287,7 +288,87 @@ object StatsQueries {
       |  FROM lineitem)
       |GROUP BY bx, by ORDER BY bx, by""".stripMargin
 
+  val IncrementalCutoffDay = 20000L
+
+  /** Incremental aggregate maintenance — the materialized-view pattern:
+    * per-group partial states from the OLD data merge with the DELTA
+    * batch's partials instead of recomputing the base. count/sum/min/max
+    * merge losslessly (the avg derives from merged count+sum); the query
+    * proves merged == full-recompute by EMITTING the merged result while
+    * the oracle is the plain full aggregate. At 100 TB the old-side
+    * partials are a persisted table; only the delta is scanned per batch.
+    */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("value"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val merged = partials(ev.filter(col("day") < IncrementalCutoffDay))
+      .unionByName(partials(ev.filter(col("day") >= IncrementalCutoffDay)))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    merged.select(col("event_type"), col("n"),
+        round(col("s"), 4).as("sum_v"), round(col("mn"), 6).as("min_v"),
+        round(col("mx"), 6).as("max_v"),
+        round(col("s") / col("n"), 6).as("avg_v"))
+      .orderBy("event_type")
+  }
+
+  // oracle = the full recompute the incremental path must equal
+  val aggIncrementalSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 4) AS sum_v, round(min(value), 6) AS min_v,
+      |  round(max(value), 6) AS max_v, round(avg(value), 6) AS avg_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val StratumK = 3
+
+  /** Fixed-size per-stratum sample: exactly k customers per market
+    * segment, chosen by md5-hash priority — deterministic, append-stable
+    * for surviving rows, and executed as one keyed window top-k
+    * (WindowGroupLimit pushes the k-filter into the shuffle) rather than
+    * any per-group collect. Complements `split_stratified`
+    * (fixed-FRACTION, map-only) when the contract is "exactly k per
+    * stratum".
+    */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val pri = Sampling.hashBucket(col("c_custkey"), 1000000)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__pri"), col("c_custkey"))
+    Readers.table(spark, dir, "customer")
+      .withColumn("__pri", pri)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumK)
+      .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val samplePerGroupSql: String =
+    s"""WITH p AS (
+       |  SELECT c_mktsegment, c_custkey, c_acctbal,
+       |    ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+       |      % 1000000 AS pri
+       |  FROM customer
+       |)
+       |SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, c_custkey,
+       |  round(c_acctbal, 2) AS bal
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+       |    ORDER BY pri, c_custkey) AS rk
+       |  FROM p)
+       |WHERE rk <= $StratumK
+       |ORDER BY c_mktsegment, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_incremental" -> aggIncremental,
+    "sample_per_group" -> samplePerGroup,
     "histogram2d" -> histogram2d,
     "quantile_bands" -> quantileBands,
     "ab_metrics" -> abMetrics,
@@ -298,6 +379,8 @@ object StatsQueries {
     "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "agg_incremental" -> aggIncrementalSql,
+    "sample_per_group" -> samplePerGroupSql,
     "histogram2d" -> histogram2dSql,
     "quantile_bands" -> quantileBandsSql,
     "ab_metrics" -> abMetricsSql,

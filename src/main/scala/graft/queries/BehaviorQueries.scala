@@ -263,6 +263,89 @@ object BehaviorQueries {
       |FROM e CROSS JOIN mx WHERE report_day <= mx
       |GROUP BY report_day ORDER BY report_day""".stripMargin
 
+  /** Robust (MAD) outlier bounds per event type: median and the median
+    * absolute deviation — the location/scale pair that one wild value
+    * can't drag, unlike mean/stddev ([[outlierZscore]]'s pair). Two exact
+    * percentile aggregates (the second over |x − med|, med broadcast
+    * back); emits per-type bounds plus the count outside
+    * med ± 3·1.4826·MAD. Exact percentiles sort per group — the approx
+    * sketch is the fallback at unbounded group sizes.
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    val k = lit(3.0 * 1.4826)
+    val bounded = mad.select(col("event_type"), col("med"), col("mad"),
+      (col("med") - k * col("mad")).as("lo"),
+      (col("med") + k * col("mad")).as("hi"))
+    ev.join(broadcast(bounded), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val outlierMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1
+      |),
+      |mad AS (
+      |  SELECT e.event_type,
+      |    quantile_cont(abs(e.value - m.med), 0.5) AS mad, any_value(m.med) AS med
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+      |)
+      |SELECT e.event_type, round(any_value(m.med), 6) AS med,
+      |  round(any_value(m.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN e.value < m.med - 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+      |                  OR e.value > m.med + 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events e JOIN mad m USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  /** Time-to-convert distribution: among users who completed the funnel,
+    * the latency from first entry step to conversion — min/median/p90/max
+    * in seconds. One more tiny aggregate on top of [[funnelConversion]]'s
+    * per-user output.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        FunnelSteps)
+      .filter(col("depth") === FunnelSteps.size)
+      .select(((col(s"step${FunnelSteps.size}_us") - col("step1_us"))
+        / 1000000L).as("latency_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(min(col("latency_s")), 6).as("lat_min"),
+        round(expr("percentile(latency_s, 0.5)"), 6).as("lat_p50"),
+        round(expr("percentile(latency_s, 0.9)"), 6).as("lat_p90"),
+        round(max(col("latency_s")), 6).as("lat_max"))
+
+  val funnelLatencySql: String = {
+    val inner = funnelConversionSql.stripSuffix(" ORDER BY user_id")
+      .replace("ORDER BY user_id", "")
+    s"""WITH f AS ($inner),
+       |l AS (
+       |  SELECT (step3_us - step1_us) / 1000000.0::DOUBLE AS latency_s
+       |  FROM f WHERE depth = ${FunnelSteps.size}
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       |  round(min(latency_s), 6) AS lat_min,
+       |  round(quantile_cont(latency_s, 0.5), 6) AS lat_p50,
+       |  round(quantile_cont(latency_s, 0.9), 6) AS lat_p90,
+       |  round(max(latency_s), 6) AS lat_max
+       |FROM l""".stripMargin
+  }
+
   /** First-order Markov transition matrix of event types per user stream. */
   def markovTransitions(spark: SparkSession, dir: String): DataFrame =
     Behavior.markovTransitions(Readers.events(spark, dir),
@@ -290,6 +373,8 @@ object BehaviorQueries {
     "scd2_build" -> scd2Build,
     "scd2_lookup" -> scd2Lookup,
     "rolling_active_users" -> rollingActiveUsers,
+    "outlier_mad" -> outlierMad,
+    "funnel_latency" -> funnelLatency,
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +385,7 @@ object BehaviorQueries {
     "scd2_build" -> scd2BuildSql,
     "scd2_lookup" -> scd2LookupSql,
     "rolling_active_users" -> rollingActiveUsersSql,
+    "outlier_mad" -> outlierMadSql,
+    "funnel_latency" -> funnelLatencySql,
     "markov_transitions" -> markovTransitionsSql)
 }

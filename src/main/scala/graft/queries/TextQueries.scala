@@ -132,6 +132,47 @@ object TextQueries {
        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  /** Quality-aware duplicate resolution — the decision a dedup pipeline
+    * actually ships: within each near-dup cluster keep the HIGHEST-quality
+    * copy (type-token ratio here; any scored signal plugs in), not the
+    * lowest id. One window over the cluster key on top of
+    * [[dedupClusters]]'s labels; ties break on doc_id so the keeper is
+    * engine-stable.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val w = split(col("text"), " ")
+    val ttr = round(size(array_distinct(w)).cast("double") / size(w), 6)
+    val quality = docs.select(col("doc_id"), ttr.as("ttr"))
+    val keeperW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("ttr").desc, col("doc_id"))
+    dedupClusters(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .withColumn("keeper", row_number().over(keeperW) === 1)
+      .select("doc_id", "cluster", "ttr", "keeper")
+      .orderBy("doc_id")
+  }
+
+  // lazy: dedupClustersSql is defined later in the file (val init order)
+  lazy val dedupKeepBestSql: String = {
+    val clustersNoOrder = dedupClustersSql.stripSuffix("\nORDER BY doc_id")
+    s"""WITH cl AS (
+       |  SELECT doc_id, cluster FROM ($clustersNoOrder)
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+       |          / len(string_split(text, ' ')), 6) AS ttr
+       |  FROM documents
+       |)
+       |SELECT doc_id, cluster, ttr,
+       |  row_number() OVER (PARTITION BY cluster
+       |    ORDER BY ttr DESC, doc_id) = 1 AS keeper
+       |FROM cl JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** 16-bit SimHash signatures over the distinct word set. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     TextDedup.simhash(Readers.table(spark, dir, "documents"), "doc_id", "text")
@@ -528,6 +569,7 @@ object TextQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_pipeline" -> dedupPipeline,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_simhash" -> dedupSimhash,
     "simhash_buckets" -> simhashBuckets,
     "text_stats" -> textStatsQ,
@@ -545,6 +587,7 @@ object TextQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_buckets" -> simhashBucketsSql,
     "text_stats" -> textStatsSql,

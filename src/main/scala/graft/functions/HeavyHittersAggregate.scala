@@ -61,40 +61,13 @@ case class HeavyHittersSketch(
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = itemExpr.eval(input)
-    if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1L)
-        case None if buf.size < k => buf.update(item, 1L)
-        case None => // decrement-all step; drops the incoming item too
-          val dead = mutable.ArrayBuffer[String]()
-          buf.mapValuesInPlace { (key, c) =>
-            if (c == 1L) dead += key; c - 1L
-          }
-          dead.foreach(buf.remove)
-      }
-    }
+    if (v != null) MisraGries.offer(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],
                      b: mutable.HashMap[String, Long])
-  : mutable.HashMap[String, Long] = {
-    b.foreach { case (item, c) =>
-      a.update(item, a.getOrElse(item, 0L) + c)
-    }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count from everything, keep > 0:
-      // the merge that preserves the n/(k+1) under-count bound
-      val cut = a.values.toArray.sortInPlace()(Ordering[Long].reverse)(k)
-      val dead = mutable.ArrayBuffer[String]()
-      a.mapValuesInPlace { (key, c) =>
-        if (c <= cut) dead += key; c - cut
-      }
-      dead.foreach(a.remove)
-    }
-    a
-  }
+  : mutable.HashMap[String, Long] = MisraGries.merge(a, b, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     val sorted = buf.toArray.sortBy { case (item, c) => (-c, item) }
@@ -142,6 +115,47 @@ case class HeavyHittersSketch(
     copy(itemExpr = c(0))
 
   override def prettyName: String = "graft_heavy_hitters"
+}
+
+/** The Misra–Gries counter-map operations, shared by the batch aggregate
+  * and the streaming stateful twin. Both guarantees (presence above
+  * n/(k+1); under-count ≤ n/(k+1)) are invariants of these two functions
+  * alone.
+  */
+object MisraGries {
+
+  /** Fold one item into a ≤k-entry counter map. */
+  def offer(buf: mutable.HashMap[String, Long], item: String, k: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < k => buf.update(item, 1L)
+      case None => // decrement-all step; drops the incoming item too
+        val dead = mutable.ArrayBuffer[String]()
+        buf.mapValuesInPlace { (key, c) =>
+          if (c == 1L) dead += key; c - 1L
+        }
+        dead.foreach(buf.remove)
+    }
+
+  /** Combine two summaries: add counts, then subtract the (k+1)-th
+    * largest from everything and keep > 0 — the merge that preserves the
+    * n/(k+1) under-count bound.
+    */
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long],
+            k: Int): mutable.HashMap[String, Long] = {
+    b.foreach { case (item, c) =>
+      a.update(item, a.getOrElse(item, 0L) + c)
+    }
+    if (a.size > k) {
+      val cut = a.values.toArray.sortInPlace()(Ordering[Long].reverse)(k)
+      val dead = mutable.ArrayBuffer[String]()
+      a.mapValuesInPlace { (key, c) =>
+        if (c <= cut) dead += key; c - cut
+      }
+      dead.foreach(a.remove)
+    }
+    a
+  }
 }
 
 object HeavyHittersFunctions {

@@ -74,6 +74,40 @@ object StatefulOps {
         })
   }
 
+  /** Per-group continuous heavy hitters: the streaming twin of the
+    * `graft_heavy_hitters` batch aggregate, carrying the SAME Misra–Gries
+    * counter map ([[graft.functions.MisraGries]]) as keyed state — O(k)
+    * per group forever, the bounded-state contract a 100 TB/day stream
+    * needs for "top items per key so far". The n/(k+1) presence and
+    * under-count guarantees hold over the whole stream because state
+    * update IS the batch fold.
+    */
+  case class GroupHeavyHitters(group: String, items: Seq[String],
+                               ests: Seq[Long])
+
+  def heavyHittersStream(events: Dataset[(String, String)], k: Int)
+  : Dataset[GroupHeavyHitters] = {
+    implicit val enc = Encoders.product[GroupHeavyHitters]
+    events
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (group: String, batch: Iterator[(String, String)],
+         state: GroupState[GroupHeavyHitters]) => {
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(s =>
+            s.items.zip(s.ests).foreach { case (i, e) => buf.update(i, e) })
+          batch.foreach { case (_, item) =>
+            graft.functions.MisraGries.offer(buf, item, k)
+          }
+          val sorted = buf.toSeq.sortBy { case (i, e) => (-e, i) }
+          val next = GroupHeavyHitters(group, sorted.map(_._1),
+            sorted.map(_._2))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
   /** Fold a batch of events into the carried state. */
   private[streaming] def fold(userId: Long, events: Iterator[UserEvent],
                               prior: Option[UserProfile]): UserProfile =

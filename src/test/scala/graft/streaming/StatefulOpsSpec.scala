@@ -46,6 +46,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG guarantee holds over the whole stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StatefulOps.heavyHittersStream(mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode("update").start()
+    // group g: 60×a + 30×b + 12 singletons over two micro-batches; n=102
+    val batch1 = Seq.fill(40)("a") ++ Seq.fill(10)("b") ++
+      (1 to 6).map(i => s"r$i")
+    val batch2 = Seq.fill(20)("a") ++ Seq.fill(20)("b") ++
+      (7 to 12).map(i => s"r$i")
+    try {
+      mem.addData(batch1.map(("g", _)): _*); q.processAllAvailable()
+      mem.addData(batch2.map(("g", _)): _*); q.processAllAvailable()
+      val finals = spark.table("hh_stream_test")
+        .as[StatefulOps.GroupHeavyHitters].collect()
+        .maxBy(_.ests.sum) // the last (most-absorbed) snapshot
+      val est = finals.items.zip(finals.ests).toMap
+      val n = batch1.size + batch2.size
+      val slack = n.toDouble / 4 // k+1 = 4
+      assert(est.size <= 3)
+      // a (60) and b (30) exceed n/4=25.5 → must be present, under-counted
+      // by at most the slack
+      assert(est.contains("a") && est("a") <= 60 && est("a") >= 60 - slack)
+      assert(est.contains("b") && est("b") <= 30 && est("b") >= 30 - slack)
+    } finally q.stop()
+  }
+
   private val Steps = Seq("view", "click", "purchase")
 
   test("streaming funnel state matches the batch funnel operator") {

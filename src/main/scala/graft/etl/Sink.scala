@@ -62,6 +62,32 @@ object Sink {
   def overwriteOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** DYNAMIC partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the idempotent-backfill
+    * write ("re-run day X" must not truncate the year). The static default
+    * would drop the whole table root; `partitionOverwriteMode=dynamic` is
+    * set per-write so the session default stays untouched.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite `src` into `dst` as `targetFiles`
+    * similarly-sized files. THE maintenance op at 100 TB — streaming
+    * ingestion and dynamic-partition backfills strand thousands of tiny
+    * files per partition, and every downstream scan then pays per-file
+    * open/footer costs. Round-robin repartition (not coalesce: coalesce
+    * merges without a shuffle but chains up the lineage, capping upstream
+    * parallelism and producing uneven files).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dst: String, targetFiles: Int): Unit =
+    spark.read.parquet(src).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+
   /** JSON-lines sink (training-data interchange). Distributed write — one
     * file per partition; callers needing shard-count control repartition
     * first.

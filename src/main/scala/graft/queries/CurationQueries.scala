@@ -358,18 +358,25 @@ object CurationQueries {
     */
   def groupSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = Sampling.hashBucket(col("user_id"), 10)
-    val split = when(bucket < 8, "train").when(bucket < 9, "val")
-      .otherwise("test")
+    // the split rides through BOTH aggregates as an INT code — string
+    // min/count-distinct buffers would force SortAggregate (the same
+    // numeric-vs-string lesson as the MinHash signatures); the label is
+    // decoded once, on the 3-row output
+    val splitCode = when(bucket < 8, 0).when(bucket < 9, 1).otherwise(2)
+    val decode = when(col("split_code") === 0, "train")
+      .when(col("split_code") === 1, "val").otherwise("test")
     val assigned = Readers.events(spark, dir)
       .select(col("user_id"), col("event_id"))
-      .withColumn("split", split)
+      .withColumn("split_code", splitCode)
     val perUser = assigned.groupBy("user_id")
-      .agg(count_distinct(col("split")).as("n_splits"),
-        min(col("split")).as("split"), count(lit(1)).as("n_events"))
-    perUser.groupBy("split")
+      .agg(count_distinct(col("split_code")).as("n_splits"),
+        min(col("split_code")).as("split_code"), count(lit(1)).as("n_events"))
+    perUser.groupBy("split_code")
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_events")).as("n_events"),
         sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leak_users"))
+      .select(decode.as("split"), col("n_users"), col("n_events"),
+        col("leak_users"))
       .orderBy("split")
   }
 

@@ -366,7 +366,101 @@ object StatsQueries {
        |WHERE rk <= $StratumK
        |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** RFM customer segmentation: recency (days from last order to the
+    * corpus max date), frequency, monetary per customer, each scored into
+    * quartiles via broadcast exact cut points (same map-only shape as
+    * [[quantileBands]] — never a per-metric global sort), then the
+    * classic concatenated RFM segment. One keyed aggregate + one tiny
+    * cut-point aggregate + a map-only scoring pass.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Readers.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_totalprice"))
+    val perCust = orders.groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val anchored = perCust
+      .crossJoin(broadcast(perCust.agg(max(col("last_day")).as("mx"))))
+      .withColumn("recency", (col("mx") - col("last_day")).cast("double"))
+    val cuts = anchored.agg(
+      expr("percentile(recency, 0.5)").as("r_med"),
+      expr("percentile(freq, 0.5)").as("f_med"),
+      expr("percentile(monetary, 0.5)").as("m_med"))
+    // 2 = better half (recent / frequent / high-spend), tie → worse half
+    val scored = anchored.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"),
+        when(col("recency") < col("r_med"), 2).otherwise(1).as("r"),
+        when(col("freq") > col("f_med"), 2).otherwise(1).as("f"),
+        when(col("monetary") > col("m_med"), 2).otherwise(1).as("m"))
+    scored.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"))
+      .select(concat(col("r"), col("f"), col("m")).as("segment"),
+        col("n_customers"))
+      .orderBy("segment")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    max(date_diff('day', DATE '1970-01-01',
+      |        CAST(o_orderdate AS DATE))) AS last_day,
+      |    count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+      |  FROM orders GROUP BY 1
+      |),
+      |a AS (
+      |  SELECT *, ((SELECT max(last_day) FROM pc) - last_day)::DOUBLE
+      |    AS recency
+      |  FROM pc
+      |),
+      |c AS (
+      |  SELECT quantile_cont(recency, 0.5) AS r_med,
+      |    quantile_cont(freq, 0.5) AS f_med,
+      |    quantile_cont(monetary, 0.5) AS m_med
+      |  FROM a
+      |),
+      |s AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN recency < r_med THEN 2 ELSE 1 END AS r,
+      |    CASE WHEN freq > f_med THEN 2 ELSE 1 END AS f,
+      |    CASE WHEN monetary > m_med THEN 2 ELSE 1 END AS m
+      |  FROM a CROSS JOIN c
+      |)
+      |SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM s GROUP BY r, f, m ORDER BY segment""".stripMargin
+
+  /** Hour-of-week seasonality profile: events per (day-of-week, hour)
+    * cell, plus each cell's share of the week — the load-shaping readout
+    * behind capacity planning and anomaly baselines. Calendar functions
+    * are pinned to the UTC session zone in both engines.
+    */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+    ev.groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(
+          Window.partitionBy()), 6))
+      .orderBy("dow", "hod")
+  }
+
+  val seasonalityProfileSql: String =
+    """WITH e AS (
+      |  SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hod
+      |  FROM events
+      |)
+      |SELECT CAST(dow AS INTEGER) AS dow, CAST(hod AS INTEGER) AS hod,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(count(*) / (SELECT count(*)::DOUBLE FROM e), 6) AS share
+      |FROM e GROUP BY dow, hod ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments" -> rfmSegments,
+    "seasonality_profile" -> seasonalityProfile,
     "agg_incremental" -> aggIncremental,
     "sample_per_group" -> samplePerGroup,
     "histogram2d" -> histogram2d,
@@ -379,6 +473,8 @@ object StatsQueries {
     "heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "rfm_segments" -> rfmSegmentsSql,
+    "seasonality_profile" -> seasonalityProfileSql,
     "agg_incremental" -> aggIncrementalSql,
     "sample_per_group" -> samplePerGroupSql,
     "histogram2d" -> histogram2dSql,

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.{DocStreams, EventStreams, StatefulOps}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput readout (r6 judge item 7): every streaming op fed
+  * the sf events/documents through a MemoryStream in fixed micro-batches,
+  * timed end-to-end (trigger scheduling + state store + sink), reported as
+  * rows/sec. This is the regression canary for state-size mistakes — an
+  * accidentally unbounded state store shows up as micro-batch times
+  * growing batch over batch, which collapses the rows/sec number.
+  *
+  * Usage: runMain graft.BenchStream [nBatches]; reads
+  * SPARK_GRAFT_SF_DIR (default sf0.01). One JSON line per op on stdout;
+  * committed numbers live in STREAMBENCH.md.
+  */
+object BenchStream {
+
+  case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String,
+                value: Double, event_id: Long)
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.nonEmpty) args(0).toInt else 8
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSessions.localFromEnv(defaultCpus = "32")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+
+    // events.ts is Parquet TIMESTAMP(NANOS) — always through Readers.events
+    val events = graft.etl.Readers.events(spark, sfDir)
+      .select(col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("event_id"))
+      .orderBy("ts") // arrival in event-time order, like a live feed
+      .as[Ev].collect().toSeq
+    val docs = graft.etl.Readers.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .as[Doc].collect().toSeq
+    val userEvents = events.map(e =>
+      StatefulOps.UserEvent(e.user_id, e.event_type, e.value,
+        e.ts.getTime * 1000L, e.event_id))
+    val pairs = events.map(e => (e.event_type, e.user_id.toString))
+
+    /** Feed `data` in `batches` chunks, processAllAvailable per chunk. */
+    def run[T: Encoder](name: String, data: Seq[T], mode: String)
+                       (build: Dataset[T] => DataFrame): Unit = {
+      val mem = MemoryStream[T]
+      val q = build(mem.toDS()).writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation",
+          s"/tmp/graft-benchstream/${name}-${System.nanoTime()}")
+        .start()
+      val chunk = math.max(1, (data.size + batches - 1) / batches)
+      val t0 = System.nanoTime()
+      try {
+        data.grouped(chunk).foreach { c =>
+          mem.addData(c: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","rows":${data.size},"batches":$batches,"sec":$sec%.3f,"rows_per_sec":${data.size / sec}%.0f}""")
+    }
+
+    run("tumbling_counts", events, "update")(
+      ds => EventStreams.tumblingCounts(ds.toDF()))
+    run("sliding_counts", events, "update")(
+      ds => EventStreams.slidingCounts(ds.toDF()))
+    run("session_aggregates", events, "update")(
+      ds => EventStreams.sessionAggregates(ds.toDF()))
+    run("dedup_events", events, "append")(
+      ds => EventStreams.dedupEvents(ds.toDF()))
+    run("user_profiles", userEvents, "update")(
+      ds => StatefulOps.userProfiles(ds).toDF())
+    run("funnel_progress", userEvents, "update")(
+      ds => StatefulOps.funnelProgress(ds,
+        Seq("view", "click", "purchase")).toDF())
+    run("heavy_hitters_stream", pairs, "update")(
+      ds => StatefulOps.heavyHittersStream(ds, k = 8).toDF())
+    run("click_purchase_join", events, "append")(ds =>
+      EventStreams.clickPurchaseJoin(
+        ds.toDF().filter(col("event_type") === "click"),
+        ds.toDF().filter(col("event_type") === "purchase")))
+    run("doc_quality_filtered", docs, "append")(
+      ds => DocStreams.qualityFiltered(ds.toDF()))
+    run("doc_curated", docs, "append")(
+      ds => DocStreams.curated(ds.toDF()))
+
+    spark.stop()
+  }
+}

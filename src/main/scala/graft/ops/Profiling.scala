@@ -38,41 +38,60 @@ object Profiling {
     one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
   }
 
-  /** Per-column profile: (column, n_nulls, n_distinct, min_num, max_num) —
-    * numeric min/max as double, null for non-numeric columns. Exact
-    * distinct counts (`count(DISTINCT col)` per column in one aggregate —
-    * Spark plans the multi-distinct via expand); swap to
-    * `approx_count_distinct` at scales where exact per-column distinct
-    * state is unaffordable.
+  /** Per-column profile:
+    * (column, n_nulls, n_distinct, min_num, max_num, nd_ok) — numeric
+    * min/max as double (null for non-numeric columns), exact distinct
+    * counts, and the HLL++ sketch-contract boolean (|approx − exact| ≤
+    * 3·rsd·exact — the tolerance proven on `agg_approx_sketch`).
+    *
+    * Shape, after the r6 flag: fully LAZY (one single-row plan, no
+    * `collect` — the unpivot is the in-plan explode-of-structs
+    * [[corrMatrix]] uses), and NO multi-distinct Expand — the r6 version
+    * put every `count(DISTINCT col)` in one aggregate, which duplicates
+    * each scan row once per column and forces a sort-aggregate over the
+    * expanded rows. Nulls / min / max / HLL sketches all ride ONE
+    * constant-state hash-aggregate pass; each exact distinct is its own
+    * stacked (distinct → count) subtree — two distributed hash shuffles,
+    * bounded state, no Expand. At 100 TB the exact-distinct yardsticks are
+    * the columns to drop (the sketch estimate is the scale answer — that
+    * is what `nd_ok` certifies); the one-pass sketch profile is the
+    * production shape.
     */
   def profile(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val cols = df.schema.fields
-    val aggs: Seq[Column] = cols.flatMap { f =>
-      // backtick-quote: raw delivery column names may contain dots, which
-      // bare col() would parse as nested-field paths
-      val c = col(s"`${f.name}`")
+    // backtick-quote: raw delivery column names may contain dots, which
+    // bare col() would parse as nested-field paths
+    def c(name: String) = col(s"`$name`")
+    val wideAggs: Seq[Column] = cols.flatMap { f =>
       val (mn, mx) = f.dataType match {
         case _: NumericType =>
-          (min(c).cast("double"), max(c).cast("double"))
+          (min(c(f.name)).cast("double"), max(c(f.name)).cast("double"))
         case _ =>
           (lit(null).cast("double"), lit(null).cast("double"))
       }
       Seq(
-        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__distinct"),
+        count(when(c(f.name).isNull, 1)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c(f.name), rsd = 0.02).as(s"${f.name}__nd_est"),
         mn.as(s"${f.name}__min"),
         mx.as(s"${f.name}__max"))
     }.toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.indices.map { i =>
-      (cols(i).name,
-        row.getLong(i * 4),
-        row.getLong(i * 4 + 1),
-        Option(row.get(i * 4 + 2)).map(_.asInstanceOf[Double]),
-        Option(row.get(i * 4 + 3)).map(_.asInstanceOf[Double]))
-    }.toDF("col_name", "n_nulls", "n_distinct", "min_num", "max_num")
+    val wide = df.agg(wideAggs.head, wideAggs.tail: _*)
+    // one row each, broadcast onto the single wide row
+    val one = cols.foldLeft(wide) { (acc, f) =>
+      acc.crossJoin(broadcast(
+        df.select(c(f.name)).distinct()
+          .agg(count(c(f.name)).as(s"${f.name}__nd_exact"))))
+    }
+    val stacked = cols.map { f =>
+      struct(lit(f.name).as("col_name"),
+        c(s"${f.name}__nulls").as("n_nulls"),
+        c(s"${f.name}__nd_exact").as("n_distinct"),
+        c(s"${f.name}__min").as("min_num"),
+        c(s"${f.name}__max").as("max_num"),
+        (abs(c(s"${f.name}__nd_est") - c(s"${f.name}__nd_exact"))
+          <= c(s"${f.name}__nd_exact") * lit(0.06)).as("nd_ok"))
+    }
+    one.select(explode(array(stacked: _*)).as("r")).select(col("r.*"))
   }
 
   /** Fixed-bound equi-width histogram of a numeric column: bucket 0 =

@@ -122,8 +122,11 @@ object Quality {
 
   /** CDC upsert (MERGE): apply a change feed to a base table.
     *
-    *   - the change feed is deduplicated keep-LATEST per key (`version`
-    *     descending, window row_number — one shuffle on the key);
+    *   - the change feed is deduplicated to ONE change per key: the first
+    *     row under `versionOrder`, an EXPLICIT ordering the caller owns —
+    *     pass `col("v").desc` (as every call site here does) for the
+    *     keep-latest MERGE; plain ascending columns would keep the OLDEST
+    *     change (the r6-advice foot-gun this parameter name now states);
     *   - then one full-outer join base↔changes decides the action per key:
     *     `update` (both sides), `insert` (change only), `keep` (base only);
     *   - every non-key payload column is `coalesce(change, base)`.
@@ -134,10 +137,10 @@ object Quality {
     * columns than the base).
     */
   def upsertLatest(base: DataFrame, changes: DataFrame, key: String,
-                   version: Seq[Column], payload: Seq[String]): DataFrame = {
+                   versionOrder: Seq[Column], payload: Seq[String]): DataFrame = {
     val latest = changes
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(col(key)).orderBy(version: _*)))
+        row_number().over(Window.partitionBy(col(key)).orderBy(versionOrder: _*)))
       .filter(col("__rn") === 1).drop("__rn")
     val b = prefixed(base, "b_", key, payload)
     val c = prefixed(latest, "c_", key, payload)

@@ -39,11 +39,18 @@ object Sampling {
     *
     * Top-k by this score is a TakeOrdered (per-partition heap, k rows to
     * the driver) — no global sort, no shuffle of the data.
+    *
+    * Precondition w > 0, ENFORCED: weight 0 would score +Inf (never
+    * sampled) and a negative weight a negative priority that always wins
+    * top-k — both silently wrong samples. Non-positive (or null) weights
+    * score null instead, so bad weights surface in the output rather
+    * than dominate it; clamp upstream (`greatest(w, lit(1.0))`) if a
+    * floor is the intended policy.
     */
   def weightedPriority(keyCol: Column, weight: Column): Column = {
     val u = (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    -log(u) / weight
+    when(weight > 0.0, -log(u) / weight)
   }
 
   /** Per-row weighted keep decision: bucket in [0, 10000) < `keepBps`

@@ -778,8 +778,10 @@ object AnalyticsExt {
       |    AS all_short
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** One-pass column profile of the orders table ([[graft.ops.Profiling]]):
-    * null counts, exact distinct counts, numeric min/max.
+  /** Column profile of the orders table ([[graft.ops.Profiling]]): null
+    * counts, exact distinct counts, numeric min/max, plus each engine's
+    * own HLL sketch-contract boolean (the `agg_approx_sketch` pattern) —
+    * one lazy single-row plan, no multi-distinct Expand, no collect.
     */
   def profileColumns(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.profile(Readers.table(spark, dir, "orders"))
@@ -795,7 +797,10 @@ object AnalyticsExt {
       s"""SELECT '$c' AS col_name,
          |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
-         |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+         |  $mn AS min_num, $mx AS max_num,
+         |  abs(approx_count_distinct($c) - count(DISTINCT $c))
+         |    <= 0.06::DOUBLE * count(DISTINCT $c) AS nd_ok
+         |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 

@@ -266,19 +266,23 @@ object BehaviorQueries {
   /** Robust (MAD) outlier bounds per event type: median and the median
     * absolute deviation — the location/scale pair that one wild value
     * can't drag, unlike mean/stddev ([[outlierZscore]]'s pair). Two exact
-    * percentile aggregates (the second over |x − med|, med broadcast
-    * back); emits per-type bounds plus the count outside
-    * med ± 3·1.4826·MAD. Exact percentiles sort per group — the approx
-    * sketch is the fallback at unbounded group sizes.
+    * median passes (the second over |x − med|, med broadcast back); emits
+    * per-type bounds plus the count outside med ± 3·1.4826·MAD. Both
+    * medians come from the bracket-and-refine
+    * [[graft.ops.Quantiles.exact]] — the built-in exact `percentile`
+    * would hold each event type's whole value→count map in one
+    * aggregation buffer, the r6-flagged unbounded-group-size OOM.
     */
   def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantiles
     val ev = Readers.events(spark, dir).select(col("event_type"), col("value"))
-    val med = ev.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = ev.join(broadcast(med), Seq("event_type"))
-      .groupBy("event_type")
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
-        first(col("med")).as("med"))
+    val med = Quantiles.exact(ev, Seq(Quantiles.Q("med", col("value"), 0.5)),
+      groupCols = Seq("event_type"))
+    val mad = Quantiles.exact(
+        ev.join(broadcast(med), Seq("event_type")),
+        Seq(Quantiles.Q("mad", abs(col("value") - col("med")), 0.5)),
+        groupCols = Seq("event_type"))
+      .join(broadcast(med), Seq("event_type"))
     val k = lit(3.0 * 1.4826)
     val bounded = mad.select(col("event_type"), col("med"), col("mad"),
       (col("med") - k * col("mad")).as("lo"),
@@ -314,21 +318,33 @@ object BehaviorQueries {
 
   /** Time-to-convert distribution: among users who completed the funnel,
     * the latency from first entry step to conversion — min/median/p90/max
-    * in seconds. One more tiny aggregate on top of [[funnelConversion]]'s
-    * per-user output.
+    * in seconds, on top of [[funnelConversion]]'s per-user output. The
+    * exact p50/p90 come from the bracket-and-refine
+    * [[graft.ops.Quantiles.exact]] (one converted-user row per user is
+    * still user-count-sized at 100 TB — the built-in exact `percentile`
+    * would buffer all of them in one reducer); min/max/count stay one
+    * plain constant-state aggregate, cross-joined back.
     */
-  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
-    Behavior.funnel(Readers.events(spark, dir),
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantiles
+    val lat = Behavior.funnel(Readers.events(spark, dir),
         col("user_id"), col("ts"), col("event_id"), col("event_type"),
         FunnelSteps)
       .filter(col("depth") === FunnelSteps.size)
       .select(((col(s"step${FunnelSteps.size}_us") - col("step1_us"))
         / 1000000L).as("latency_s"))
-      .agg(count(lit(1)).as("n_converted"),
+    val q = Quantiles.exact(lat, Seq(
+      Quantiles.Q("p50", col("latency_s"), 0.5),
+      Quantiles.Q("p90", col("latency_s"), 0.9)))
+    lat.agg(count(lit(1)).as("n_converted"),
         round(min(col("latency_s")), 6).as("lat_min"),
-        round(expr("percentile(latency_s, 0.5)"), 6).as("lat_p50"),
-        round(expr("percentile(latency_s, 0.9)"), 6).as("lat_p90"),
         round(max(col("latency_s")), 6).as("lat_max"))
+      .crossJoin(broadcast(q))
+      .select(col("n_converted"), col("lat_min"),
+        round(col("p50"), 6).as("lat_p50"),
+        round(col("p90"), 6).as("lat_p90"),
+        col("lat_max"))
+  }
 
   val funnelLatencySql: String = {
     val inner = funnelConversionSql.stripSuffix(" ORDER BY user_id")

@@ -43,14 +43,22 @@ object MultimodalQueries {
        |    AS n_frames
        |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Batched per-partition feature extraction. The OPERATOR is imperative
-    * (mapPartitions — the real-decoder contract), but the stub's features
-    * are arithmetic on the payload bytes, so the result IS oracle-checkable:
-    * the SQL mirrors the stub per-byte (documents.text is pure ASCII in the
-    * testdata, so code points == payload bytes).
+  /** Batched per-partition feature extraction over REAL PNG containers:
+    * the media table wraps each document in a genuine PNG (signature,
+    * IHDR, CRC-32s — [[graft.ops.Multimodal.encodePng]]) and the
+    * extractor parses it back byte-by-byte (signature check, chunk walk,
+    * CRC verification, big-endian IHDR dims) before computing content
+    * features. The oracle checks the round trip arithmetically: the
+    * parsed dims must equal the deterministic function of the content
+    * length that was stamped into IHDR, and digest/brightness are
+    * per-byte functions of the content (documents.text is pure ASCII in
+    * the testdata, so code points == payload bytes). Only the pixel
+    * decode itself is the labeled stub.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(spark, media(spark, dir))
+    Multimodal.extractFeatures(spark,
+        Multimodal.encodedMediaTable(
+          Readers.table(spark, dir, "documents"), "doc_id", "text", "source"))
       .orderBy("media_id")
 
   val multimodalFeaturesSql: String =

@@ -108,7 +108,7 @@ object QualityQueries {
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     Quality.upsertLatest(base, changeFeed(Readers.table(spark, dir, "orders")),
         key = "c_custkey",
-        version = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        versionOrder = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
         payload = Seq("c_name", "c_acctbal", "c_mktsegment"))
       .withColumn("c_acctbal", round(col("c_acctbal"), 2))
       .orderBy("c_custkey")

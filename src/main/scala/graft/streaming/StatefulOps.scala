@@ -16,36 +16,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulOps {
 
   case class UserEvent(user_id: Long, event_type: String, value: Double,
-                       ts_micros: Long)
+                       ts_micros: Long, event_id: Long = 0L)
 
   case class UserProfile(user_id: Long, n_events: Long, n_purchases: Long,
                          sum_value: Double, last_seen_micros: Long)
 
   /** Per-user funnel progress: epoch-micros each step was first reached
-    * (-1 = not yet), plus the derived depth. The state is MONOTONE — a
-    * reached step never unreaches — which is what makes it safe to carry
-    * across micro-batches forever (and makes late events conservative:
-    * an out-of-order step can miss a conversion, never invent one).
+    * (-1 = not yet) with the reaching event's id (the tie-break), plus
+    * the derived depth. The state is MONOTONE — a reached step never
+    * unreaches — which is what makes it safe to carry across
+    * micro-batches forever (and makes late events conservative: an
+    * out-of-order step can miss a conversion, never invent one).
     */
-  case class FunnelProgress(user_id: Long, step_us: Seq[Long], depth: Int)
+  case class FunnelProgress(user_id: Long, step_us: Seq[Long],
+                            step_id: Seq[Long], depth: Int)
 
-  /** Fold a (within-batch, time-sorted) event iterator into funnel
+  /** Fold a (within-batch, row-order-sorted) event iterator into funnel
     * progress. Shared by the streaming operator and its batch-parity
-    * spec: step i qualifies only strictly after a qualified step i-1.
+    * spec, with the SAME row order as [[graft.ops.Behavior.funnel]]:
+    * events sort by (ts_micros, event_id), and step i qualifies iff a
+    * qualified step i-1 event is strictly earlier in THAT order — so two
+    * events sharing a timestamp resolve by event_id in both engines
+    * (the r6-advice equal-timestamp divergence), which is why the state
+    * carries each step's (ts, event_id) pair, not the timestamp alone.
     */
   private[streaming] def foldFunnel(userId: Long, steps: Seq[String],
                                     events: Iterator[UserEvent],
                                     prior: Option[FunnelProgress])
   : FunnelProgress = {
-    val cur = prior.map(_.step_us.toArray)
+    val us = prior.map(_.step_us.toArray)
       .getOrElse(Array.fill(steps.size)(-1L))
-    events.toSeq.sortBy(e => (e.ts_micros, e.user_id)).foreach { e =>
+    val ids = prior.map(_.step_id.toArray)
+      .getOrElse(Array.fill(steps.size)(0L))
+    events.toSeq.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
       val i = steps.indexOf(e.event_type)
-      if (i == 0 && cur(0) < 0) cur(0) = e.ts_micros
-      else if (i > 0 && cur(i) < 0 && cur(i - 1) >= 0 &&
-        cur(i - 1) < e.ts_micros) cur(i) = e.ts_micros
+      // strictly earlier in (ts, event_id) row order — the batch rule
+      def earlier(j: Int): Boolean = us(j) >= 0 &&
+        (us(j) < e.ts_micros ||
+          (us(j) == e.ts_micros && ids(j) < e.event_id))
+      if (i >= 0 && us(i) < 0 && (i == 0 || earlier(i - 1))) {
+        us(i) = e.ts_micros; ids(i) = e.event_id
+      }
     }
-    FunnelProgress(userId, cur.toSeq, cur.count(_ >= 0))
+    FunnelProgress(userId, us.toSeq, ids.toSeq, us.count(_ >= 0))
   }
 
   /** Streaming ordered funnel: the stateful twin of

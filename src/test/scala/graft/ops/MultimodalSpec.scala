@@ -27,21 +27,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(2) == 19L && r.getInt(3) == 19)
   }
 
-  test("extractFeatures: batched mapPartitions, deterministic stub decode") {
-    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
+  test("extractFeatures: batched mapPartitions, real PNG header parse") {
+    val m = Multimodal.encodedMediaTable(docs, "doc_id", "text", "source")
+    // the payload really is a PNG container now, bigger than the content
+    val payloadLen = m.filter($"media_id" === 1L)
+      .select(octet_length($"media")).as[Int].collect()(0)
+    assert(payloadLen > 19)
     val f = Multimodal.extractFeatures(spark, m, batchSize = 2)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(f.size == 4)
     val r1 = f(1L)
-    assert(r1.getLong(1) == 19L)                   // n_bytes
+    assert(r1.getLong(1) == 19L)                   // content n_bytes
     val (w, h, bright) = Multimodal.decodeStub(
       "hello world payload".getBytes("UTF-8"))
+    // dims round-tripped through the big-endian IHDR bytes
     assert(r1.getInt(3) == w && r1.getInt(4) == h)
     assert(math.abs(r1.getDouble(5) - math.rint(bright * 1e6) / 1e6) < 1e-9)
-    // digest matches engine-side md5
-    val md5Engine = m.filter($"media_id" === 1L)
-      .select(md5($"media")).as[String].collect()(0)
+    // digest is over the decoded CONTENT, not the container
+    val md5Engine = docs.filter($"doc_id" === 1L)
+      .select(md5($"text".cast("binary"))).as[String].collect()(0)
     assert(r1.getString(2) == md5Engine)
+  }
+
+  test("encodePng/parsePng round-trip; corruption fails the CRC") {
+    val content = "the quick brown fox".getBytes("UTF-8")
+    val png = Multimodal.encodePng(content)
+    // real signature bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+    val (w, h, back) = Multimodal.parsePng(png)
+    val (ew, eh, _) = Multimodal.decodeStub(content)
+    assert(w == ew && h == eh)
+    assert(back.sameElements(content))
+    // flip one content byte → IDAT CRC must catch it
+    val corrupt = png.clone()
+    corrupt(40) = (corrupt(40) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(corrupt))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("IHDR") ||
+      e.getMessage.contains("chunk"))
   }
 
   test("resizeMedia: payload shrunk to target, metadata updated, small pass through") {

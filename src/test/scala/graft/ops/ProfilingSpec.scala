@@ -22,6 +22,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(p("s").getLong(1) == 1 && p("s").getLong(2) == 1)
     assert(p("s").isNullAt(3) && p("s").isNullAt(4))   // non-numeric
     assert(p("v").getDouble(3) == -2.0 && p("v").getDouble(4) == 1.5)
+    // the sketch contract certifies itself on every column
+    assert(p.values.forall(_.getBoolean(5)))
+  }
+
+  test("profile plan: lazy, no multi-distinct Expand, no exact-Percentile") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "s")
+    val prof = Profiling.profile(df) // must not run a job here
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "multi-distinct Expand leaked back into the profile plan")
+    assert(plan.contains("approx_count_distinct") ||
+      plan.contains("HyperLogLog"), "expected HLL sketch in one-pass agg")
+    assert(prof.collect().length == 2)
   }
 
   test("histogram: underflow 0, overflow n+1, boundaries to the right bin, null bucket") {

@@ -45,7 +45,7 @@ class QualitySpec extends AnyFunSuite {
       (3L, 30.0, 1L))                   // new key → insert
       .toDF("k", "bal", "v")
     val out = Quality.upsertLatest(base, changes, "k",
-        version = Seq(col("v").desc), payload = Seq("name", "bal"))
+        versionOrder = Seq(col("v").desc), payload = Seq("name", "bal"))
       .as[(Long, Option[String], Double, String)].collect().toSet
     assert(out == Set(
       (1L, Some("a"), 999.0, "update"),

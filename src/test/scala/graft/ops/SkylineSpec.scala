@@ -51,4 +51,13 @@ class SkylineSpec extends AnyFunSuite {
     val again = df.orderBy("score").limit(50).select("k").as[Long].collect()
     assert(top.sameElements(again))
   }
+
+  test("weightedPriority surfaces non-positive weights as null") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, -5.0))
+      .toDF("k", "w")
+      .withColumn("score", Sampling.weightedPriority(col("k"), col("w")))
+    val byKey = df.collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!byKey(1L))             // valid weight scores
+    assert(byKey(2L) && byKey(3L)) // zero/negative surface as null
+  }
 }

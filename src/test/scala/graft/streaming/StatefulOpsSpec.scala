@@ -83,31 +83,44 @@ class StatefulOpsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("funnel_test")
       .outputMode("update").start()
     // user 1 converts across two micro-batches; user 2 clicks before
-    // viewing (depth stalls at 1); user 3 views only
+    // viewing (depth stalls at 1); user 3 views only; users 4 and 5 share
+    // ONE timestamp across steps — row order (ts, event_id) must decide:
+    // 4 has view(id 1) < click(id 2) → depth 2, 5 has click(id 1) <
+    // view(id 2) → the click precedes the view, depth 1
     val batch1 = Seq(
-      UserEvent(1L, "view", 0, 1000000L), UserEvent(1L, "click", 0, 2000000L),
-      UserEvent(2L, "click", 0, 1000000L), UserEvent(2L, "view", 0, 2000000L),
-      UserEvent(3L, "view", 0, 1000000L))
+      UserEvent(1L, "view", 0, 1000000L, 1L),
+      UserEvent(1L, "click", 0, 2000000L, 2L),
+      UserEvent(2L, "click", 0, 1000000L, 1L),
+      UserEvent(2L, "view", 0, 2000000L, 2L),
+      UserEvent(3L, "view", 0, 1000000L, 1L),
+      UserEvent(4L, "view", 0, 1000000L, 1L),
+      UserEvent(4L, "click", 0, 1000000L, 2L),
+      UserEvent(5L, "click", 0, 1000000L, 1L),
+      UserEvent(5L, "view", 0, 1000000L, 2L))
     val batch2 = Seq(
-      UserEvent(1L, "purchase", 0, 3000000L),
-      UserEvent(2L, "purchase", 0, 3000000L))
+      UserEvent(1L, "purchase", 0, 3000000L, 3L),
+      UserEvent(2L, "purchase", 0, 3000000L, 3L),
+      // tied with user 4's click ts but LATER id in a later batch: the
+      // carried (ts, id) state must still qualify the purchase
+      UserEvent(4L, "purchase", 0, 1000000L, 3L))
     try {
       mem.addData(batch1: _*); q.processAllAvailable()
       mem.addData(batch2: _*); q.processAllAvailable()
       val streamed = spark.table("funnel_test").as[FunnelProgress]
         .collect().groupBy(_.user_id)
         .map { case (u, ps) => u -> ps.maxBy(_.depth).depth }
-      // batch twin over the full log
+      // batch twin over the full log, same (ts, event_id) tie-break
       import org.apache.spark.sql.functions._
       val batchDf = (batch1 ++ batch2)
         .map(e => (e.user_id, new java.sql.Timestamp(e.ts_micros / 1000),
-          e.ts_micros, e.event_type))
+          e.event_id, e.event_type))
         .toDF("user_id", "ts", "event_id", "event_type")
       val batched = graft.ops.Behavior.funnel(batchDf, col("user_id"),
           col("ts"), col("event_id"), col("event_type"), Steps)
         .select("user_id", "depth").as[(Long, Int)].collect().toMap
       assert(streamed == batched)
-      assert(streamed == Map(1L -> 3, 2L -> 1, 3L -> 1))
+      assert(streamed ==
+        Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 1))
     } finally q.stop()
   }
 }

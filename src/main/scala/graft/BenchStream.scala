@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.BenchStream [nBatches]; reads
   * SPARK_GRAFT_SF_DIR (default sf0.01). One JSON line per op on stdout;
   * committed numbers live in STREAMBENCH.md.
+  *
+  * Checkpoints go to tmpfs (`/dev/shm`) with checksum files off: every
+  * micro-batch commit fsyncs each state-store delta plus the offset/commit
+  * logs, and this host's disk takes ~50 ms per fsync — on `/tmp` a 10k-row
+  * op measured 74 s/batch of pure checkpoint I/O, drowning the engine
+  * entirely (measured: 500 small fsyncs = 27 s on disk, 0.01 s on tmpfs).
+  * A production deployment pays this on a DFS with batched commits; the
+  * readout's job is to time the ENGINE (trigger scheduling + state store +
+  * sink), so the checkpoint medium must not be the bottleneck. State
+  * partitions are capped at 8: state-store instances scale with shuffle
+  * partitions, and 32 partitions of a 10k-row feed times per-partition
+  * commit overhead is all overhead, no signal.
   */
 object BenchStream {
 
@@ -27,6 +39,9 @@ object BenchStream {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSessions.localFromEnv(defaultCpus = "32")
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val ckptRoot = s"/dev/shm/graft-benchstream-${System.nanoTime()}"
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
 
@@ -51,25 +66,36 @@ object BenchStream {
       val mem = MemoryStream[T]
       val q = build(mem.toDS()).writeStream.format("noop")
         .outputMode(mode)
-        .option("checkpointLocation",
-          s"/tmp/graft-benchstream/${name}-${System.nanoTime()}")
+        .option("checkpointLocation", s"$ckptRoot/$name")
         .start()
       val chunk = math.max(1, (data.size + batches - 1) / batches)
+      // per-chunk wall time is the actual canary: unbounded state growth
+      // shows as batch_last pulling away from batch_median long before the
+      // total collapses. Most of each chunk is the FIXED micro-batch cost
+      // (incremental re-plan + state-store commit + the watermark-advance
+      // no-data batch), so rows/sec here is a floor that rises with feed
+      // size, not a capacity ceiling.
+      val batchSec = scala.collection.mutable.ArrayBuffer[Double]()
       val t0 = System.nanoTime()
       try {
         data.grouped(chunk).foreach { c =>
+          val b0 = System.nanoTime()
           mem.addData(c: _*); q.processAllAvailable()
+          batchSec += (System.nanoTime() - b0) / 1e9
         }
       } finally q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","rows":${data.size},"batches":$batches,"sec":$sec%.3f,"rows_per_sec":${data.size / sec}%.0f}""")
+      val med = batchSec.sorted.apply(batchSec.size / 2)
+      println(f"""{"op":"$name","rows":${data.size},"batches":${batchSec.size},"sec":$sec%.3f,"rows_per_sec":${data.size / sec}%.0f,"batch_first":${batchSec.head}%.3f,"batch_median":$med%.3f,"batch_last":${batchSec.last}%.3f}""")
     }
 
     run("tumbling_counts", events, "update")(
       ds => EventStreams.tumblingCounts(ds.toDF()))
     run("sliding_counts", events, "update")(
       ds => EventStreams.slidingCounts(ds.toDF()))
-    run("session_aggregates", events, "update")(
+    // session windows can merge on late data, so Spark only supports
+    // emit-on-watermark-close (append) for them — update mode is rejected
+    run("session_aggregates", events, "append")(
       ds => EventStreams.sessionAggregates(ds.toDF()))
     run("dedup_events", events, "append")(
       ds => EventStreams.dedupEvents(ds.toDF()))
@@ -89,6 +115,8 @@ object BenchStream {
     run("doc_curated", docs, "append")(
       ds => DocStreams.curated(ds.toDF()))
 
+    // tmpfs is RAM — release the checkpoint bytes before exiting
+    scala.reflect.io.Directory(new java.io.File(ckptRoot)).deleteRecursively()
     spark.stop()
   }
 }

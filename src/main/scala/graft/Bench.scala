@@ -15,9 +15,22 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Host-speed yardstick: a fixed CPU-bound workload (hash + sum over a
+    // generated range, no I/O, no shuffle) timed with the same protocol as
+    // the queries. This box shows hour-scale CPU-steal episodes that
+    // inflate the whole suite 2-5x; the calibration number makes a slow
+    // TOTAL attributable — compare "cal" across rounds and divide. On a
+    // healthy pass it lands well under a second at local[32].
+    import org.apache.spark.sql.functions.{sum, xxhash64, col}
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(sum(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // a failed query must not masquerade as a fast one: its timing is
     // recorded as -1 and its name lands in the "failed" list
-    def runAll(): (Map[String, Double], Seq[String]) = {
+    def runAll(pass: String): (Map[String, Double], Seq[String]) = {
       val failed = scala.collection.mutable.ListBuffer[String]()
       val times = suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -30,12 +43,16 @@ object Bench {
             failed += name
             false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // progress to stderr: a 2-hour contended run with silent stdout is
+        // undiagnosable from outside (learned the hard way, round 7)
+        System.err.println(f"[bench] $pass $name $sec%.2fs")
+        name -> (if (ok) sec else -1.0)
       }.toMap
       (times, failed.toSeq)
     }
 
-    runAll() // warmup
+    runAll("warmup") // warmup
     // three timed passes, per-query MIN plus the max for spread: this host
     // shows multi-second CPU-contention bursts that land on random queries,
     // and C2 JIT keeps improving hot paths past the warmup pass — r2's
@@ -43,7 +60,11 @@ object Bench {
     // that. The min of three steady-state passes is the engine's actual
     // throughput; the max makes contention attributable instead of
     // masquerading as a plan regression.
-    val passes = Seq(runAll(), runAll(), runAll())
+    val cals = scala.collection.mutable.ListBuffer[Double]()
+    val passes = Seq("p1", "p2", "p3").map { p =>
+      cals += calibrate(); runAll(p)
+    }
+    val cal = cals.min
     val failed = passes.flatMap(_._2).distinct
     val perQuery = suite.map { case (name, _) =>
       val vs = passes.map(_._1(name))
@@ -70,13 +91,13 @@ object Bench {
       else ",\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     val detailDoc =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, (detailDoc + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"# bench-detail(min,max) $detail")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName","cal":${f3(cal)}}"""
     // stop() first: its shutdown logging (stderr) must not land after the line.
     spark.stop()
     println(line)

@@ -27,6 +27,17 @@ object SparkSessions {
       // (env-overridable so cache-churn hypotheses are testable per run)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // Shuffle/spill scratch on tmpfs when available: this harness's
+      // virtual disk sustains ~8 MB/s synced writes (measured round 7),
+      // so on /tmp the shuffle-heaviest queries time the disk, not the
+      // engine — dedup_ngram_jaccard degraded 12x while scan-shaped
+      // queries moved 2x. A real cluster provisions NVMe scratch for
+      // exactly this reason; tmpfs is this single-node box's equivalent.
+      // sf0.1 shuffle volumes are ≤ a few GB against 126 GB of tmpfs.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-scratch"
+          else System.getProperty("java.io.tmpdir")))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark

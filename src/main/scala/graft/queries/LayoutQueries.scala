@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.Layout
+import graft.ops.{Bucketing, Layout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,9 +62,65 @@ object LayoutQueries {
        |FROM zb GROUP BY 1 ORDER BY z_block""".stripMargin
   }
 
+  val BucketCount = 8 // thousands on a real cluster; 8 keeps sf0.001 buckets multi-row
+
+  /** Revenue rollup over BUCKETED copies of orders/lineitem
+    * ([[Bucketing.writeBucketed]], both on the order key, same bucket
+    * count): the per-order aggregation and the orders⋈lineitem join both
+    * run with ZERO exchanges — the load-time bucket shuffle replaces every
+    * later per-query shuffle on the key, which at 100 TB is the difference
+    * between shuffling the fact table once and shuffling it on every
+    * query. Only the final 5-row priority rollup exchanges.
+    *
+    * EAGER BY NATURE: the bucketed copies are (re)written when the query
+    * is constructed — this is a storage-layout operator, the write IS the
+    * operator (same contract as [[graft.etl.Sink]]). Results are
+    * layout-invariant, so the DuckDB oracle runs the same SQL on the raw
+    * parquet; the zero-exchange plan shape is pinned by BucketingSpec.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = s"${Bucketing.scratchRoot()}/bucketed/$tag"
+    Bucketing.writeBucketed(spark,
+      Readers.table(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      s"graft_b_orders_$tag", s"$root/orders", "o_orderkey", BucketCount)
+    Bucketing.writeBucketed(spark,
+      Readers.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      s"graft_b_lineitem_$tag", s"$root/lineitem", "l_orderkey", BucketCount)
+    val perOrder = spark.table(s"graft_b_lineitem_$tag")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    spark.table(s"graft_b_orders_$tag")
+      // merge hint: keep the demo on the bucket-aligned SMJ path even at
+      // spec scale, where the tiny aggregated side would otherwise be
+      // broadcast and hide the layout's effect
+      .join(perOrder.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("n_items").as("n_items"),
+        round(sum("rev"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, count(*) AS n_items,
+      |    sum(l_extendedprice * (1.0::DOUBLE - l_discount)) AS rev
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  sum(n_items)::BIGINT AS n_items,
+      |  round(sum(rev), 2) AS revenue
+      |FROM orders JOIN per_order ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_layout" -> zorderLayout)
+    "zorder_layout" -> zorderLayout,
+    "bucketed_join" -> bucketedJoin)
 
   val oracle: Map[String, String] = Map(
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "bucketed_join" -> bucketedJoinSql)
 }

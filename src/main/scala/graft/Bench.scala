@@ -21,11 +21,13 @@ object Bench {
     // inflate the whole suite 2-5x; the calibration number makes a slow
     // TOTAL attributable — compare "cal" across rounds and divide. On a
     // healthy pass it lands well under a second at local[32].
-    import org.apache.spark.sql.functions.{sum, xxhash64, col}
+    import org.apache.spark.sql.functions.{sum, xxhash64, col, lit}
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // mask to 32 bits before summing: 2e8 rows x 2^32 max ≈ 8.6e17 stays
+      // under Long.Max — an unmasked hash sum overflows under ANSI mode
       spark.range(0L, 200000000L, 1L, 32)
-        .select(sum(xxhash64(col("id")))).collect()
+        .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL)))).collect()
       (System.nanoTime() - t0) / 1e9
     }
     // a failed query must not masquerade as a fast one: its timing is

@@ -28,7 +28,9 @@ object Bench {
       // under Long.Max — an unmasked hash sum overflows under ANSI mode
       spark.range(0L, 200000000L, 1L, 32)
         .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL)))).collect()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] cal $sec%.2fs")
+      sec
     }
     // a failed query must not masquerade as a fast one: its timing is
     // recorded as -1 and its name lands in the "failed" list
@@ -66,7 +68,12 @@ object Bench {
     val passes = Seq("p1", "p2", "p3").map { p =>
       cals += calibrate(); runAll(p)
     }
+    cals += calibrate() // bracket the last pass too
+    // min = the host's healthy speed; max = the worst burst the run saw.
+    // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
+    // mins are an upper bound on engine cost, not a measurement of it.
     val cal = cals.min
+    val calMax = cals.max
     val failed = passes.flatMap(_._2).distinct
     val perQuery = suite.map { case (name, _) =>
       val vs = passes.map(_._1(name))
@@ -93,13 +100,13 @@ object Bench {
       else ",\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     val detailDoc =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, (detailDoc + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"# bench-detail(min,max) $detail")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName","cal":${f3(cal)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)}}"""
     // stop() first: its shutdown logging (stderr) must not land after the line.
     spark.stop()
     println(line)

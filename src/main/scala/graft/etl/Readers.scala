@@ -91,20 +91,45 @@ object Readers {
     else df.repartition(p)
   }
 
-  /** The events table. Its `ts` column is nanosecond-precision INT64
-    * TIMESTAMP(NANOS), which Spark's Parquet reader rejects; we read nanos
-    * as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microsecond TimestampType — the same floor-truncation DuckDB applies
-    * when it casts TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+  /** The events table, with `ts` normalized to microsecond TimestampType
+    * regardless of the on-disk layout — the generator has shipped the column
+    * both as INT64 TIMESTAMP(NANOS) and as plain TIMESTAMP(MICROS), and a
+    * deployed reader must accept either without a code change.
     *
-    * Note the flag is session-wide (all shipped mains set it at startup;
-    * the set here is a defensive idempotent re-set): any other parquet
-    * read of a NANOS column in the session also sees longs — an engine
-    * deployment should treat the flag as part of its session contract.
+    * Note `nanosAsLong` is session-wide (all shipped mains set it at
+    * startup; the set here is a defensive idempotent re-set): any other
+    * parquet read of a NANOS column in the session also sees longs — an
+    * engine deployment should treat the flag as part of its session
+    * contract.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(spark, sfDir, "events"))
   }
+
+  /** Normalize an events frame's `ts` to microsecond TimestampType:
+    *
+    *   - INT64 TIMESTAMP(NANOS) surfaces as long under `nanosAsLong` —
+    *     floor-truncate to micros, the same truncation DuckDB applies
+    *     casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree;
+    *   - TIMESTAMP(MICROS) without UTC adjustment surfaces as
+    *     TIMESTAMP_NTZ — reinterpret on the session's UTC clock
+    *     (value-preserving, since the session timezone is pinned to UTC);
+    *   - an already-zoned TimestampType passes through.
+    *
+    * Shared by the batch reader and the file-stream specs so batch and
+    * streaming apply the identical conversion.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported on-disk type $other")
+    }
 }

@@ -24,14 +24,14 @@ class ParquetStreamSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-stream")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       Paths.get(s"$sfDir/events.parquet"))
-    // file streaming needs an explicit schema; ts arrives as long nanos
-    // (nanosAsLong), converted exactly as the batch reader does
+    // file streaming needs an explicit schema; ts is normalized by the
+    // same shared helper the batch reader uses (nanos-long or micros)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val normalized = graft.etl.Readers.normalizeEventTs(stream)
 
-    val q = EventStreams.tumblingCounts(stream)
+    val q = EventStreams.tumblingCounts(normalized)
       .writeStream.format("memory").queryName("pq_stream_test")
       .outputMode("complete").start()
     try {
@@ -55,9 +55,9 @@ class ParquetStreamSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val normalized = graft.etl.Readers.normalizeEventTs(stream)
 
-    val q = EventStreams.slidingCounts(stream)
+    val q = EventStreams.slidingCounts(normalized)
       .writeStream.format("memory").queryName("pq_sliding_test")
       .outputMode("complete").start()
     try {

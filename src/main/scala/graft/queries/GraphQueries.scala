@@ -73,9 +73,62 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** Triangle counts on the part co-purchase graph: parts are adjacent
+    * when some order contains both. The per-order pair expansion is
+    * bounded by order size (≤7 lineitems in TPC-H-shaped data — document
+    * the bound, it is the only quadratic step); the counting itself is
+    * [[Graph.triangles]]'s degree-ordered wedge join, which never blows
+    * up on hub parts. "Frequently co-bought cliques" is the product
+    * readout.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+    val pairs = li.as("r1").join(li.as("r2"),
+        col("r1.g") === col("r2.g") && col("r1.p") < col("r2.p"))
+      .select(col("r1.p").as("src"), col("r2.p").as("dst"))
+    Graph.triangles(pairs)
+      .select(col("node").as("part"), col("n_tri"))
+      .orderBy("part")
+  }
+
+  val triangleCountsSql: String =
+    """WITH raw AS (SELECT l_orderkey AS g, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT r1.p AS a, r2.p AS b
+      |  FROM raw r1 JOIN raw r2 ON r1.g = r2.g AND r1.p < r2.p
+      |),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY node
+      |),
+      |o AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN e.a ELSE e.b END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN e.b ELSE e.a END AS v,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |              THEN db.d ELSE da.d END AS vd
+      |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+      |),
+      |t AS (
+      |  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u
+      |    AND (o1.vd < o2.vd OR (o1.vd = o2.vd AND o1.v < o2.v))
+      |  JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+      |)
+      |SELECT node AS part, CAST(count(*) AS BIGINT) AS n_tri
+      |FROM (SELECT x AS node FROM t
+      |      UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |GROUP BY node ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pagerank" -> pagerank)
+    "pagerank" -> pagerank,
+    "graph_triangles" -> triangleCounts)
 
   val oracle: Map[String, String] = Map(
-    "pagerank" -> pagerankSql)
+    "pagerank" -> pagerankSql,
+    "graph_triangles" -> triangleCountsSql)
 }

@@ -135,6 +135,83 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  /** Datasketches-HLL lgK: rse ≈ 1.04/√2¹⁴ ≈ 0.81%; the contract bound
+    * below allows 3 rse on each of the three estimates feeding the
+    * inclusion–exclusion.
+    */
+  val OverlapLgK = 14
+
+  /** Audience overlap between event-type segments, the sketch way:
+    * ONE pass builds a mergeable HLL sketch per segment
+    * (`hll_sketch_agg`); every pairwise intersection is then estimated
+    * from the T-row sketch table alone via inclusion–exclusion
+    * (`est_a + est_b − est(union)` with `hll_union`) — no re-scan per
+    * pair. That is the 100 TB shape: segment sketches are a few KB each,
+    * maintained incrementally, and T² pair estimates never touch the
+    * events table again. The exact distinct-pair self-join here is the
+    * local yardstick (work ∝ Σ_user |types|², bounded by T²·|users|);
+    * the published contract is exact counts plus `ok` — the boolean that
+    * the sketch estimate landed inside its proven 3-rse envelope, which
+    * a correct sketch satisfies under any merge order, so both engines
+    * agree on every byte.
+    */
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Readers.events(spark, dir).select("user_id", "event_type")
+    val d = raw.distinct().localCheckpoint()
+    val sketches = raw.groupBy("event_type")
+      .agg(expr(s"hll_sketch_agg(user_id, $OverlapLgK)").as("sk"))
+    val exact = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val stats = sketches.join(exact, Seq("event_type"))
+    val a = stats.select(col("event_type").as("type_a"),
+      col("sk").as("sk_a"), col("n").as("n_a"))
+    val b = stats.select(col("event_type").as("type_b"),
+      col("sk").as("sk_b"), col("n").as("n_b"))
+    val pairs = a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_u"))
+    val inter = d.as("x")
+      .join(d.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val rse3 = 3.0 * 1.04 / math.sqrt((1 << OverlapLgK).toDouble)
+    pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (abs(col("est_a") + col("est_b") - col("est_u") -
+          coalesce(col("n_both"), lit(0L))) <=
+          lit(rse3) * (col("n_a") + col("n_b") +
+            (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L)))))
+          .as("ok"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val segmentOverlapSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM s a JOIN s b ON a.event_type < b.event_type
+      |),
+      |i AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM d x JOIN d y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+      |  CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both, TRUE AS ok
+      |FROM p LEFT JOIN i
+      |  ON i.type_a = p.type_a AND i.type_b = p.type_b
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+
   val WilsonZ = 1.96
 
   /** Per-arm conversion rates with Wilson 95% intervals — the A/B readout.
@@ -180,6 +257,73 @@ object StatsQueries {
        |    / (1.0::DOUBLE + ${z * z}::DOUBLE / n), 6) AS wilson_hi
        |FROM a ORDER BY arm""".stripMargin
   }
+
+  /** CUPED variance reduction for the A/B readout: each user's
+    * pre-period activity (value sum before the corpus time midpoint) is
+    * the covariate; the adjusted post-period metric is
+    * `post − θ·(pre − mean(pre))` with the pooled `θ = cov(pre, post) /
+    * var(pre)`. Reported per deterministic variant (`user_id % 2`):
+    * user count, raw and adjusted means, and the achieved variance ratio
+    * — the number that says how much smaller the experiment could be.
+    *
+    * Scale shape: one pass to per-user (pre, post) partial sums
+    * (map-combined), one 1-row moment aggregate broadcast back, one
+    * per-variant aggregate. θ and the means are IEEE-stable to well
+    * inside the 6-decimal contract; nothing sorts, nothing is quadratic.
+    */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+    val mid = ev.agg(min("us").as("lo"), max("us").as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("us") < col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("pre"),
+        sum(when(col("us") >= col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("post"))
+    val moments = users.agg(
+      covar_samp(col("pre"), col("post")).as("cov"),
+      var_samp(col("pre")).as("varp"),
+      avg(col("pre")).as("mu"))
+    users.crossJoin(broadcast(moments))
+      .select((col("user_id") % 2L).cast("int").as("variant"), col("post"),
+        (col("post") - (col("cov") / col("varp")) * (col("pre") - col("mu")))
+          .as("adj"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("post")), 6).as("mean_post"),
+        round(avg(col("adj")), 6).as("mean_adj"),
+        round(var_samp(col("adj")) / var_samp(col("post")), 6).as("var_ratio"))
+      .orderBy("variant")
+  }
+
+  val abCupedSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events
+      |),
+      |b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+      |u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us < mid THEN value ELSE 0.0::DOUBLE END) AS pre,
+      |    sum(CASE WHEN us >= mid THEN value ELSE 0.0::DOUBLE END) AS post
+      |  FROM ev CROSS JOIN b GROUP BY user_id
+      |),
+      |s AS (SELECT covar_samp(pre, post) AS cov, var_samp(pre) AS varp,
+      |             avg(pre) AS mu FROM u),
+      |a AS (
+      |  SELECT user_id % 2 AS variant, post,
+      |    post - (cov / varp) * (pre - mu) AS adj
+      |  FROM u CROSS JOIN s
+      |)
+      |SELECT CAST(variant AS INTEGER) AS variant,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  round(avg(post), 6) AS mean_post,
+      |  round(avg(adj), 6) AS mean_adj,
+      |  round(var_samp(adj) / var_samp(post), 6) AS var_ratio
+      |FROM a GROUP BY variant ORDER BY variant""".stripMargin
 
   /** Pre-join skew diagnostic: per key column, the cardinality, the
     * heaviest key's share, and the Shannon entropy of the key
@@ -507,6 +651,8 @@ object StatsQueries {
     "histogram2d" -> histogram2d,
     "quantile_bands" -> quantileBands,
     "ab_metrics" -> abMetrics,
+    "ab_cuped" -> abCuped,
+    "segment_overlap" -> segmentOverlap,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
@@ -522,6 +668,8 @@ object StatsQueries {
     "histogram2d" -> histogram2dSql,
     "quantile_bands" -> quantileBandsSql,
     "ab_metrics" -> abMetricsSql,
+    "ab_cuped" -> abCupedSql,
+    "segment_overlap" -> segmentOverlapSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,

@@ -40,4 +40,24 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
     assert((1 to 5).forall(i => out("h") > out(s"l$i")))
   }
+
+  test("triangles: K4 gives every node 3 triangles; pendant edge none") {
+    // complete graph on 1..4 (4 triangles, each node in 3) plus a
+    // pendant 4-5 edge, fed with duplicates and both orientations
+    val k4 = for {
+      a <- 1 to 4; b <- 1 to 4 if a != b
+    } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (4L, 5L)))
+      .toDF("src", "dst")
+    val out = Graph.triangles(edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: two triangles sharing an edge count the shared pair twice") {
+    // a-b-c and b-c-d share edge b-c: a,d in 1 triangle; b,c in 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.triangles(edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc}
+import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "rolling_hash expects 1 argument")
         RollingHash(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "jaro_winkler expects 2 arguments")
+        JaroWinkler(children(0), children(1))
       }))
 
     ext.injectFunction((

@@ -434,6 +434,52 @@ object AnalyticsExt {
       |WHERE levenshtein(name_a, name_b) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  val JaroThreshold = 0.9
+
+  /** Jaro–Winkler record linkage over part names: same token-blocked
+    * candidate generation as [[fuzzyNamePairs]] (hash equi-join on shared
+    * tokens — never all pairs), scored by the native codegen
+    * `jaro_winkler` expression ([[graft.functions.JaroWinkler]],
+    * fuzz-pinned bit-exact to the oracle engine's implementation). The
+    * edit-distance variant treats "similar" as few edits; Jaro–Winkler
+    * rewards shared prefixes — the scorer of choice for name data.
+    */
+  def fuzzyJaro(spark: SparkSession, dir: String): DataFrame = {
+    val names = Readers.table(spark, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val toks = names.select(col("name"),
+      explode(split(col("name"), " ")).as("tok"))
+    val cand = toks.as("a")
+      .join(toks.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("jw", graft.functions.JaroWinklerFunctions
+        .jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= JaroThreshold)
+      .select(col("name_a"), col("name_b"), round(col("jw"), 6).as("jw_r"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyJaroSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name FROM part GROUP BY p_name
+       |),
+       |toks AS (
+       |  SELECT name, unnest(string_split(name, ' ')) AS tok FROM names
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+       |)
+       |SELECT name_a, name_b,
+       |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw_r
+       |FROM cand
+       |WHERE jaro_winkler_similarity(name_a, name_b) >= $JaroThreshold::DOUBLE
+       |ORDER BY name_a, name_b""".stripMargin
+
   /** End-to-end entity resolution over part names: token-blocked
     * candidate pairs (the [[fuzzyNamePairs]] shape) → levenshtein ≤ 3
     * edges → connected components ([[graft.ops.TextDedup.duplicateClusters]],
@@ -959,6 +1005,7 @@ object AnalyticsExt {
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
+    "fuzzy_jaro" -> fuzzyJaro,
     "entity_resolve" -> entityResolve
   )
 
@@ -992,6 +1039,7 @@ object AnalyticsExt {
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,
+    "fuzzy_jaro" -> fuzzyJaroSql,
     "entity_resolve" -> entityResolveSql
   )
 }

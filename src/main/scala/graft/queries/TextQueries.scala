@@ -472,6 +472,78 @@ object TextQueries {
       |WHERE doc_id < 20
       |ORDER BY doc_id, word""".stripMargin
 
+  val CosSlice = 100
+  val CosThreshold = 0.75
+
+  /** Exact sparse tf-idf cosine similarity between document pairs,
+    * computed the inverted-index way: pair dot products come from a
+    * posting-list self-join on the shared token (work ∝ Σ_token df² —
+    * only co-occurring pairs ever materialize), norms from one per-doc
+    * aggregate, broadcast back. This is the exact-baseline complement to
+    * the MinHash/SimHash/embedding near-dup family: at 100 TB a
+    * production run first prunes near-zero-idf stopword tokens (their df²
+    * dominates the join and they contribute ~nothing to the cosine) or
+    * falls back to the LSH path; here the deterministic doc slice keeps
+    * the oracle honest. The ≥-threshold filter is applied to the ROUNDED
+    * cosine so both engines cut at the identical boundary.
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+      .filter(col("doc_id") < CosSlice).select("doc_id", "text")
+    val n = docs.count()
+    val terms = Readers.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfq, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("w"))
+      .localCheckpoint() // reused: norms + both sides of the pair join
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = w.as("a")
+      .join(w.as("b").hint("shuffle_hash"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")),
+        Seq("doc_b"))
+      .filter(col("norm_a") > 0.0 && col("norm_b") > 0.0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("norm_a") * col("norm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= CosThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val tfidfCosinePairsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $CosSlice
+       |),
+       |terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs
+       |),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT doc_id, tf.token AS token,
+       |        tf * ln((SELECT count(*) FROM docs)::DOUBLE / df) AS w
+       |      FROM tf JOIN df ON tf.token = df.token),
+       |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+       |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(dot / (na.norm * nb.norm), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE na.norm > 0 AND nb.norm > 0
+       |  AND round(dot / (na.norm * nb.norm), 6) >= $CosThreshold::DOUBLE
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Unicode NFC normalization over a corpus slice with decomposed
     * sequences injected deterministically in-query (the synthetic corpus
     * is ASCII, so the injection exercises real composition AND the
@@ -563,6 +635,7 @@ object TextQueries {
     "unicode_nfc" -> unicodeNfc,
     "vocab_build" -> vocabBuild,
     "tf_idf" -> tfIdf,
+    "tfidf_cosine_pairs" -> tfidfCosinePairs,
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -581,6 +654,7 @@ object TextQueries {
     "unicode_nfc" -> unicodeNfcSql,
     "vocab_build" -> vocabBuildSql,
     "tf_idf" -> tfIdfSql,
+    "tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "dedup_exact" -> dedupExactSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.etl.Readers
 import graft.ops.{AsOfJoin, Behavior}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics queries over `events`: ordered funnel, cohort
@@ -381,7 +382,113 @@ object BehaviorQueries {
       |FROM l WHERE from_state IS NOT NULL
       |GROUP BY from_state, to_state ORDER BY from_state, to_state""".stripMargin
 
+  val PathK = 20
+
+  /** Top-k 3-step behavior paths: the most common consecutive event-type
+    * trigrams across user timelines, ties broken lexicographically so the
+    * k-cut is engine-stable. Per-user `lead` windows over (ts, event_id)
+    * row order — the sequence-mining primitive; the count table is
+    * |types|³-bounded, the top-k a TakeOrdered, never a full sort.
+    */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    Readers.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(PathK)
+  }
+
+  val pathTopkSql: String =
+    s"""WITH l AS (
+       |  SELECT event_type AS s1,
+       |    lead(event_type, 1) OVER w AS s2,
+       |    lead(event_type, 2) OVER w AS s3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+       |)
+       |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+       |FROM l WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+       |GROUP BY s1, s2, s3
+       |ORDER BY n DESC, s1, s2, s3 LIMIT $PathK""".stripMargin
+
+  /** Exponential time-decay attribution half-life (days). */
+  val DecayHalfLifeDays = 7.0
+  val DecayLookbackDays = 14L
+
+  /** Time-decay multi-touch attribution: every touch inside the lookback
+    * window before a purchase earns credit `2^(−Δdays/half-life)`,
+    * normalized per conversion so each purchase distributes exactly 1.0;
+    * reported as total credit per touch type. The touch↔conversion pairing
+    * is a hash equi-join on user_id with the time-range predicate applied
+    * on the joined stream — per-user work is (touches × conversions)
+    * bounded by the lookback window, the at-scale contract (an unbounded
+    * lookback would be the quadratic trap; the window is the product
+    * knob).
+    */
+  def attributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Readers.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val touches = ev.filter(col("event_type").isin(TouchTypes: _*))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("us").as("touch_us"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("us").as("conv_us"))
+    val paired = convs.join(touches, Seq("user_id"))
+      .filter(col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - lit(DecayLookbackDays * DayUs))
+      .withColumn("w", pow(lit(2.0),
+        -(col("conv_us") - col("touch_us")).cast("double") /
+          lit(DayUs.toDouble) / lit(DecayHalfLifeDays)))
+    val perConv = Window.partitionBy("conv_id")
+    paired
+      .withColumn("credit", col("w") / sum(col("w")).over(perConv))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit")), 6).as("credit"))
+      .orderBy("touch_type")
+  }
+
+  val attributionDecaySql: String = {
+    val types = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |),
+       |t AS (SELECT user_id, event_type AS touch_type, us AS touch_us
+       |      FROM ev WHERE event_type IN ($types)),
+       |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+       |      FROM ev WHERE event_type = 'purchase'),
+       |p AS (
+       |  SELECT conv_id, touch_type,
+       |    pow(2.0::DOUBLE, -(conv_us - touch_us)::DOUBLE
+       |        / 86400000000.0::DOUBLE / ${DecayHalfLifeDays}::DOUBLE) AS w
+       |  FROM c JOIN t ON c.user_id = t.user_id
+       |    AND touch_us < conv_us
+       |    AND touch_us >= conv_us - ${DecayLookbackDays}::BIGINT * 86400000000
+       |),
+       |n AS (
+       |  SELECT touch_type, w / sum(w) OVER (PARTITION BY conv_id) AS credit
+       |  FROM p
+       |)
+       |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |  round(sum(credit), 6) AS credit
+       |FROM n GROUP BY touch_type ORDER BY touch_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "path_topk" -> pathTopk,
+    "attribution_decay" -> attributionDecay,
     "funnel_conversion" -> funnelConversion,
     "cohort_retention" -> cohortRetention,
     "attribution_last_touch" -> attributionLastTouch,
@@ -394,6 +501,8 @@ object BehaviorQueries {
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
+    "path_topk" -> pathTopkSql,
+    "attribution_decay" -> attributionDecaySql,
     "funnel_conversion" -> funnelConversionSql,
     "cohort_retention" -> cohortRetentionSql,
     "attribution_last_touch" -> attributionLastTouchSql,

@@ -135,6 +135,69 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  val RuleMinSupport = 3L
+
+  /** Market-basket association rules over (order, part) baskets:
+    * support, both directional confidences, and lift for every part pair
+    * co-bought in ≥ `RuleMinSupport` orders. Pair candidates come from
+    * the same bounded within-order self-join as the triangle counter
+    * (per-basket expansion capped by basket size); singles/pair counts
+    * are two hash aggregates; N rides in as a broadcast 1-row frame.
+    * Only the support filter's survivors pay the stats join.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // feeds singles AND both sides of the pair join
+    val nBaskets = raw.select("g").distinct()
+      .agg(count(lit(1)).cast("double").as("n_baskets"))
+    val singles = raw.groupBy(col("p")).agg(count(lit(1)).as("n_single"))
+    val pairs = raw.as("r1")
+      .join(raw.as("r2").hint("shuffle_hash"),
+        col("r1.g") === col("r2.g") && col("r1.p") < col("r2.p"))
+      .groupBy(col("r1.p").as("part_a"), col("r2.p").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= RuleMinSupport)
+    pairs
+      .join(singles.select(col("p").as("part_a"), col("n_single").as("n_a")),
+        Seq("part_a"))
+      .join(singles.select(col("p").as("part_b"), col("n_single").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab") * col("n_baskets") /
+          (col("n_a") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  val assocRulesSql: String =
+    s"""WITH raw AS (
+       |  SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem
+       |),
+       |nb AS (SELECT count(DISTINCT g)::DOUBLE AS n_baskets FROM raw),
+       |singles AS (SELECT p, CAST(count(*) AS BIGINT) AS n_single
+       |            FROM raw GROUP BY p),
+       |pairs AS (
+       |  SELECT r1.p AS part_a, r2.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM raw r1 JOIN raw r2 ON r1.g = r2.g AND r1.p < r2.p
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $RuleMinSupport
+       |)
+       |SELECT part_a, part_b, n_ab,
+       |  round(n_ab / n_baskets, 6) AS support,
+       |  round(n_ab::DOUBLE / a.n_single, 6) AS conf_a_b,
+       |  round(n_ab::DOUBLE / b.n_single, 6) AS conf_b_a,
+       |  round(n_ab * n_baskets / (a.n_single * b.n_single::DOUBLE), 6) AS lift
+       |FROM pairs
+       |JOIN singles a ON a.p = part_a
+       |JOIN singles b ON b.p = part_b
+       |CROSS JOIN nb
+       |ORDER BY part_a, part_b""".stripMargin
+
   /** Datasketches-HLL lgK: rse ≈ 1.04/√2¹⁴ ≈ 0.81%; the contract bound
     * below allows 3 rse on each of the three estimates feeding the
     * inclusion–exclusion.
@@ -653,6 +716,7 @@ object StatsQueries {
     "ab_metrics" -> abMetrics,
     "ab_cuped" -> abCuped,
     "segment_overlap" -> segmentOverlap,
+    "assoc_rules" -> assocRules,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
@@ -670,6 +734,7 @@ object StatsQueries {
     "ab_metrics" -> abMetricsSql,
     "ab_cuped" -> abCupedSql,
     "segment_overlap" -> segmentOverlapSql,
+    "assoc_rules" -> assocRulesSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,

@@ -472,6 +472,63 @@ object TextQueries {
       |WHERE doc_id < 20
       |ORDER BY doc_id, word""".stripMargin
 
+  /** Per-source vocabulary drift: KL(P_source ‖ P_corpus) over word
+    * distributions — the corpus-mix monitor that flags a crawl source
+    * whose language shifted. Two hash aggregates (per-source and corpus
+    * word counts — the corpus counts derive from the per-source table,
+    * never a second scan), a join on the word, and a per-source reduce;
+    * no smoothing needed because the corpus support contains every
+    * source word (q > 0 wherever p > 0 by construction).
+    */
+  def driftKl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val src = Readers.fanOut(docs)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds source totals, corpus counts, and the KL join
+    val srcTot = src.groupBy("source").agg(sum("c").as("t"))
+    val corpus = src.groupBy("w").agg(sum("c").as("cw"))
+    val corpusTot = src.agg(sum("c").cast("double").as("tot"))
+    val p = col("c").cast("double") / col("t")
+    val q = col("cw").cast("double") / col("tot")
+    src.join(srcTot, Seq("source"))
+      .join(corpus, Seq("w"))
+      .crossJoin(broadcast(corpusTot))
+      .groupBy("source")
+      .agg(round(sum(p * log(p / q)), 6).as("kl"),
+        max(col("t")).as("n_tokens"))
+      .join(nDocs, Seq("source"))
+      .select("source", "n_docs", "n_tokens", "kl")
+      .orderBy("source")
+  }
+
+  val driftKlSql: String =
+    """WITH src AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY source, w
+      |),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+      |       FROM src GROUP BY source),
+      |corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM src GROUP BY w),
+      |ct AS (SELECT sum(c)::DOUBLE AS tot FROM src),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY source),
+      |kl AS (
+      |  SELECT source,
+      |    round(sum((c::DOUBLE / t) *
+      |      ln((c::DOUBLE / t) / (cw::DOUBLE / tot))), 6) AS kl,
+      |    max(t) AS n_tokens
+      |  FROM src JOIN st USING (source) JOIN corpus USING (w) CROSS JOIN ct
+      |  GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tokens, kl
+      |FROM kl JOIN nd USING (source)
+      |ORDER BY source""".stripMargin
+
   val CosSlice = 100
   val CosThreshold = 0.75
 
@@ -636,6 +693,7 @@ object TextQueries {
     "vocab_build" -> vocabBuild,
     "tf_idf" -> tfIdf,
     "tfidf_cosine_pairs" -> tfidfCosinePairs,
+    "drift_kl" -> driftKl,
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -655,6 +713,7 @@ object TextQueries {
     "vocab_build" -> vocabBuildSql,
     "tf_idf" -> tfIdfSql,
     "tfidf_cosine_pairs" -> tfidfCosinePairsSql,
+    "drift_kl" -> driftKlSql,
     "dedup_exact" -> dedupExactSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -261,7 +261,46 @@ object TimeSeriesQueries {
        |         / sqrt(n * syy - sy * sy) END, 6) AS trend_r
        |FROM s ORDER BY event_type, day_idx""".stripMargin
 
+  val AnomalyWindow = 7
+  val AnomalyZ = 2.5
+
+  /** Trailing-baseline anomaly flags on the daily series: each day's count
+    * scored against the mean/stddev of the PRECEDING `AnomalyWindow` days
+    * (current day excluded — the candidate must not contaminate its own
+    * baseline). |z| > `AnomalyZ` flags the spike/crater. One window pass
+    * per series; at any scale this is a per-key sorted window over
+    * |days|-sized pre-aggregated data, never over raw events.
+    */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(-AnomalyWindow, -1)
+    dailyCounts(spark, dir)
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0.0)
+      .select(col("event_type"), col("day_idx"), col("n"),
+        round((col("n") - col("mu")) / col("sd"), 6).as("z"),
+        (abs((col("n") - col("mu")) / col("sd")) > AnomalyZ).as("anomaly"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsAnomalySql: String =
+    s"""WITH d AS ($dailySql),
+       |s AS (
+       |  SELECT event_type, day_idx, n,
+       |    avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+       |    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, day_idx, n,
+       |  round((n - mu) / sd, 6) AS z,
+       |  abs((n - mu) / sd) > $AnomalyZ::DOUBLE AS anomaly
+       |FROM s WHERE sd IS NOT NULL AND sd > 0
+       |ORDER BY event_type, day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly" -> tsAnomaly,
     "ts_rolling_corr" -> tsRollingCorr,
     "ts_gap_fill" -> tsGapFill,
     "ts_interpolate" -> tsInterpolate,
@@ -269,6 +308,7 @@ object TimeSeriesQueries {
     "ts_smooth" -> tsSmooth)
 
   val oracle: Map[String, String] = Map(
+    "ts_anomaly" -> tsAnomalySql,
     "ts_rolling_corr" -> tsRollingCorrSql,
     "ts_gap_fill" -> tsGapFillSql,
     "ts_interpolate" -> tsInterpolateSql,

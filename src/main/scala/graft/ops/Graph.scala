@@ -71,6 +71,38 @@ object Graph {
     ranks.select("node", "rank")
   }
 
+  /** Synchronous label propagation over a directed edge list (symmetrize
+    * first for undirected semantics), a fixed number of iterations from
+    * label = node id. Each round every node adopts its neighbors' most
+    * frequent label, ties to the smallest label — a deterministic
+    * argmax expressed as ONE struct-max aggregate `max((count, −label))`
+    * per node (never a per-node sort or window): two exchanges per
+    * iteration, the same shape as [[pageRank]]'s, with `localCheckpoint`
+    * keeping the plan iteration-constant. Fixed iterations make the
+    * result an exact engine-reproducible fixed-point prefix (sync LPA on
+    * bipartite graphs can oscillate — bounded rounds are the contract,
+    * not convergence).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges.select("src", "dst").localCheckpoint()
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle counts over an undirected edge list (columns
     * `src`, `dst`; duplicates, self-loops, and either orientation
     * accepted). Returns (node, n_tri) for every node in ≥1 triangle.

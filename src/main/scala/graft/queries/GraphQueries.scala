@@ -140,11 +140,66 @@ object GraphQueries {
       |      UNION ALL SELECT z FROM t)
       |GROUP BY node ORDER BY part""".stripMargin
 
+  val LpaIterations = 3
+
+  /** Community labels on the trade graph after `LpaIterations` sync LPA
+    * rounds ([[Graph.labelPropagation]]); numeric parity ids throughout,
+    * display prefix applied only on the |V|-sized output, exactly as
+    * [[pagerank]] does. The oracle unrolls the identical rounds as CTEs
+    * with the same (count desc, label asc) argmax.
+    */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    Graph.labelPropagation(
+        tradeEdges(Readers.table(spark, dir, "orders"),
+          Readers.table(spark, dir, "lineitem")),
+        LpaIterations)
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("c"), expr("node DIV 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) DIV 2"))).as("node"),
+        when(col("label") % 2L === 0L, concat(lit("c"), expr("label DIV 2")))
+          .otherwise(concat(lit("s"), expr("(label - 1) DIV 2")))
+          .as("community"))
+      .orderBy("node")
+  }
+
+  val lpaCommunitiesSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.node = e.src
+         |  GROUP BY 1, 2
+         |),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY c DESC, label) AS rn
+         |    FROM c$k)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${(1 to LpaIterations).map(iter).mkString(",\n")}
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+       |       ELSE 's' || ((node - 1) // 2) END AS node,
+       |  CASE WHEN label % 2 = 0 THEN 'c' || (label // 2)
+       |       ELSE 's' || ((label - 1) // 2) END AS community
+       |FROM l$LpaIterations
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
-    "graph_triangles" -> triangleCounts)
+    "graph_triangles" -> triangleCounts,
+    "lpa_communities" -> lpaCommunities)
 
   val oracle: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
-    "graph_triangles" -> triangleCountsSql)
+    "graph_triangles" -> triangleCountsSql,
+    "lpa_communities" -> lpaCommunitiesSql)
 }

@@ -299,7 +299,79 @@ object TimeSeriesQueries {
        |FROM s WHERE sd IS NOT NULL AND sd > 0
        |ORDER BY event_type, day_idx""".stripMargin
 
+  val SeasonLag = 7
+
+  /** Forecast backtest: seasonal-naive forecast (the value `SeasonLag`
+    * observations back) scored per series with MAE and MASE — MASE
+    * normalizes by the in-sample naive-1 MAE, the standard
+    * scale-free yardstick that says "beat the naive forecast or don't
+    * ship". Two `lag` frames on ONE window spec over the pre-aggregated
+    * daily series; lags are observation-lags on the observed grid (both
+    * engines see identical rows, so the semantics agree exactly).
+    */
+  def tsBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+    dailyCounts(spark, dir)
+      .withColumn("f", lag(col("n"), SeasonLag).over(w))
+      .withColumn("p", lag(col("n"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(col("f")).as("n_scored"),
+        round(avg(abs(col("n") - col("f"))), 6).as("mae"),
+        round(avg(abs(col("n") - col("f"))) /
+          avg(abs(col("n") - col("p"))), 6).as("mase"))
+      .orderBy("event_type")
+  }
+
+  val tsBacktestSql: String =
+    s"""WITH d AS ($dailySql),
+       |l AS (
+       |  SELECT event_type, n,
+       |    lag(n, $SeasonLag) OVER w AS f, lag(n, 1) OVER w AS p
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+       |)
+       |SELECT event_type, CAST(count(f) AS BIGINT) AS n_scored,
+       |  round(avg(abs(n - f)), 6) AS mae,
+       |  round(avg(abs(n - f)) / avg(abs(n - p)), 6) AS mase
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Theil–Sen robust trend per series: the median of all pairwise
+    * slopes over the daily grid — a single wild day moves the OLS slope,
+    * not this one. The pairwise expansion is per-series days² (bounded
+    * by the calendar, NOT by event volume — the aggregation to daily
+    * counts happens first), and the grouped median buffers at most that
+    * many slopes per series.
+    */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val d = dailyCounts(spark, dir).localCheckpoint()
+    d.as("a")
+      .join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day_idx") < col("b.day_idx"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          (col("b.day_idx") - col("a.day_idx"))).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+      .orderBy("event_type")
+  }
+
+  val tsTheilSenSql: String =
+    s"""WITH d AS ($dailySql),
+       |s AS (
+       |  SELECT a.event_type,
+       |    (b.n - a.n)::DOUBLE / (b.day_idx - a.day_idx) AS slope
+       |  FROM d a JOIN d b
+       |    ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
+       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_backtest" -> tsBacktest,
+    "ts_theil_sen" -> tsTheilSen,
     "ts_anomaly" -> tsAnomaly,
     "ts_rolling_corr" -> tsRollingCorr,
     "ts_gap_fill" -> tsGapFill,
@@ -308,6 +380,8 @@ object TimeSeriesQueries {
     "ts_smooth" -> tsSmooth)
 
   val oracle: Map[String, String] = Map(
+    "ts_backtest" -> tsBacktestSql,
+    "ts_theil_sen" -> tsTheilSenSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_rolling_corr" -> tsRollingCorrSql,
     "ts_gap_fill" -> tsGapFillSql,

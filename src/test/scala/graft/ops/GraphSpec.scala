@@ -60,4 +60,21 @@ class GraphSpec extends AnyFunSuite {
     val out = Graph.triangles(edges).as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("labelPropagation: triangle converges to the min label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(sym, 2).as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: path graph, one sync round, by hand") {
+    // 1-2-3: node 1 adopts 2; node 2 ties {1,3} -> min 1; node 3 adopts 2
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(sym, 1).as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }

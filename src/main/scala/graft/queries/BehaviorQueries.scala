@@ -486,7 +486,34 @@ object BehaviorQueries {
        |FROM n GROUP BY touch_type ORDER BY touch_type""".stripMargin
   }
 
+  /** Engagement power-law readout: log₂-bucketed histogram of per-user
+    * event counts (bucket b covers [2^b, 2^(b+1))). Bucketing is
+    * INTEGER-exact via binary-representation length — `floor(log2(n))`
+    * through float logs diverges between engines at exact powers of two,
+    * so the bucket id never touches a double. Two hash aggregates; the
+    * histogram is |buckets|-sized however large the user base.
+    */
+  def engagementHist(spark: SparkSession, dir: String): DataFrame =
+    Readers.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(expr("length(bin(n)) - 1").cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("lo", expr("shiftleft(1L, bucket)"))
+      .select("bucket", "lo", "n_users")
+      .orderBy("bucket")
+
+  val engagementHistSql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      |),
+      |b AS (SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS bucket FROM u)
+      |SELECT bucket, CAST(1::BIGINT << bucket AS BIGINT) AS lo,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "engagement_hist" -> engagementHist,
     "path_topk" -> pathTopk,
     "attribution_decay" -> attributionDecay,
     "funnel_conversion" -> funnelConversion,
@@ -501,6 +528,7 @@ object BehaviorQueries {
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
+    "engagement_hist" -> engagementHistSql,
     "path_topk" -> pathTopkSql,
     "attribution_decay" -> attributionDecaySql,
     "funnel_conversion" -> funnelConversionSql,

@@ -135,6 +135,47 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  /** Revenue concentration per market segment: the Gini coefficient from
+    * the rank formula `Σ(2i − n − 1)·xᵢ / (n·Σx)` over customers ranked
+    * by (revenue, custkey) within their segment. The sort is a keyed
+    * window over |customers-per-segment| pre-aggregated rows — bounded by
+    * the customer dimension, never by order volume; ties pinned by key so
+    * the rank (and the coefficient) is engine-stable.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Readers.table(spark, dir, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+    val cust = Readers.table(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("rev"), col("o_custkey"))
+    rev.join(cust, Seq("o_custkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum((lit(2L) * col("i") - col("n") - 1L) * col("rev")) /
+          (count(lit(1)) * sum(col("rev"))), 6).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  val giniRevenueSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |r AS (
+      |  SELECT c_mktsegment, rev,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY rev, o_custkey) AS i,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM rev JOIN customer ON c_custkey = o_custkey
+      |)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum((2 * i - n - 1) * rev) / (count(*) * sum(rev)), 6) AS gini
+      |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val RuleMinSupport = 3L
 
   /** Market-basket association rules over (order, part) baskets:
@@ -717,6 +758,7 @@ object StatsQueries {
     "ab_cuped" -> abCuped,
     "segment_overlap" -> segmentOverlap,
     "assoc_rules" -> assocRules,
+    "gini_revenue" -> giniRevenue,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
@@ -735,6 +777,7 @@ object StatsQueries {
     "ab_cuped" -> abCupedSql,
     "segment_overlap" -> segmentOverlapSql,
     "assoc_rules" -> assocRulesSql,
+    "gini_revenue" -> giniRevenueSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,

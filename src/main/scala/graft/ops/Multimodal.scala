@@ -250,6 +250,152 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio feature record produced per media item. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("digest", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("level", DoubleType)
+  ))
+
+  /** Wrap `content` in a structurally REAL RIFF/WAVE container — the
+    * little-endian complement of [[encodePng]]'s big-endian layer:
+    * `RIFF`+size+`WAVE`, a 16-byte PCM `fmt ` chunk (format tag 1,
+    * channels, sample rate, derived byte rate / block align, 16 bits), a
+    * junk `LIST` chunk the parser must skip, then the `data` chunk with
+    * `content` (odd lengths get the spec's pad byte). Every field is
+    * genuinely assembled; only the notion that the bytes are PCM samples
+    * is the stub layer.
+    */
+  def encodeWav(content: Array[Byte], sampleRate: Int,
+                channels: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+    val byteRate = sampleRate * channels * 2
+    val blockAlign = channels * 2
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(byteRate) ++ le16(blockAlign) ++ le16(16)
+    val junk = "INFOengine".getBytes("US-ASCII")
+    val dataPad = content.length % 2
+    val riffSize = 4 + (8 + fmt.length) + (8 + junk.length) +
+      (8 + content.length + dataPad)
+    val out = new java.io.ByteArrayOutputStream(riffSize + 8)
+    def ascii(s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, 4)
+    ascii("RIFF"); out.write(le32(riffSize), 0, 4); ascii("WAVE")
+    ascii("fmt "); out.write(le32(fmt.length), 0, 4)
+    out.write(fmt, 0, fmt.length)
+    ascii("LIST"); out.write(le32(junk.length), 0, 4)
+    out.write(junk, 0, junk.length)
+    ascii("data"); out.write(le32(content.length), 0, 4)
+    out.write(content, 0, content.length)
+    if (dataPad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** Parse a RIFF/WAVE container for real: verify both magics, walk the
+    * chunk list (little-endian sizes, word-aligned — odd chunks consume
+    * their pad byte), read the PCM `fmt ` fields, require the declared
+    * RIFF size to match the walked extent, skip unknown chunks exactly as
+    * a decoder must. Returns (sampleRate, channels, data). Corrupt input
+    * fails loudly for row-level quarantine routing.
+    */
+  def parseWav(wav: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(wav.length >= 12, "truncated WAV: missing RIFF header")
+    def le32(p: Int): Int = (wav(p) & 0xff) | ((wav(p + 1) & 0xff) << 8) |
+      ((wav(p + 2) & 0xff) << 16) | ((wav(p + 3) & 0xff) << 24)
+    def le16(p: Int): Int = (wav(p) & 0xff) | ((wav(p + 1) & 0xff) << 8)
+    def tag(p: Int): String = new String(wav, p, 4, "US-ASCII")
+    require(tag(0) == "RIFF", "bad RIFF magic")
+    require(le32(4) == wav.length - 8, "RIFF size != container extent")
+    require(tag(8) == "WAVE", "bad WAVE magic")
+    var (rate, channels) = (-1, -1)
+    var data: Array[Byte] = null
+    var p = 12
+    while (p + 8 <= wav.length) {
+      val typ = tag(p)
+      val len = le32(p + 4)
+      require(len >= 0 && p + 8 + len <= wav.length, s"truncated $typ chunk")
+      typ match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          require(le16(p + 8) == 1, "not PCM")
+          channels = le16(p + 10)
+          rate = le32(p + 12)
+        case "data" => data = java.util.Arrays.copyOfRange(wav, p + 8, p + 8 + len)
+        case _      => () // LIST/JUNK etc. skipped, like a real decoder
+      }
+      p += 8 + len + (len % 2) // chunks are word-aligned
+    }
+    require(rate > 0 && channels > 0, "no fmt chunk")
+    require(data != null, "no data chunk")
+    (rate, channels, data)
+  }
+
+  /** [[mediaTable]] with the payload wrapped in [[encodeWav]] — the audio
+    * ingest twin of [[encodedMediaTable]]. Sample rate and channel count
+    * vary deterministically per id so the parse path is exercised across
+    * fmt values. Built per-partition, no shuffle.
+    */
+  def encodedAudioTable(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.select(col(idCol).cast(LongType), col(textCol), col(sourceCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = encodeWav(
+            Option(r.getString(1)).getOrElse("").getBytes("UTF-8"),
+            sampleRate = 8000 * (1 + (id % 3).toInt),
+            channels = 1 + (id % 2).toInt)
+          Row(id, wav, Row("audio/wav", r.getString(2), wav.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Batched per-partition audio feature extraction over a WAV media
+    * table: the container parse (magics, LE chunk walk, fmt fields, pad
+    * bytes, size check) is real; duration derives from the parsed byte
+    * rate; `level` is the mean data-byte amplitude (the sample decode is
+    * the labeled stub — corpus is ASCII so byte==codepoint parity holds
+    * for the oracle). Same inference-shaped `mapPartitions` batching as
+    * [[extractFeatures]]; blobs never shuffle.
+    */
+  def extractAudioFeatures(media: DataFrame,
+                           batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFeatureSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val (rate, channels, data) = parseWav(r.getAs[Array[Byte]](1))
+          val byteRate = rate * channels * 2
+          val durationMs = data.length.toDouble * 1000.0 / byteRate
+          val level =
+            if (data.isEmpty) 0.0
+            else data.iterator.map(b => (b & 0xff).toDouble).sum /
+              data.length / 255.0
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(data).map("%02x".format(_)).mkString
+          // half-away-from-zero rounding, as extractFeatures documents
+          Row(id, data.length.toLong, digest, rate, channels,
+            math.floor(durationMs * 1e3 + 0.5) / 1e3,
+            math.floor(level * 1e6 + 0.5) / 1e6)
+        }
+      }
+    }(enc)
+  }
+
   /** "Frame sampling": cut the payload into fixed-size slices and keep every
     * `stride`-th one — the video-frame analogue, as pure column expressions.
     */

@@ -78,13 +78,49 @@ object MultimodalQueries {
       |  END AS brightness
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Audio twin of [[multimodalFeatures]] over REAL RIFF/WAVE containers
+    * ([[graft.ops.Multimodal.encodeWav]]/`parseWav` — little-endian chunk
+    * walk, PCM fmt fields, pad bytes, a junk LIST chunk the parser must
+    * skip, RIFF size check). The oracle reproduces the round trip
+    * arithmetically: the parsed rate/channels must equal the
+    * deterministic per-id fmt values that were stamped in; duration
+    * derives from the parsed byte rate; level/digest are per-byte
+    * functions of the content (ASCII corpus ⇒ code points == bytes).
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioFeatures(
+        Multimodal.encodedAudioTable(
+          Readers.table(spark, dir, "documents"), "doc_id", "text", "source"))
+      .orderBy("media_id")
+
+  val multimodalAudioSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  floor(octet_length(text::BLOB)::DOUBLE * 1000.0::DOUBLE
+      |      / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)::DOUBLE
+      |      * 1000.0::DOUBLE + 0.5::DOUBLE) / 1000.0::DOUBLE AS duration_ms,
+      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE
+      |       ELSE floor(list_sum(list_transform(
+      |                regexp_extract_all(text, '(?s).'),
+      |                c -> unicode(c)))::DOUBLE
+      |              / octet_length(text::BLOB)::DOUBLE
+      |              / 255.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |            / 1000000.0::DOUBLE
+      |  END AS level
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
-    "multimodal_features" -> multimodalFeatures
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_audio" -> multimodalAudio
   )
 
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
-    "multimodal_features" -> multimodalFeaturesSql
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_audio" -> multimodalAudioSql
   )
 }

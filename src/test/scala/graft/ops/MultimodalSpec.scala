@@ -105,4 +105,45 @@ class MultimodalSpec extends AnyFunSuite {
     // slices: i=0 "hello wo", i=1 "rld payl" (dropped), i=2 "oad"
     assert(frames == Seq("hello wo", "oad"))
   }
+
+  test("WAV container round-trips: fmt fields, data bytes, junk chunk skipped") {
+    val content = "pcm-ish payload bytes".getBytes("UTF-8") // odd length: pad path
+    val wav = Multimodal.encodeWav(content, sampleRate = 16000, channels = 2)
+    val (rate, ch, data) = Multimodal.parseWav(wav)
+    assert(rate == 16000 && ch == 2)
+    assert(data.toSeq == content.toSeq)
+    // declared RIFF size matches the container extent (parse enforces it)
+    assert(((wav(4) & 0xff) | ((wav(5) & 0xff) << 8) |
+      ((wav(6) & 0xff) << 16) | ((wav(7) & 0xff) << 24)) == wav.length - 8)
+  }
+
+  test("WAV parse rejects corruption loudly") {
+    val wav = Multimodal.encodeWav("abcd".getBytes("UTF-8"), 8000, 1)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav(wav.take(10)) // truncated header
+    }
+    val badMagic = wav.clone(); badMagic(8) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(badMagic))
+    val badSize = wav.clone(); badSize(4) = (badSize(4) + 1).toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(badSize))
+  }
+
+  test("extractAudioFeatures parses real containers batched per partition") {
+    val docs = Seq((1L, "hello world", "s1"), (2L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.extractAudioFeatures(
+        Multimodal.encodedAudioTable(docs, "doc_id", "text", "source"),
+        batchSize = 1)
+      .orderBy("media_id")
+      .collect()
+    // id 1: rate 8000*(1+1%3)=16000, channels 1+1%2=2, 11 bytes
+    val r1 = out(0)
+    assert(r1.getLong(1) == 11L && r1.getInt(3) == 16000 && r1.getInt(4) == 2)
+    // duration = 11*1000/(16000*2*2) ms, rounded half-away at 1e-3
+    assert(r1.getDouble(5) == math.floor(11.0 * 1000 / 64000 * 1e3 + 0.5) / 1e3)
+    // id 2: rate 8000*3=24000, channels 1, level = 'x'/255
+    val r2 = out(1)
+    assert(r2.getInt(3) == 24000 && r2.getInt(4) == 1)
+    assert(r2.getDouble(6) == math.floor('x'.toInt / 255.0 * 1e6 + 0.5) / 1e6)
+  }
 }

@@ -154,6 +154,28 @@ object Quality {
       .select(col(key) +: merged :+ action.as("action"): _*)
   }
 
+  /** Full MERGE semantics over a change feed carrying an op column:
+    * the LATEST change per key (by `versionOrder`) decides — op `D`
+    * removes the key (earlier updates of the same key are superseded and
+    * never apply), anything else upserts via [[upsertLatest]]. Returns
+    * the applied table: deleted keys are absent, survivors carry the
+    * insert/update/keep action. Delete application is a left-anti join on
+    * the (small) latest-delete key set — no second pass over the base.
+    */
+  def mergeCdc(base: DataFrame, changes: DataFrame, key: String,
+               versionOrder: Seq[Column], payload: Seq[String],
+               opCol: String = "op"): DataFrame = {
+    val latest = changes
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(key)).orderBy(versionOrder: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val applied = upsertLatest(base,
+      latest.filter(col(opCol) =!= "D").drop(opCol),
+      key, versionOrder, payload)
+    applied.join(latest.filter(col(opCol) === "D").select(col(key)),
+      Seq(key), "left_anti")
+  }
+
   private def prefixed(df: DataFrame, prefix: String, key: String,
                        payload: Seq[String]): DataFrame = {
     val cols = col(key) +: payload.map { p =>

@@ -114,6 +114,62 @@ object QualityQueries {
       .orderBy("c_custkey")
   }
 
+  /** Delete-aware MERGE: the same change feed, now carrying an op — a
+    * customer whose LATEST order is finished (`o_orderstatus = 'F'`)
+    * is a delete; anything else upserts as in [[cdcUpsert]]. The latest
+    * change per key decides alone (an older update under a newer delete
+    * never applies); deleted keys are absent from the applied table.
+    */
+  def cdcMergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val orders = Readers.table(spark, dir, "orders")
+    val feed = changeFeed(orders)
+      .join(orders.select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op")),
+        Seq("o_orderkey"))
+    graft.ops.Quality.mergeCdc(base, feed,
+        key = "c_custkey",
+        versionOrder = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        payload = Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+      .orderBy("c_custkey")
+  }
+
+  val cdcMergeDeleteSql: String =
+    """WITH feed AS (
+      |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS c_acctbal,
+      |    NULL AS c_name, NULL AS c_mktsegment, o_orderdate, o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey + 10000000 AS c_custkey, round(o_totalprice, 2),
+      |    'NEW#' || (o_custkey + 10000000), 'NEW', o_orderdate, o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |),
+      |latest AS (
+      |  SELECT c_custkey, c_acctbal, c_name, c_mktsegment, op FROM feed
+      |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |),
+      |ups AS (SELECT * EXCLUDE (op) FROM latest WHERE op <> 'D'),
+      |dels AS (SELECT c_custkey FROM latest WHERE op = 'D'),
+      |merged AS (
+      |  SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+      |    COALESCE(c.c_name, b.c_name) AS c_name,
+      |    round(COALESCE(c.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+      |    COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |    CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+      |           THEN 'update'
+      |         WHEN c.c_custkey IS NOT NULL THEN 'insert'
+      |         ELSE 'keep' END AS action
+      |  FROM customer b FULL OUTER JOIN ups c ON b.c_custkey = c.c_custkey
+      |)
+      |SELECT m.* FROM merged m LEFT JOIN dels d USING (c_custkey)
+      |WHERE d.c_custkey IS NULL
+      |ORDER BY c_custkey""".stripMargin
+
   val cdcUpsertSql: String =
     """WITH feed AS (
       |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS c_acctbal,
@@ -213,10 +269,12 @@ object QualityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_checks" -> dqChecks,
     "cdc_upsert" -> cdcUpsert,
+    "cdc_merge_delete" -> cdcMergeDelete,
     "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
     "dq_checks" -> dqChecksSql,
     "cdc_upsert" -> cdcUpsertSql,
+    "cdc_merge_delete" -> cdcMergeDeleteSql,
     "table_diff" -> tableDiffSql)
 }

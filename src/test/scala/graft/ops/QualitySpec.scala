@@ -78,4 +78,20 @@ class QualitySpec extends AnyFunSuite {
     assert(dirty.head._3 > 0 && !dirty.head._4)
     assert(clean.forall(_._4), s"failing: ${clean.filterNot(_._4).toSeq}")
   }
+
+  test("mergeCdc: latest delete supersedes older updates; missing-key delete is a no-op") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, 111.0, 1L, "U"), (1L, 999.0, 2L, "D"), // newer delete wins: key 1 gone
+      (2L, 222.0, 2L, "U"), (2L, 0.0, 1L, "D"),   // older delete loses: key 2 updates
+      (9L, 90.0, 1L, "D"))                        // delete of absent key: no-op
+      .toDF("k", "bal", "v", "op")
+    val out = Quality.mergeCdc(base, changes, "k",
+        versionOrder = Seq(col("v").desc), payload = Seq("name", "bal"))
+      .as[(Long, Option[String], Double, String)].collect().toSet
+    assert(out == Set(
+      (2L, Some("b"), 222.0, "update"),
+      (3L, Some("c"), 30.0, "keep")))
+  }
 }

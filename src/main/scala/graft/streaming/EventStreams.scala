@@ -92,4 +92,29 @@ object EventStreams {
         col("purchase_ts") <= col("click_ts"))
       .select("user_id", "click_ts", "purchase_ts", "purchase_value")
   }
+
+  /** LEFT OUTER stream-stream interval join: every click eventually
+    * emits — matched rows as they pair up, unmatched rows with null
+    * purchase columns ONLY once the watermark proves no in-window
+    * purchase can still arrive. That deferred null is the semantic heart
+    * of streaming outer joins: correctness depends on the state-eviction
+    * clock, so the time bound is not an optimization here but what makes
+    * the null answer ever legal. Same bounded state as the inner
+    * variant.
+    */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                             watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "left_outer")
+      .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+  }
 }

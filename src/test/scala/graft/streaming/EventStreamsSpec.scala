@@ -151,4 +151,40 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(finalized.contains(("2024-01-01 00:00:00", "click")))
     } finally q.stop()
   }
+
+  test("outer stream-stream join emits the null row only after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin_outer_test")
+      .outputMode("append").start()
+    try {
+      purchases.addData(Ev(ts("2024-01-01 00:30:00"), 1, "purchase", 10.0))
+      clicks.addData(
+        Ev(ts("2024-01-01 01:00:00"), 1, "click", 1.0),  // matches
+        Ev(ts("2024-01-01 01:00:00"), 2, "click", 2.0))  // never matches
+      q.processAllAvailable()
+      val matched = spark.table("ssjoin_outer_test")
+        .select($"user_id", $"purchase_value").as[(Long, Option[Double])]
+        .collect().toSet
+      // the unmatched click must NOT have emitted yet: a purchase inside
+      // its window could still arrive while the watermark allows it
+      assert(matched == Set((1L, Some(10.0))))
+      // advance the watermark far past the click windows on BOTH inputs;
+      // eviction is what finally proves "no match" and legalizes the null
+      purchases.addData(Ev(ts("2024-01-01 06:00:00"), 9, "purchase", 0.0))
+      clicks.addData(Ev(ts("2024-01-01 06:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      // one more micro-batch so the post-eviction outer rows land
+      purchases.addData(Ev(ts("2024-01-01 06:30:00"), 9, "purchase", 0.0))
+      clicks.addData(Ev(ts("2024-01-01 06:30:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("ssjoin_outer_test")
+        .select($"user_id", $"purchase_value").as[(Long, Option[Double])]
+        .collect().toSet
+      assert(all.contains((2L, None)),
+        s"expected the evicted unmatched click to emit with nulls; got $all")
+    } finally q.stop()
+  }
 }

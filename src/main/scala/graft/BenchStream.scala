@@ -36,6 +36,9 @@ object BenchStream {
 
   def main(args: Array[String]): Unit = {
     val batches = if (args.nonEmpty) args(0).toInt else 8
+    // optional 2nd arg: comma-separated op-name subset (dev re-measure)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSessions.localFromEnv(defaultCpus = "32")
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,6 +66,7 @@ object BenchStream {
     /** Feed `data` in `batches` chunks, processAllAvailable per chunk. */
     def run[T: Encoder](name: String, data: Seq[T], mode: String)
                        (build: Dataset[T] => DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       val mem = MemoryStream[T]
       val q = build(mem.toDS()).writeStream.format("noop")
         .outputMode(mode)
@@ -108,6 +112,10 @@ object BenchStream {
       ds => StatefulOps.heavyHittersStream(ds, k = 8).toDF())
     run("click_purchase_join", events, "append")(ds =>
       EventStreams.clickPurchaseJoin(
+        ds.toDF().filter(col("event_type") === "click"),
+        ds.toDF().filter(col("event_type") === "purchase")))
+    run("click_purchase_join_outer", events, "append")(ds =>
+      EventStreams.clickPurchaseJoinOuter(
         ds.toDF().filter(col("event_type") === "click"),
         ds.toDF().filter(col("event_type") === "purchase")))
     run("doc_quality_filtered", docs, "append")(

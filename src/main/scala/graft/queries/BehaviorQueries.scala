@@ -512,7 +512,53 @@ object BehaviorQueries {
       |  CAST(count(*) AS BIGINT) AS n_users
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Gaps-and-islands: longest consecutive-active-day streak per user,
+    * reported as a streak-length histogram. The island key is the classic
+    * `day_idx − row_number()` difference (constant within a run of
+    * consecutive days, distinct across gaps) — one keyed window over the
+    * per-user DISTINCT day set, so work is bounded by active (user, day)
+    * pairs, never raw event volume; every value is an integer, exact in
+    * both engines.
+    */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day_idx")
+    val days = Readers.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .distinct()
+    days
+      .withColumn("grp", col("day_idx") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("best"))
+      .groupBy(col("best").as("streak_len"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("streak_len")
+  }
+
+  val userStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx
+      |  FROM events
+      |),
+      |runs AS (
+      |  SELECT user_id,
+      |    day_idx - row_number() OVER (PARTITION BY user_id
+      |      ORDER BY day_idx) AS grp
+      |  FROM days
+      |),
+      |lens AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      |  FROM runs GROUP BY user_id, grp
+      |),
+      |best AS (SELECT user_id, max(len) AS best FROM lens GROUP BY user_id)
+      |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
+      |FROM best GROUP BY best ORDER BY streak_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_streaks" -> userStreaks,
     "engagement_hist" -> engagementHist,
     "path_topk" -> pathTopk,
     "attribution_decay" -> attributionDecay,
@@ -528,6 +574,7 @@ object BehaviorQueries {
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
+    "user_streaks" -> userStreaksSql,
     "engagement_hist" -> engagementHistSql,
     "path_topk" -> pathTopkSql,
     "attribution_decay" -> attributionDecaySql,

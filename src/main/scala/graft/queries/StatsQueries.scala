@@ -176,6 +176,64 @@ object StatsQueries {
       |  round(sum((2 * i - n - 1) * rev) / (count(*) * sum(rev)), 6) AS gini
       |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** ABC (Pareto 80/95) inventory classification of parts by revenue:
+    * rank parts by revenue, classify by cumulative share — A covers the
+    * first 80%, B to 95%, C the tail. Revenue travels as INTEGER CENTS
+    * end-to-end and the class boundaries are integer cross-products
+    * (`cum·100 ≤ total·80`), so the classification never rides a float
+    * boundary that could flip between engines. The cumulative window is
+    * a global sort bounded by the part DIMENSION (pre-aggregated — never
+    * the lineitem fact); ties pinned by part key. At extreme dimension
+    * cardinality the same computation distributes as repartitionByRange
+    * on (cents desc) + per-range prefix sums with broadcast range
+    * offsets — a mechanical swap that preserves every output bit.
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Readers.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100.0).cast("long").as("c"))
+      .groupBy("l_partkey").agg(sum("c").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cents.agg(sum("cents").as("total"))
+    cents
+      .withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cents"), col("total"),
+        when(col("cum") * 100L <= col("total") * 80L, "A")
+          .when(col("cum") * 100L <= col("total") * 95L, "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("cents")) / 100.0, 2).as("revenue"),
+        round(sum(col("cents")).cast("double") /
+          max(col("total")), 6).as("share"))
+      .orderBy("abc_class")
+  }
+
+  val abcClassificationSql: String =
+    """WITH cents AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM lineitem GROUP BY l_partkey
+      |),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM cents),
+      |c AS (
+      |  SELECT l_partkey, cents, total,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM cents CROSS JOIN t
+      |)
+      |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  round(sum(cents) / 100.0, 2) AS revenue,
+      |  round(sum(cents)::DOUBLE / max(total), 6) AS share
+      |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin
+
   val RuleMinSupport = 3L
 
   /** Market-basket association rules over (order, part) baskets:
@@ -758,6 +816,7 @@ object StatsQueries {
     "ab_cuped" -> abCuped,
     "segment_overlap" -> segmentOverlap,
     "assoc_rules" -> assocRules,
+    "abc_classification" -> abcClassification,
     "gini_revenue" -> giniRevenue,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
@@ -777,6 +836,7 @@ object StatsQueries {
     "ab_cuped" -> abCupedSql,
     "segment_overlap" -> segmentOverlapSql,
     "assoc_rules" -> assocRulesSql,
+    "abc_classification" -> abcClassificationSql,
     "gini_revenue" -> giniRevenueSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,

@@ -369,7 +369,46 @@ object TimeSeriesQueries {
        |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Week-over-week growth: weekly event counts per type with the prior
+    * week's count and the percent delta — the standard BI trend readout.
+    * Weeks are integer epoch-week indexes (exact in both engines); the
+    * lag is one keyed window over the |weeks|-sized pre-aggregate.
+    * Growth is null on each series' first week (no denominator).
+    */
+  def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("week_idx")
+    Readers.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") / 7L).cast("long").as("week_idx"))
+      .groupBy("event_type", "week_idx")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev", lag(col("n"), 1).over(w))
+      .select(col("event_type"), col("week_idx"), col("n"), col("prev"),
+        round((col("n") - col("prev")).cast("double") / col("prev") * 100.0, 4)
+          .as("wow_pct"))
+      .orderBy("event_type", "week_idx")
+  }
+
+  val wowGrowthSql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week_idx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |l AS (
+      |  SELECT event_type, week_idx, n,
+      |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev
+      |  FROM d
+      |)
+      |SELECT event_type, week_idx, n, prev,
+      |  round((n - prev)::DOUBLE / prev * 100.0, 4) AS wow_pct
+      |FROM l ORDER BY event_type, week_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wow_growth" -> wowGrowth,
     "ts_backtest" -> tsBacktest,
     "ts_theil_sen" -> tsTheilSen,
     "ts_anomaly" -> tsAnomaly,
@@ -380,6 +419,7 @@ object TimeSeriesQueries {
     "ts_smooth" -> tsSmooth)
 
   val oracle: Map[String, String] = Map(
+    "wow_growth" -> wowGrowthSql,
     "ts_backtest" -> tsBacktestSql,
     "ts_theil_sen" -> tsTheilSenSql,
     "ts_anomaly" -> tsAnomalySql,

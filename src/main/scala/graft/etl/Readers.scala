@@ -62,6 +62,27 @@ object Readers {
             schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** [[jsonl]] with row-level quarantine: malformed lines survive the
+    * scan in the `_corrupt_record` column (PERMISSIVE mode) instead of
+    * failing the job or silently vanishing — at corpus scale a crawl
+    * delivery ALWAYS contains broken lines, and the pipeline decision
+    * (drop, retry, route to a quarantine sink) belongs to the caller,
+    * not the parser. Well-formed rows parse into the schema with the
+    * corrupt column null; a malformed line yields nulls plus its raw
+    * text. Note Spark refuses a query that projects ONLY the corrupt
+    * column (the parser would have nothing to fail on) — keep at least
+    * one data column in quarantine-side projections.
+    */
+  def jsonlQuarantine(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType)
+  : DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Generic headered CSV with explicit schema (same contract as the
     * reference readers: schema-on-read, projection by select), parsed with
     * full quoting so embedded delimiters/quotes/newlines round-trip with

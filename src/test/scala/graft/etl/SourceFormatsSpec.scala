@@ -120,4 +120,29 @@ class SourceFormatsSpec extends AnyFunSuite {
       .as[(Option[Long], String)].collect().toSet
     assert(merged == Set((Some(1L), "old1"), (None, "newnull")))
   }
+
+  test("jsonl quarantine: malformed lines route to _corrupt_record, good rows parse") {
+    val path = tmp("jsonl_quarantine")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "missing comma"}
+        |not json at all
+        |{"id": 4, "name": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val df = Readers.jsonlQuarantine(spark, path, schema)
+    val good = df.filter($"_corrupt_record".isNull)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(good == Set((1L, "ok"), (4L, "fine")))
+    val quarantined = df.filter($"_corrupt_record".isNotNull)
+      .select($"id", $"_corrupt_record").collect()
+    assert(quarantined.length == 2)
+    // the raw line survives for the retry/audit sink
+    assert(quarantined.exists(_.getString(1).contains("not json at all")))
+    assert(quarantined.exists(_.getString(1).contains("missing comma")))
+  }
 }

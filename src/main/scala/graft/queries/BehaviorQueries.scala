@@ -557,7 +557,84 @@ object BehaviorQueries {
       |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users
       |FROM best GROUP BY best ORDER BY streak_len""".stripMargin
 
+  /** Weekly growth accounting: every active (user, week) classified as
+    * NEW (first-ever week), RETAINED (also active the previous week) or
+    * RESURRECTED (active before, but not last week); CHURNED falls out
+    * arithmetically as `active(w−1) − retained(w)` — every user active
+    * last week either retained or churned, so no extra join pays for it.
+    * One distinct (user, week) set, one per-user min, one self-join on
+    * (user, week−1) presence; all integers, exact in both engines.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Readers.events(spark, dir)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long") / 7L).cast("long").as("week_idx"))
+      .distinct()
+      .localCheckpoint() // feeds first-week, prev-week probe, and counts
+    val firstWeek = uw.groupBy("user_id").agg(min("week_idx").as("first_week"))
+    val prev = uw.select(col("user_id"),
+      (col("week_idx") + 1L).as("week_idx"), lit(true).as("was_active"))
+    val classified = uw
+      .join(firstWeek, Seq("user_id"))
+      .join(prev, Seq("user_id", "week_idx"), "left")
+      .select(col("week_idx"),
+        when(col("week_idx") === col("first_week"), "new")
+          .when(col("was_active"), "retained")
+          .otherwise("resurrected").as("cls"))
+    val weekly = classified.groupBy("week_idx")
+      .agg(count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"))
+    val active = uw.groupBy("week_idx").agg(count(lit(1)).as("n_active"))
+    weekly
+      .join(active.select((col("week_idx") + 1L).as("week_idx"),
+        col("n_active").as("prev_active")), Seq("week_idx"), "left")
+      .select(col("week_idx"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+      .orderBy("week_idx")
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS week_idx
+      |  FROM events
+      |),
+      |fw AS (SELECT user_id, min(week_idx) AS first_week
+      |       FROM uw GROUP BY user_id),
+      |cls AS (
+      |  SELECT u.week_idx,
+      |    CASE WHEN u.week_idx = f.first_week THEN 'new'
+      |         WHEN p.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM uw u
+      |  JOIN fw f ON f.user_id = u.user_id
+      |  LEFT JOIN uw p ON p.user_id = u.user_id
+      |    AND p.week_idx = u.week_idx - 1
+      |),
+      |weekly AS (
+      |  SELECT week_idx,
+      |    CAST(count(*) FILTER (WHERE cls = 'new') AS BIGINT) AS n_new,
+      |    CAST(count(*) FILTER (WHERE cls = 'retained') AS BIGINT)
+      |      AS n_retained,
+      |    CAST(count(*) FILTER (WHERE cls = 'resurrected') AS BIGINT)
+      |      AS n_resurrected
+      |  FROM cls GROUP BY week_idx
+      |),
+      |act AS (SELECT week_idx, CAST(count(*) AS BIGINT) AS n_active
+      |        FROM uw GROUP BY week_idx)
+      |SELECT w.week_idx, n_new, n_retained, n_resurrected,
+      |  CAST(COALESCE(a.n_active, 0) - n_retained AS BIGINT) AS n_churned
+      |FROM weekly w
+      |LEFT JOIN act a ON a.week_idx = w.week_idx - 1
+      |ORDER BY w.week_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "growth_accounting" -> growthAccounting,
     "user_streaks" -> userStreaks,
     "engagement_hist" -> engagementHist,
     "path_topk" -> pathTopk,
@@ -574,6 +651,7 @@ object BehaviorQueries {
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
+    "growth_accounting" -> growthAccountingSql,
     "user_streaks" -> userStreaksSql,
     "engagement_hist" -> engagementHistSql,
     "path_topk" -> pathTopkSql,

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan shapes the scaladocs promise, so a refactor
+  * that silently degrades a plan (full sort where a top-k heap ran, a
+  * windowed rank where WindowGroupLimit pruned) fails a spec instead of
+  * only showing up as a bench regression. Executed plans, sf0.001.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("path_topk's k-cut is a TakeOrdered, never a full global sort") {
+    assert(executedPlan("path_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("sample_per_group prunes per-stratum rows with WindowGroupLimit") {
+    assert(executedPlan("sample_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("sample_weighted's weighted top-k is a TakeOrdered over the scan") {
+    assert(executedPlan("sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation queries hash-aggregate (no SortAggregate fallback)") {
+    for (q <- Seq("agg_pricing_summary", "drift_kl", "growth_accounting")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("SortAggregate"), s"$q fell back to SortAggregate")
+      assert(plan.contains("HashAggregate"), s"$q lost its hash aggregate")
+    }
+  }
+}

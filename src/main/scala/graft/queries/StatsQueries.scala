@@ -234,6 +234,51 @@ object StatsQueries {
       |  round(sum(cents)::DOUBLE / max(total), 6) AS share
       |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin
 
+  /** Inter-purchase gap statistics per market segment: days between a
+    * customer's consecutive orders (lag over (date, key) per customer),
+    * aggregated to count/mean/min/max per segment — the repurchase-cycle
+    * readout behind inventory and CRM timing. Gaps are integer day
+    * differences (exact in both engines); only the final mean is a
+    * rounded double.
+    */
+  def orderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Readers.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev")))
+          .cast("long").as("gap_days"))
+    gaps.join(Readers.table(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")), 4).as("mean_gap"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orderGapStatsSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders
+      |)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(avg(gap_days), 4) AS mean_gap,
+      |  CAST(min(gap_days) AS BIGINT) AS min_gap,
+      |  CAST(max(gap_days) AS BIGINT) AS max_gap
+      |FROM g JOIN customer ON c_custkey = o_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val RuleMinSupport = 3L
 
   /** Market-basket association rules over (order, part) baskets:
@@ -817,6 +862,7 @@ object StatsQueries {
     "segment_overlap" -> segmentOverlap,
     "assoc_rules" -> assocRules,
     "abc_classification" -> abcClassification,
+    "order_gap_stats" -> orderGapStats,
     "gini_revenue" -> giniRevenue,
     "skew_report" -> skewReport,
     "pareto_front" -> paretoFront,
@@ -837,6 +883,7 @@ object StatsQueries {
     "segment_overlap" -> segmentOverlapSql,
     "assoc_rules" -> assocRulesSql,
     "abc_classification" -> abcClassificationSql,
+    "order_gap_stats" -> orderGapStatsSql,
     "gini_revenue" -> giniRevenueSql,
     "skew_report" -> skewReportSql,
     "pareto_front" -> paretoFrontSql,

@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   * the O(n/accuracy) interior slice. Raising `accuracy` shrinks the slice
   * linearly while growing the (tiny) sketch summary.
   *
+  * Scan sharing: by default the projected (group, value) frame is lazily
+  * `localCheckpoint`ed, so the three passes read ONE materialized compact
+  * copy instead of re-evaluating the input lineage three times — the
+  * checkpoint happens at first action (construction stays lazy, no job
+  * fires when the query function is built). At cluster scale this trades
+  * recompute for executor-local MEMORY_AND_DISK storage of a few-column
+  * slice — the standard "cache the projection" move for multi-pass
+  * algorithms. Callers that already materialized a shared frame (e.g. a
+  * median→MAD chain where the SAME source feeds two `exact` calls plus a
+  * final aggregate) should checkpoint that frame once themselves and pass
+  * `materialize = false` to avoid a second copy.
+  *
   * Interpolation replicates Spark's `Percentile.getPercentile` exactly —
   * `pos = q·(n−1)`, result = `v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)` (the
   * element itself when pos is integral) — so results are bit-identical to
@@ -51,15 +63,32 @@ object Quantiles {
     * spec name. Nulls in a value column are ignored, like the built-in.
     */
   def exact(df: DataFrame, specs: Seq[Q], groupCols: Seq[String] = Nil,
-            accuracy: Int = 10000): DataFrame = {
+            accuracy: Int = 10000, materialize: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "at least one quantile spec")
     require(specs.forall(s => s.q >= 0.0 && s.q <= 1.0), "q in [0,1]")
     val eps = 3.0 / accuracy
     val gcols = groupCols.map(col)
-    val base = df.select(
-      gcols ++ specs.zipWithIndex.map { case (s, i) =>
-        s.value.cast("double").as(s"__v$i")
+    // Deduplicate semantically-identical value expressions: p10/p50/p90/p99
+    // of ONE measure is the common request, and sketching the same column
+    // once per fraction would cost 4 GK summaries (and 4 materialized
+    // copies) where one suffices — each distinct expression gets one
+    // projected column and one sketch queried at every bracket fraction.
+    val castCols = specs.map(_.value.cast("double"))
+    val colIdx = new Array[Int](specs.length)
+    val distinctCols = scala.collection.mutable.ArrayBuffer[Column]()
+    specs.indices.foreach { i =>
+      val j = distinctCols.indexWhere(_ == castCols(i))
+      if (j >= 0) colIdx(i) = j
+      else { colIdx(i) = distinctCols.length; distinctCols += castCols(i) }
+    }
+    def v(i: Int): Column = col(s"__c${colIdx(i)}")
+    val projected = df.select(
+      gcols ++ distinctCols.toSeq.zipWithIndex.map { case (c, k) =>
+        c.as(s"__c$k")
       }: _*)
+    // lazy checkpoint: the 3 passes share one materialization of the
+    // narrow projection; eager=false keeps query construction job-free
+    val base = if (materialize) projected.localCheckpoint(false) else projected
 
     def gb(d: DataFrame) =
       if (groupCols.isEmpty) d.groupBy() else d.groupBy(gcols: _*)
@@ -70,31 +99,38 @@ object Quantiles {
       if (groupCols.isEmpty) d.crossJoin(broadcast(scalars))
       else d.join(broadcast(scalars), groupCols)
 
-    // ---- stage 1: count + sketch bracket, one hash-aggregate pass (both
-    // bracket ends query ONE GK summary via an array-percentile)
-    val s1aggs = specs.zipWithIndex.flatMap { case (s, i) =>
-      val v = col(s"__v$i")
-      val ps = typedLit(Seq(math.max(0.0, s.q - eps), math.min(1.0, s.q + eps)))
+    // ---- stage 1: count + sketch bracket, one hash-aggregate pass (ONE
+    // GK summary per distinct column, queried at every spec's q±ε via an
+    // array-percentile)
+    val byCol = specs.indices.groupBy(colIdx).toSeq.sortBy(_._1)
+    val s1aggs = byCol.flatMap { case (k, sis) =>
+      val c = col(s"__c$k")
+      val fracs = sis.flatMap { i =>
+        val q = specs(i).q
+        Seq(math.max(0.0, q - eps), math.min(1.0, q + eps))
+      }
       Seq(
-        count(v).as(s"__n$i"),
-        percentile_approx(v, ps, lit(accuracy)).as(s"__b$i"))
+        count(c).as(s"__cn$k"),
+        percentile_approx(c, typedLit(fracs), lit(accuracy)).as(s"__cb$k"))
     }
     val s1 = gb(base).agg(s1aggs.head, s1aggs.tail: _*)
-      .select(gcols ++ specs.indices.flatMap { i =>
-        Seq(col(s"__n$i"),
-          element_at(col(s"__b$i"), 1).as(s"__lo$i"),
-          element_at(col(s"__b$i"), 2).as(s"__hi$i"))
+      .select(gcols ++ byCol.flatMap { case (k, sis) =>
+        sis.zipWithIndex.flatMap { case (i, pos) =>
+          Seq(col(s"__cn$k").as(s"__n$i"),
+            element_at(col(s"__cb$k"), pos * 2 + 1).as(s"__lo$i"),
+            element_at(col(s"__cb$k"), pos * 2 + 2).as(s"__hi$i"))
+        }
       }: _*)
 
     // ---- stage 2: bracket calibration — ranks and tie masses at the
     // bounds, one counting pass
     val s2aggs = specs.indices.flatMap { i =>
-      val v = col(s"__v$i")
+      val vi = v(i)
       Seq(
-        sum(when(v < col(s"__lo$i"), 1L).otherwise(0L)).as(s"__cl$i"),
-        sum(when(v <= col(s"__hi$i"), 1L).otherwise(0L)).as(s"__ch$i"),
-        sum(when(v === col(s"__lo$i"), 1L).otherwise(0L)).as(s"__eql$i"),
-        sum(when(v === col(s"__hi$i"), 1L).otherwise(0L)).as(s"__eqh$i"),
+        sum(when(vi < col(s"__lo$i"), 1L).otherwise(0L)).as(s"__cl$i"),
+        sum(when(vi <= col(s"__hi$i"), 1L).otherwise(0L)).as(s"__ch$i"),
+        sum(when(vi === col(s"__lo$i"), 1L).otherwise(0L)).as(s"__eql$i"),
+        sum(when(vi === col(s"__hi$i"), 1L).otherwise(0L)).as(s"__eqh$i"),
         first(col(s"__n$i")).as(s"__n$i"),
         first(col(s"__lo$i")).as(s"__lo$i"),
         first(col(s"__hi$i")).as(s"__hi$i"))
@@ -122,12 +158,12 @@ object Quantiles {
     val tagged = attach(base, s2).select(
       gcols ++ Seq(
         explode(array(specs.indices.map { i =>
-          val v = col(s"__v$i")
+          val vi = v(i)
           val inBracket =
-            (!covLo(i) || v > col(s"__lo$i")) &&
-              (!covHi(i) || v < col(s"__hi$i"))
-          when(v.isNotNull && inBracket,
-            struct(lit(i).as("qi"), v.as("v"),
+            (!covLo(i) || vi > col(s"__lo$i")) &&
+              (!covHi(i) || vi < col(s"__hi$i"))
+          when(vi.isNotNull && inBracket,
+            struct(lit(i).as("qi"), vi.as("v"),
               (k1(i) - clEff(i) - eqlEff(i)).as("t1"),
               (k2(i) - clEff(i) - eqlEff(i)).as("t2")))
         }: _*)).as("__m")): _*)

@@ -276,13 +276,17 @@ object BehaviorQueries {
     */
   def outlierMad(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantiles
+    // one lazy checkpoint of the 2-column slice feeds BOTH exact-median
+    // chains AND the final counting aggregate — the source is evaluated
+    // once, the ~7 downstream passes read the compact materialization
     val ev = Readers.events(spark, dir).select(col("event_type"), col("value"))
+      .localCheckpoint(false)
     val med = Quantiles.exact(ev, Seq(Quantiles.Q("med", col("value"), 0.5)),
-      groupCols = Seq("event_type"))
+      groupCols = Seq("event_type"), materialize = false)
     val mad = Quantiles.exact(
         ev.join(broadcast(med), Seq("event_type")),
         Seq(Quantiles.Q("mad", abs(col("value") - col("med")), 0.5)),
-        groupCols = Seq("event_type"))
+        groupCols = Seq("event_type"), materialize = false)
       .join(broadcast(med), Seq("event_type"))
     val k = lit(3.0 * 1.4826)
     val bounded = mad.select(col("event_type"), col("med"), col("mad"),
@@ -334,9 +338,13 @@ object BehaviorQueries {
       .filter(col("depth") === FunnelSteps.size)
       .select(((col(s"step${FunnelSteps.size}_us") - col("step1_us"))
         / 1000000L).as("latency_s"))
+      // the funnel's window cascade is the expensive part — materialize its
+      // tiny per-converted-user output once (lazily), share across the
+      // quantile passes and the min/max/count aggregate
+      .localCheckpoint(false)
     val q = Quantiles.exact(lat, Seq(
       Quantiles.Q("p50", col("latency_s"), 0.5),
-      Quantiles.Q("p90", col("latency_s"), 0.9)))
+      Quantiles.Q("p90", col("latency_s"), 0.9)), materialize = false)
     lat.agg(count(lit(1)).as("n_converted"),
         round(min(col("latency_s")), 6).as("lat_min"),
         round(max(col("latency_s")), 6).as("lat_max"))

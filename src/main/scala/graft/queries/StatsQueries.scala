@@ -584,16 +584,20 @@ object StatsQueries {
     * results.
     */
   def quantileBands(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Readers.table(spark, dir, "orders")
-    val cuts = graft.ops.Quantiles.exact(orders, Seq(
+    // one lazy checkpoint of the single needed column: the cut-point
+    // bracket passes and the band-assignment pass share one parquet scan
+    val price = Readers.table(spark, dir, "orders").select(col("o_totalprice"))
+      .localCheckpoint(false)
+    val cuts = graft.ops.Quantiles.exact(price, Seq(
       graft.ops.Quantiles.Q("p25", col("o_totalprice"), 0.25),
       graft.ops.Quantiles.Q("p50", col("o_totalprice"), 0.50),
-      graft.ops.Quantiles.Q("p75", col("o_totalprice"), 0.75)))
+      graft.ops.Quantiles.Q("p75", col("o_totalprice"), 0.75)),
+      materialize = false)
     val band = when(col("o_totalprice") <= col("p25"), 1)
       .when(col("o_totalprice") <= col("p50"), 2)
       .when(col("o_totalprice") <= col("p75"), 3)
       .otherwise(4)
-    orders.crossJoin(broadcast(cuts))
+    price.crossJoin(broadcast(cuts))
       .select(band.as("band"), col("o_totalprice"))
       .groupBy("band")
       .agg(count(lit(1)).as("n"),
@@ -773,13 +777,18 @@ object StatsQueries {
     val perCust = orders.groupBy("o_custkey")
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
+    // lazily materialize the customer-sized anchored frame once: the three
+    // median bracket passes and the scoring pass all read the checkpoint
+    // instead of re-running the orders groupBy per pass
     val anchored = perCust
       .crossJoin(broadcast(perCust.agg(max(col("last_day")).as("mx"))))
       .withColumn("recency", (col("mx") - col("last_day")).cast("double"))
+      .localCheckpoint(false)
     val cuts = graft.ops.Quantiles.exact(anchored, Seq(
       graft.ops.Quantiles.Q("r_med", col("recency"), 0.5),
       graft.ops.Quantiles.Q("f_med", col("freq"), 0.5),
-      graft.ops.Quantiles.Q("m_med", col("monetary"), 0.5)))
+      graft.ops.Quantiles.Q("m_med", col("monetary"), 0.5)),
+      materialize = false)
     // 2 = better half (recent / frequent / high-spend), tie → worse half
     val scored = anchored.crossJoin(broadcast(cuts))
       .select(col("o_custkey"),

@@ -39,9 +39,26 @@ object Readers {
       .csv(path)
       .select(Schemas.productsReadCols.map(col): _*)
 
-  /** A testdata Parquet table by name. */
+  /** A testdata Parquet table by name, memoized per (session, path).
+    *
+    * `spark.read.parquet` runs file listing + footer schema inference —
+    * including one small Spark job — EVERY call. A catalog table resolves
+    * that once; this cache gives the path-based testdata the same
+    * behavior, so constructing a query repeatedly (the 4-pass bench, a
+    * dashboard re-issuing plans) never re-lists or re-infers, and query
+    * construction stays job-free after first touch
+    * (LazyConstructionSpec). The returned DataFrame is an immutable
+    * logical plan — sharing it across queries is exactly what a catalog
+    * does; files appearing in the path after first read are not seen
+    * until a new session (same contract as a metastore table without
+    * REFRESH).
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    tableCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      kv => kv._1.read.parquet(kv._2))
 
   /** ORC source with an explicit schema (columnar like parquet — column
     * pruning and predicate pushdown work the same way; ORC files carry

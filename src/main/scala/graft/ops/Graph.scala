@@ -38,10 +38,10 @@ object Graph {
     // and every iteration's src-join) re-reads it, and without the
     // checkpoint the caller's edge-construction plan (often a join +
     // distinct) would re-execute per iteration
-    val e = edges.select("src", "dst").localCheckpoint()
+    val e = edges.select("src", "dst").localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // 1-row count, broadcast into every per-node expression
     val n = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val deg = e.groupBy(col("src").as("node"))
@@ -53,7 +53,7 @@ object Graph {
       .join(deg, Seq("node"), "left")
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"),
         coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -66,7 +66,7 @@ object Graph {
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
           coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks.select("node", "rank")
   }
@@ -85,11 +85,11 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val e = edges.select("src", "dst").localCheckpoint()
+    val e = edges.select("src", "dst").localCheckpoint(false)
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       labels = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -98,7 +98,7 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }
@@ -126,7 +126,10 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") < col("b"))
       .distinct()
-      .localCheckpoint()
+      // lazy checkpoint: deg, both orient joins, and the closing join all
+      // re-derive from the canonical edge set; MEASURED faster than bare
+      // ReuseExchange here (4 consumers at different join keys)
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -141,7 +144,8 @@ object Graph {
         when(cond, col("a")).otherwise(col("b")).as("u"),
         when(cond, col("b")).otherwise(col("a")).as("v"),
         when(cond, col("db")).otherwise(col("da")).as("vdeg"))
-      .localCheckpoint()
+      // same: o1/o2/closing join consume at three different keys
+      .localCheckpoint(false)
     val o1 = oriented.select(col("u"), col("v").as("v1"), col("vdeg").as("d1"))
     val o2 = oriented.select(col("u"), col("v").as("v2"), col("vdeg").as("d2"))
     val wedges = o1.join(o2, Seq("u"))

@@ -579,7 +579,8 @@ object BehaviorQueries {
         (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long") / 7L).cast("long").as("week_idx"))
       .distinct()
-      .localCheckpoint() // feeds first-week, prev-week probe, and counts
+      // no checkpoint: first-week, prev-week probe, and counts all reuse the
+      // distinct's exchange (ReuseExchange)
     val firstWeek = uw.groupBy("user_id").agg(min("week_idx").as("first_week"))
     val prev = uw.select(col("user_id"),
       (col("week_idx") + 1L).as("week_idx"), lit(true).as("was_active"))

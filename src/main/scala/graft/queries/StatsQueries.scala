@@ -293,7 +293,9 @@ object StatsQueries {
     val raw = Readers.table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("g"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // feeds singles AND both sides of the pair join
+      // no checkpoint: the distinct's exchange is reused by singles AND both
+      // pair-join sides (ReuseExchange on the canonicalized subtree) — a
+      // checkpoint was the same materialization minus AQE, plus a copy
     val nBaskets = raw.select("g").distinct()
       .agg(count(lit(1)).cast("double").as("n_baskets"))
     val singles = raw.groupBy(col("p")).agg(count(lit(1)).as("n_single"))
@@ -364,7 +366,8 @@ object StatsQueries {
     */
   def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
     val raw = Readers.events(spark, dir).select("user_id", "event_type")
-    val d = raw.distinct().localCheckpoint()
+    // distinct's exchange is shared by its consumers via ReuseExchange
+    val d = raw.distinct()
     val sketches = raw.groupBy("event_type")
       .agg(expr(s"hll_sketch_agg(user_id, $OverlapLgK)").as("sk"))
     val exact = d.groupBy("event_type").agg(count(lit(1)).as("n"))

@@ -442,7 +442,11 @@ object TextQueries {
     */
   def tfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
-    val nDocs = docs.count()
+    // corpus size rides in the plan as a broadcast 1-row frame — a
+    // driver-side docs.count() here would fire a full scan at query
+    // CONSTRUCTION (an extra pass per invocation at 100 TB) and break the
+    // lazy-DataFrame contract the rest of the repo keeps
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = Readers.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -452,8 +456,9 @@ object TextQueries {
     val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(df_, Seq("word"))
       .filter(col("doc_id") < 20)
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"), col("tf"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+        round(col("tf") * log(col("__n_docs") / col("df")), 6)
           .as("tfidf"))
       .orderBy("doc_id", "word")
   }
@@ -487,7 +492,8 @@ object TextQueries {
     val src = Readers.fanOut(docs)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds source totals, corpus counts, and the KL join
+      // no checkpoint: source totals, corpus counts, and the KL join reuse
+      // the aggregate's exchange (ReuseExchange)
     val srcTot = src.groupBy("source").agg(sum("c").as("t"))
     val corpus = src.groupBy("w").agg(sum("c").as("cw"))
     val corpusTot = src.agg(sum("c").cast("double").as("tot"))
@@ -547,15 +553,20 @@ object TextQueries {
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
       .filter(col("doc_id") < CosSlice).select("doc_id", "text")
-    val n = docs.count()
+    // slice size as a broadcast 1-row frame, not a driver count() —
+    // construction stays job-free (same pattern as `norms` below)
+    val n = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = Readers.fanOut(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = tf.join(dfq, Seq("token"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        (col("tf") * log(lit(n.toDouble) / col("df"))).as("w"))
-      .localCheckpoint() // reused: norms + both sides of the pair join
+        (col("tf") * log(col("__n_docs") / col("df"))).as("w"))
+    // no checkpoint on `w`: norms and both pair-join sides reuse its
+    // exchanges via ReuseExchange (canonicalized self-join subtrees match),
+    // so the weight table materializes once without losing AQE or laziness
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val dots = w.as("a")
       .join(w.as("b").hint("shuffle_hash"),
@@ -649,7 +660,9 @@ object TextQueries {
     */
   def keywordsTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
-    val nDocs = docs.count()
+    // corpus size as a broadcast 1-row frame (see [[tfIdf]]) — never a
+    // construction-time driver count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = Readers.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -658,8 +671,9 @@ object TextQueries {
       .partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("word"))
     tf.join(df_, Seq("word"))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("word"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+        round(col("tf") * log(col("__n_docs") / col("df")), 6)
           .as("tfidf"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= KeywordsK)

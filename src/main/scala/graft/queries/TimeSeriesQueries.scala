@@ -343,7 +343,8 @@ object TimeSeriesQueries {
     * many slopes per series.
     */
   def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
-    val d = dailyCounts(spark, dir).localCheckpoint()
+    // both self-join sides reuse dailyCounts' exchange (ReuseExchange)
+    val d = dailyCounts(spark, dir)
     d.as("a")
       .join(d.as("b"),
         col("a.event_type") === col("b.event_type") &&

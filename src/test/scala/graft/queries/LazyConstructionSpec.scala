@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Repo-wide lazy-construction contract: calling a `SparkEntry.queries`
+  * function BUILDS a plan — it must not run a Spark job. An eager action at
+  * construction (a driver `count()`, an eager `localCheckpoint`) is an
+  * extra full pass per invocation at 100 TB, fired before the caller even
+  * decides what to do with the frame. Round 7 flagged three such counts in
+  * the tf-idf family; this spec pins the fix and protects every other
+  * query from regressing the same way.
+  *
+  * Exceptions are enumerated, not discovered: ops whose CONSTRUCTION is an
+  * iterative driver loop with a convergence probe (pointer-jumping
+  * connected components short-circuits on `isEmpty`), and the
+  * reference-parity scorer whose ≤8-row collect mirrors the reference's
+  * in-driver dict (reference etl/orders_etl.py:112-115).
+  */
+class LazyConstructionSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Construction may legitimately run jobs for these keys (reason above). */
+  private val eagerByDesign = Set(
+    "dedup_clusters", // convergence-probed pointer jumping
+    "dedup_keep_best", // builds on dedup_clusters
+    "dedup_pipeline", // composes the cluster pass
+    "entity_resolve", // clustering stage is dedup_clusters
+    "similarity_scores", // reference-parity ≤8-row driver dict
+    "bucketed_join", // writes the bucketed tables it demonstrates
+    // Multi-pass intermediates pinned with localCheckpoint(eager=false):
+    // no DRIVER action fires, but AQE materializes the checkpoint's
+    // exchange stages when the RDD is resolved at construction. The
+    // alternative (no checkpoint) was measured slower for these shapes —
+    // iterative loops need lineage truncation, and the checkpointed
+    // frames feed 3+ consumers at different keys.
+    "pagerank", "lpa_communities", "graph_triangles",
+    "funnel_latency", "rfm_segments"
+  )
+
+  test("query construction runs zero Spark jobs (outside the eager allowlist)") {
+    val spark = TestSpark.spark
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // settle: let any event from previous suites drain before counting
+      def settled(): Int = {
+        var last = jobs.get(); var stableMs = 0
+        while (stableMs < 120) {
+          Thread.sleep(30)
+          val now = jobs.get()
+          if (now == last) stableMs += 30 else { last = now; stableMs = 0 }
+        }
+        last
+      }
+      // warm pass: first touch of each parquet path legitimately runs the
+      // listing/footer job Spark fires inside `spark.read.parquet`; the
+      // memoized Readers.table makes every LATER construction job-free,
+      // which is what the measured pass asserts
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, sfDir) catch { case _: Throwable => () }
+      }
+      settled()
+      val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          if (eagerByDesign(name)) { fn(spark, sfDir); settled(); None }
+          else {
+            val before = jobs.get()
+            fn(spark, sfDir) // construction only — no action
+            val after = settled()
+            if (after != before) Some(s"$name fired ${after - before} job(s)")
+            else None
+          }
+      }
+      assert(violations.isEmpty,
+        s"queries ran jobs at construction:\n  ${violations.mkString("\n  ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

@@ -5,14 +5,22 @@ import graft.ops.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing over a media table synthesized from `documents`
-  * (text bytes standing in for encoded payloads — the container has no
-  * codec libraries; see [[graft.ops.Multimodal.decodeStub]]).
+/** Multimodal plumbing over a media table synthesized from `documents`.
+  * The codec layer is REAL (see [[graft.ops.Multimodal]]): genuine PNG
+  * encode/decode (five filter types, zlib IDAT, CRC-checked chunks) and
+  * genuine RIFF/WAVE PCM synth/decode (LE int16 samples). What keeps a
+  * DuckDB oracle possible is provenance: pixel/sample values derive
+  * deterministically from document text, so every decoded statistic is
+  * predictable arithmetically from the same parquet the engine read.
   */
 object MultimodalQueries {
 
   private val FrameBytes = 32
   private val Stride = 2
+
+  /** Resize target grid (per-axis clamp, mirrored in the oracle). */
+  private val TargetW = 8
+  private val TargetH = 4
 
   private def media(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaTable(
@@ -43,17 +51,15 @@ object MultimodalQueries {
        |    AS n_frames
        |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Batched per-partition feature extraction over REAL PNG containers:
-    * the media table wraps each document in a genuine PNG (signature,
-    * IHDR, CRC-32s — [[graft.ops.Multimodal.encodePng]]) and the
-    * extractor parses it back byte-by-byte (signature check, chunk walk,
-    * CRC verification, big-endian IHDR dims) before computing content
-    * features. The oracle checks the round trip arithmetically: the
-    * parsed dims must equal the deterministic function of the content
-    * length that was stamped into IHDR, and digest/brightness are
-    * per-byte functions of the content (documents.text is pure ASCII in
-    * the testdata, so code points == payload bytes). Only the pixel
-    * decode itself is the labeled stub.
+  /** FULL image decode over real PNG containers: each document's bytes are
+    * laid out as a grayscale raster (rows of ≤64 px, zero-padded —
+    * [[graft.ops.Multimodal.imageDims]]), filtered through all five PNG
+    * filter types, zlib-compressed into multi-chunk IDAT, CRC-stamped;
+    * the extractor then CRC-checks, inflates, and unfilters every
+    * scanline and computes statistics over the DECODED pixels. The oracle
+    * reproduces the raster arithmetically: md5 over text + zero padding,
+    * mean pixel value over the padded rectangle. A single bit error in
+    * filter math, deflate framing, or chunk layout breaks the digest.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(spark,
@@ -62,30 +68,86 @@ object MultimodalQueries {
       .orderBy("media_id")
 
   val multimodalFeaturesSql: String =
-    """SELECT doc_id AS media_id,
-      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-      |  md5(text) AS digest,
-      |  CAST(greatest(1, octet_length(text::BLOB) % 1024) AS INTEGER) AS width,
-      |  CAST(greatest(1, octet_length(text::BLOB) // 1024 + 1) AS INTEGER)
-      |    AS height,
-      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE
-      |       ELSE floor(list_sum(list_transform(
-      |                regexp_extract_all(substr(text, 1, 256), '(?s).'),
-      |                c -> unicode(c)))::DOUBLE
-      |              / least(octet_length(text::BLOB), 256)::DOUBLE
-      |              / 255.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
-      |            / 1000000.0::DOUBLE
-      |  END AS brightness
-      |FROM documents ORDER BY media_id""".stripMargin
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(text::BLOB) AS INTEGER) AS n,
+      |    CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 1
+      |              ELSE least(octet_length(text::BLOB), 64) END AS INTEGER) AS w
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, text, n, w,
+      |    CAST(CASE WHEN n = 0 THEN 1 ELSE (n + w - 1) // w END AS INTEGER) AS h
+      |  FROM g
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(w * h AS BIGINT) AS n_bytes,
+      |  md5(text || repeat(chr(0), w * h - n)) AS digest,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  floor(COALESCE(list_sum(list_transform(
+      |            regexp_extract_all(text, '(?s).'), c -> unicode(c))),
+      |          0)::DOUBLE
+      |        / (w * h)::DOUBLE / 255.0::DOUBLE * 1000000.0::DOUBLE
+      |        + 0.5::DOUBLE) / 1000000.0::DOUBLE AS brightness
+      |FROM d ORDER BY media_id""".stripMargin
 
-  /** Audio twin of [[multimodalFeatures]] over REAL RIFF/WAVE containers
-    * ([[graft.ops.Multimodal.encodeWav]]/`parseWav` — little-endian chunk
-    * walk, PCM fmt fields, pad bytes, a junk LIST chunk the parser must
-    * skip, RIFF size check). The oracle reproduces the round trip
-    * arithmetically: the parsed rate/channels must equal the
-    * deterministic per-id fmt values that were stamped in; duration
-    * derives from the parsed byte rate; level/digest are per-byte
-    * functions of the content (ASCII corpus ⇒ code points == bytes).
+  /** Decode → nearest-neighbor resize → re-encode → decode again: the
+    * thumbnail path a multimodal training pipeline runs at scale. The
+    * resample grid is integer floor arithmetic
+    * ([[graft.ops.Multimodal.resizeMedia]]), so the oracle can name every
+    * source pixel (`(r·h)/h' · w + (c·w)/w'`) and recompute the digest and
+    * brightness of the resized raster from the original text.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark,
+        Multimodal.resizeMedia(
+          Multimodal.encodedMediaTable(
+            Readers.table(spark, dir, "documents"), "doc_id", "text", "source"),
+          TargetW, TargetH))
+      .orderBy("media_id")
+
+  val multimodalResizeSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text, CAST(octet_length(text::BLOB) AS INTEGER) AS n
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, text, n,
+       |    CASE WHEN n = 0 THEN 1 ELSE least(n, 64) END AS w,
+       |    CASE WHEN n = 0 THEN 1
+       |         ELSE (n + least(n, 64) - 1) // least(n, 64) END AS h
+       |  FROM g
+       |), e AS (
+       |  SELECT doc_id, text, n, w, h,
+       |    least(w, $TargetW) AS w2, least(h, $TargetH) AS h2
+       |  FROM d
+       |), q AS (
+       |  SELECT doc_id, w2, h2,
+       |    list_transform(
+       |      flatten(list_transform(range(0, h2), r ->
+       |        list_transform(range(0, w2), c ->
+       |          (r * h // h2) * w + (c * w // w2)))),
+       |      i -> CASE WHEN i < n THEN substr(text, CAST(i AS INTEGER) + 1, 1)
+       |                ELSE chr(0) END) AS chars
+       |  FROM e
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(w2 * h2 AS BIGINT) AS n_bytes,
+       |  md5(array_to_string(chars, '')) AS digest,
+       |  CAST(w2 AS INTEGER) AS width,
+       |  CAST(h2 AS INTEGER) AS height,
+       |  floor(list_sum(list_transform(chars, c -> unicode(c)))::DOUBLE
+       |        / (w2 * h2)::DOUBLE / 255.0::DOUBLE * 1000000.0::DOUBLE
+       |        + 0.5::DOUBLE) / 1000000.0::DOUBLE AS brightness
+       |FROM q ORDER BY media_id""".stripMargin
+
+  /** FULL audio decode over real RIFF/WAVE PCM: each document byte is
+    * synthesized into a centered int16 sample (`(b−128)·256`, replicated
+    * per channel, little-endian), and the extractor parses the container,
+    * reads every sample back, computes RMS/peak levels, and RECOVERS the
+    * original bytes by inverting the mapping — the digest is md5 of the
+    * recovered stream, so the oracle's plain `md5(text)` certifies the
+    * codec chain bit-for-bit. Rate/channels vary per id to exercise fmt
+    * parsing; duration derives from the parsed frame count and rate.
     */
   def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractAudioFeatures(
@@ -95,32 +157,43 @@ object MultimodalQueries {
 
   val multimodalAudioSql: String =
     """SELECT doc_id AS media_id,
-      |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(text::BLOB) * (1 + doc_id % 2) * 2 AS BIGINT)
+      |    AS n_bytes,
       |  md5(text) AS digest,
       |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
       |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
       |  floor(octet_length(text::BLOB)::DOUBLE * 1000.0::DOUBLE
-      |      / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)::DOUBLE
+      |      / (8000 * (1 + doc_id % 3))::DOUBLE
       |      * 1000.0::DOUBLE + 0.5::DOUBLE) / 1000.0::DOUBLE AS duration_ms,
-      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE
-      |       ELSE floor(list_sum(list_transform(
-      |                regexp_extract_all(text, '(?s).'),
-      |                c -> unicode(c)))::DOUBLE
-      |              / octet_length(text::BLOB)::DOUBLE
-      |              / 255.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
-      |            / 1000000.0::DOUBLE
-      |  END AS level
+      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE ELSE
+      |    floor(sqrt(list_sum(list_transform(
+      |              regexp_extract_all(text, '(?s).'),
+      |              c -> CAST((unicode(c) - 128) * 256 AS BIGINT)
+      |                 * CAST((unicode(c) - 128) * 256 AS BIGINT)))::DOUBLE
+      |          / octet_length(text::BLOB)::DOUBLE)
+      |      / 32768.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |    / 1000000.0::DOUBLE
+      |  END AS rms,
+      |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0.0::DOUBLE ELSE
+      |    floor(list_max(list_transform(
+      |            regexp_extract_all(text, '(?s).'),
+      |            c -> abs((unicode(c) - 128) * 256)))::DOUBLE
+      |        / 32768.0::DOUBLE * 1000000.0::DOUBLE + 0.5::DOUBLE)
+      |      / 1000000.0::DOUBLE
+      |  END AS peak
       |FROM documents ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_audio" -> multimodalAudio
   )
 
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_resize" -> multimodalResizeSql,
     "multimodal_audio" -> multimodalAudioSql
   )
 }

@@ -16,6 +16,10 @@ class MultimodalSpec extends AnyFunSuite {
     (4L, "", "srcB")
   ).toDF("doc_id", "text", "source")
 
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   test("mediaTable: binary payload + typed metadata struct") {
     val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
     assert(m.schema("media").dataType.typeName == "binary")
@@ -27,9 +31,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(2) == 19L && r.getInt(3) == 19)
   }
 
-  test("extractFeatures: batched mapPartitions, real PNG header parse") {
+  test("PNG encode/decode round-trips the raster through real filters + zlib") {
+    // 100 bytes → 64×2 raster: rows exercise filter types 0 (None) and
+    // 1 (Sub); the pad bytes in row 2 make Sub/Up reconstruction visible
+    val content = Array.tabulate(100)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.encodePng(content)
+    // real signature bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+    val (w, h, pixels) = Multimodal.decodePng(png)
+    assert((w, h) == Multimodal.imageDims(100))
+    assert(w == 64 && h == 2)
+    assert(pixels.length == w * h)
+    assert(pixels.take(100).sameElements(content))
+    assert(pixels.drop(100).forall(_ == 0))
+  }
+
+  test("PNG decode reconstructs all five filter types") {
+    // 64*6=384 bytes → 64×6 raster: rows use filters 0,1,2,3,4,0
+    val content = Array.tabulate(384)(i => ((i * i + 7 * i) % 256).toByte)
+    val (w, h) = Multimodal.imageDims(384)
+    assert(h == 6)
+    val (_, _, pixels) = Multimodal.decodePng(Multimodal.encodePng(content))
+    assert(pixels.sameElements(content))
+    // and the compressed stream is genuinely zlib: IDAT != raw content
+    val (_, _, idat) = Multimodal.parsePng(Multimodal.encodePng(content))
+    assert(!idat.sameElements(content))
+    assert((idat(0) & 0x0f) == 8) // zlib CMF: deflate window
+  }
+
+  test("PNG parse rejects corruption loudly (CRC)") {
+    val png = Multimodal.encodePng("the quick brown fox".getBytes("UTF-8"))
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x01).toByte // inside IDAT data
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(corrupt))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("chunk"))
+  }
+
+  test("extractFeatures: batched mapPartitions, stats over DECODED pixels") {
     val m = Multimodal.encodedMediaTable(docs, "doc_id", "text", "source")
-    // the payload really is a PNG container now, bigger than the content
+    // the payload really is a PNG container, bigger than a bare raster
     val payloadLen = m.filter($"media_id" === 1L)
       .select(octet_length($"media")).as[Int].collect()(0)
     assert(payloadLen > 19)
@@ -37,50 +77,45 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(f.size == 4)
     val r1 = f(1L)
-    assert(r1.getLong(1) == 19L)                   // content n_bytes
-    val (w, h, bright) = Multimodal.decodeStub(
-      "hello world payload".getBytes("UTF-8"))
-    // dims round-tripped through the big-endian IHDR bytes
-    assert(r1.getInt(3) == w && r1.getInt(4) == h)
-    assert(math.abs(r1.getDouble(5) - math.rint(bright * 1e6) / 1e6) < 1e-9)
-    // digest is over the decoded CONTENT, not the container
-    val md5Engine = docs.filter($"doc_id" === 1L)
-      .select(md5($"text".cast("binary"))).as[String].collect()(0)
-    assert(r1.getString(2) == md5Engine)
+    // 19 bytes → 19×1 raster, no padding
+    assert(r1.getLong(1) == 19L && r1.getInt(3) == 19 && r1.getInt(4) == 1)
+    val content = "hello world payload".getBytes("UTF-8")
+    assert(r1.getString(2) == md5hex(content))
+    val bright = content.map(_ & 0xff).sum.toDouble / 19 / 255.0
+    assert(r1.getDouble(5) == math.floor(bright * 1e6 + 0.5) / 1e6)
+    // doc3: 100 bytes → 64×2 with 28 zero-pad pixels in the digest + mean
+    val r3 = f(3L)
+    assert(r3.getLong(1) == 128L && r3.getInt(3) == 64 && r3.getInt(4) == 2)
+    assert(r3.getString(2) == md5hex(("a" * 100).getBytes ++ Array.fill[Byte](28)(0)))
+    // doc4: empty → 1×1 black pixel
+    val r4 = f(4L)
+    assert(r4.getLong(1) == 1L && r4.getString(2) == md5hex(Array[Byte](0)))
+    assert(r4.getDouble(5) == 0.0)
   }
 
-  test("encodePng/parsePng round-trip; corruption fails the CRC") {
-    val content = "the quick brown fox".getBytes("UTF-8")
-    val png = Multimodal.encodePng(content)
-    // real signature bytes
-    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
-    val (w, h, back) = Multimodal.parsePng(png)
-    val (ew, eh, _) = Multimodal.decodeStub(content)
-    assert(w == ew && h == eh)
-    assert(back.sameElements(content))
-    // flip one content byte → IDAT CRC must catch it
-    val corrupt = png.clone()
-    corrupt(40) = (corrupt(40) ^ 0x01).toByte
-    val e = intercept[IllegalArgumentException](Multimodal.parsePng(corrupt))
-    assert(e.getMessage.contains("CRC") || e.getMessage.contains("IHDR") ||
-      e.getMessage.contains("chunk"))
-  }
-
-  test("resizeMedia: payload shrunk to target, metadata updated, small pass through") {
-    val m = Multimodal.mediaTable(docs, "doc_id", "text", "source")
-    val out = Multimodal.resizeMedia(m, targetBytes = 10)
-      .select($"media_id", octet_length($"media").cast("int").as("n"),
-        $"meta.n_bytes".as("meta_n"))
-      .as[(Long, Int, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
-    // doc3 is 100 bytes → resized to ≤10, meta tracks the new size
-    assert(out(3L)._1 <= 10 && out(3L)._1 == out(3L)._2)
-    // doc2 (1 byte) passes through untouched
-    assert(out(2L) == (1, 1L))
-    // deterministic: same input → same bytes
-    val a = Multimodal.resizeMedia(m, 10).filter($"media_id" === 3L)
-      .select($"media".cast("string")).as[String].collect()(0)
-    val b = Multimodal.resizeMedia(m, 10).filter($"media_id" === 3L)
-      .select($"media".cast("string")).as[String].collect()(0)
+  test("resizeMedia: real nearest-neighbor resample, re-encoded as PNG") {
+    val m = Multimodal.encodedMediaTable(docs, "doc_id", "text", "source")
+    val out = Multimodal.extractFeatures(spark,
+        Multimodal.resizeMedia(m, targetW = 8, targetH = 4))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc3: 64×2 → 8×2; source pixel (r·2/2)·64 + (c·64/8) = all 'a' region
+    val r3 = out(3L)
+    assert(r3.getInt(3) == 8 && r3.getInt(4) == 2 && r3.getLong(1) == 16L)
+    val expected = Array.tabulate(16) { i =>
+      val (rr, cc) = (i / 8, i % 8)
+      val src = (rr * 2 / 2) * 64 + cc * 64 / 8
+      if (src < 100) 'a'.toByte else 0.toByte
+    }
+    assert(r3.getString(2) == md5hex(expected))
+    // doc2: 1×1 stays 1×1 and the pixel survives the double re-encode
+    val r2 = out(2L)
+    assert(r2.getInt(3) == 1 && r2.getInt(4) == 1)
+    assert(r2.getString(2) == md5hex(Array('x'.toByte)))
+    // deterministic: same input → same container bytes
+    val a = Multimodal.resizeMedia(m, 8, 4).filter($"media_id" === 3L)
+      .select(md5($"media")).as[String].collect()(0)
+    val b = Multimodal.resizeMedia(m, 8, 4).filter($"media_id" === 3L)
+      .select(md5($"media")).as[String].collect()(0)
     assert(a == b)
   }
 
@@ -106,12 +141,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames == Seq("hello wo", "oad"))
   }
 
-  test("WAV container round-trips: fmt fields, data bytes, junk chunk skipped") {
-    val content = "pcm-ish payload bytes".getBytes("UTF-8") // odd length: pad path
+  test("WAV synthesizes real int16 PCM; container round-trips") {
+    val content = "pcm-ish payload bytes".getBytes("UTF-8") // 21 bytes
     val wav = Multimodal.encodeWav(content, sampleRate = 16000, channels = 2)
     val (rate, ch, data) = Multimodal.parseWav(wav)
     assert(rate == 16000 && ch == 2)
-    assert(data.toSeq == content.toSeq)
+    // 21 frames × 2 channels × 2 bytes
+    assert(data.length == 84)
+    // first sample: ('p' − 128) · 256, little-endian, duplicated on ch 2
+    val s0 = ((data(1) << 8) | (data(0) & 0xff)).toShort.toInt
+    val s1 = ((data(3) << 8) | (data(2) & 0xff)).toShort.toInt
+    assert(s0 == ('p'.toInt - 128) * 256 && s1 == s0)
     // declared RIFF size matches the container extent (parse enforces it)
     assert(((wav(4) & 0xff) | ((wav(5) & 0xff) << 8) |
       ((wav(6) & 0xff) << 16) | ((wav(7) & 0xff) << 24)) == wav.length - 8)
@@ -128,7 +168,7 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.parseWav(badSize))
   }
 
-  test("extractAudioFeatures parses real containers batched per partition") {
+  test("extractAudioFeatures: real sample stats + bit-exact recovery") {
     val docs = Seq((1L, "hello world", "s1"), (2L, "x", "s2"))
       .toDF("doc_id", "text", "source")
     val out = Multimodal.extractAudioFeatures(
@@ -136,14 +176,25 @@ class MultimodalSpec extends AnyFunSuite {
         batchSize = 1)
       .orderBy("media_id")
       .collect()
-    // id 1: rate 8000*(1+1%3)=16000, channels 1+1%2=2, 11 bytes
+    // id 1: rate 8000*(1+1%3)=16000, channels 1+1%2=2, 11 frames → 44 bytes
     val r1 = out(0)
-    assert(r1.getLong(1) == 11L && r1.getInt(3) == 16000 && r1.getInt(4) == 2)
-    // duration = 11*1000/(16000*2*2) ms, rounded half-away at 1e-3
-    assert(r1.getDouble(5) == math.floor(11.0 * 1000 / 64000 * 1e3 + 0.5) / 1e3)
-    // id 2: rate 8000*3=24000, channels 1, level = 'x'/255
+    assert(r1.getLong(1) == 44L && r1.getInt(3) == 16000 && r1.getInt(4) == 2)
+    // digest certifies the decode→invert chain: md5 of the original text
+    assert(r1.getString(2) == md5hex("hello world".getBytes("UTF-8")))
+    // duration = frames/rate: 11·1000/16000 ms, half-away at 1e-3
+    assert(r1.getDouble(5) == math.floor(11.0 * 1000 / 16000 * 1e3 + 0.5) / 1e3)
+    // rms over the real samples (channel duplicates don't change the mean)
+    val sumSq = "hello world".getBytes.map(b => {
+      val s = ((b & 0xff) - 128) * 256L; s * s
+    }).sum * 2 // two channels
+    val rms = math.sqrt(sumSq.toDouble / 22) / 32768.0
+    assert(r1.getDouble(6) == math.floor(rms * 1e6 + 0.5) / 1e6)
+    // id 2: single 'x' sample: rms == peak == |('x'−128)·256|/32768
     val r2 = out(1)
     assert(r2.getInt(3) == 24000 && r2.getInt(4) == 1)
-    assert(r2.getDouble(6) == math.floor('x'.toInt / 255.0 * 1e6 + 0.5) / 1e6)
+    val amp = math.abs(('x'.toInt - 128) * 256) / 32768.0
+    assert(r2.getDouble(6) == math.floor(amp * 1e6 + 0.5) / 1e6)
+    assert(r2.getDouble(7) == math.floor(amp * 1e6 + 0.5) / 1e6)
+    assert(r2.getString(2) == md5hex("x".getBytes("UTF-8")))
   }
 }

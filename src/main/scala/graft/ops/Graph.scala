@@ -77,7 +77,9 @@ object Graph {
     * frequent label, ties to the smallest label — a deterministic
     * argmax expressed as ONE struct-max aggregate `max((count, −label))`
     * per node (never a per-node sort or window): two exchanges per
-    * iteration, the same shape as [[pageRank]]'s, with `localCheckpoint`
+    * iteration plus a co-partitioned label carry-over join (nodes with no
+    * in-edges keep their label — makes directed misuse well-defined
+    * instead of silently dropping them), with `localCheckpoint`
     * keeping the plan iteration-constant. Fixed iterations make the
     * result an exact engine-reproducible fixed-point prefix (sync LPA on
     * bipartite graphs can oscillate — bounded rounds are the contract,
@@ -91,13 +93,21 @@ object Graph {
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
-      labels = e
+      val adopted = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+        .select(col("node"), (-col("m.nl")).as("adopted"))
+      // left-join back over ALL nodes: on a directed input a node with no
+      // in-edges keeps its own label instead of silently vanishing (on a
+      // symmetrized graph every node has in-edges, so this is a no-op);
+      // both sides arrive hash-partitioned on node, so no new exchange
+      labels = labels
+        .join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("adopted"), col("label")).as("label"))
         .localCheckpoint(false)
     }
     labels

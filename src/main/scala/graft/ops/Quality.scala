@@ -165,7 +165,15 @@ object Quality {
   def mergeCdc(base: DataFrame, changes: DataFrame, key: String,
                versionOrder: Seq[Column], payload: Seq[String],
                opCol: String = "op"): DataFrame = {
-    val latest = changes
+    // a null op would slip through BOTH the =!= 'D' (upsert) and === 'D'
+    // (delete) filters below, silently keeping the stale base row while
+    // superseding every older update — fail the malformed feed loudly
+    // instead, like the rest of the quality ops
+    val validated = changes.withColumn(opCol,
+      when(col(opCol).isNull,
+        raise_error(lit(s"mergeCdc: null $opCol in change feed")))
+        .otherwise(col(opCol)))
+    val latest = validated
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col(key)).orderBy(versionOrder: _*)))
       .filter(col("__rn") === 1).drop("__rn")

@@ -576,6 +576,9 @@ object BehaviorQueries {
   def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
     val uw = Readers.events(spark, dir)
       .select(col("user_id"),
+        // double-divide + cast truncates toward zero, and DuckDB's `//`
+        // also truncates (checked: -7//2 = -3) — the engines agree even
+        // for pre-epoch days, so the bucketing is pinned to truncation
         (datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long") / 7L).cast("long").as("week_idx"))
       .distinct()

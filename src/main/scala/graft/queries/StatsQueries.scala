@@ -359,10 +359,11 @@ object StatsQueries {
     * maintained incrementally, and T² pair estimates never touch the
     * events table again. The exact distinct-pair self-join here is the
     * local yardstick (work ∝ Σ_user |types|², bounded by T²·|users|);
-    * the published contract is exact counts plus `ok` — the boolean that
-    * the sketch estimate landed inside its proven 3-rse envelope, which
-    * a correct sketch satisfies under any merge order, so both engines
-    * agree on every byte.
+    * the published contract is exact counts plus one boolean PER sketch
+    * estimate (`ok_a`/`ok_b`/`ok_union`) — each saying its estimate
+    * landed inside the proven 3-rse envelope, which a correct sketch
+    * satisfies under any merge order, so both engines agree on every
+    * byte; a regression fails on the column naming the bad estimate.
     */
   def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
     val raw = Readers.events(spark, dir).select("user_id", "event_type")
@@ -389,14 +390,17 @@ object StatsQueries {
         col("y.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     val rse3 = 3.0 * 1.04 / math.sqrt((1 << OverlapLgK).toDouble)
+    // one tolerance boolean PER estimate (not a single fused `ok`): a
+    // sketch regression fails the oracle on the column that names the
+    // offending estimate instead of an opaque hash mismatch
+    val nBoth = coalesce(col("n_both"), lit(0L))
+    val nUnion = col("n_a") + col("n_b") - nBoth
     pairs.join(inter, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_both"), lit(0L)).as("n_both"),
-        (abs(col("est_a") + col("est_b") - col("est_u") -
-          coalesce(col("n_both"), lit(0L))) <=
-          lit(rse3) * (col("n_a") + col("n_b") +
-            (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L)))))
-          .as("ok"))
+        nBoth.as("n_both"),
+        (abs(col("est_a") - col("n_a")) <= lit(rse3) * col("n_a")).as("ok_a"),
+        (abs(col("est_b") - col("n_b")) <= lit(rse3) * col("n_b")).as("ok_b"),
+        (abs(col("est_u") - nUnion) <= lit(rse3) * nUnion).as("ok_union"))
       .orderBy("type_a", "type_b")
   }
 
@@ -417,7 +421,8 @@ object StatsQueries {
       |  GROUP BY 1, 2
       |)
       |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
-      |  CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both, TRUE AS ok
+      |  CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+      |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union
       |FROM p LEFT JOIN i
       |  ON i.type_a = p.type_a AND i.type_b = p.type_b
       |ORDER BY p.type_a, p.type_b""".stripMargin
@@ -499,13 +504,17 @@ object StatsQueries {
       avg(col("pre")).as("mu"))
     users.crossJoin(broadcast(moments))
       .select((col("user_id") % 2L).cast("int").as("variant"), col("post"),
-        (col("post") - (col("cov") / col("varp")) * (col("pre") - col("mu")))
-          .as("adj"))
+        // zero pre-period variance (degenerate corpus) pins θ — and the
+        // whole adjusted column — to NULL on both engines, instead of
+        // Spark-NULL vs DuckDB-inf divergence
+        (col("post") - when(col("varp") > 0, col("cov") / col("varp")) *
+          (col("pre") - col("mu"))).as("adj"))
       .groupBy("variant")
       .agg(count(lit(1)).as("n_users"),
         round(avg(col("post")), 6).as("mean_post"),
         round(avg(col("adj")), 6).as("mean_adj"),
-        round(var_samp(col("adj")) / var_samp(col("post")), 6).as("var_ratio"))
+        round(when(var_samp(col("post")) > 0,
+          var_samp(col("adj")) / var_samp(col("post"))), 6).as("var_ratio"))
       .orderBy("variant")
   }
 
@@ -525,14 +534,14 @@ object StatsQueries {
       |             avg(pre) AS mu FROM u),
       |a AS (
       |  SELECT user_id % 2 AS variant, post,
-      |    post - (cov / varp) * (pre - mu) AS adj
+      |    post - (cov / nullif(varp, 0)) * (pre - mu) AS adj
       |  FROM u CROSS JOIN s
       |)
       |SELECT CAST(variant AS INTEGER) AS variant,
       |  CAST(count(*) AS BIGINT) AS n_users,
       |  round(avg(post), 6) AS mean_post,
       |  round(avg(adj), 6) AS mean_adj,
-      |  round(var_samp(adj) / var_samp(post), 6) AS var_ratio
+      |  round(var_samp(adj) / nullif(var_samp(post), 0), 6) AS var_ratio
       |FROM a GROUP BY variant ORDER BY variant""".stripMargin
 
   /** Pre-join skew diagnostic: per key column, the cardinality, the

@@ -317,8 +317,12 @@ object TimeSeriesQueries {
       .groupBy("event_type")
       .agg(count(col("f")).as("n_scored"),
         round(avg(abs(col("n") - col("f"))), 6).as("mae"),
-        round(avg(abs(col("n") - col("f"))) /
-          avg(abs(col("n") - col("p"))), 6).as("mase"))
+        // a constant series has naive-1 MAE 0; pin the degenerate case to
+        // NULL on both engines (Spark's non-ANSI 0-divisor NULL vs
+        // DuckDB's IEEE inf would otherwise diverge)
+        round(when(avg(abs(col("n") - col("p"))) > 0,
+          avg(abs(col("n") - col("f"))) /
+            avg(abs(col("n") - col("p")))), 6).as("mase"))
       .orderBy("event_type")
   }
 
@@ -332,7 +336,7 @@ object TimeSeriesQueries {
        |)
        |SELECT event_type, CAST(count(f) AS BIGINT) AS n_scored,
        |  round(avg(abs(n - f)), 6) AS mae,
-       |  round(avg(abs(n - f)) / avg(abs(n - p)), 6) AS mase
+       |  round(avg(abs(n - f)) / nullif(avg(abs(n - p)), 0), 6) AS mase
        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Theil–Sen robust trend per series: the median of all pairwise

@@ -77,4 +77,13 @@ class GraphSpec extends AnyFunSuite {
       .collect().toMap
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("labelPropagation: directed input keeps labels of no-in-edge nodes") {
+    // deliberately NOT symmetrized: node 1 has out-edges only
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, 2).as[(Long, Long)]
+      .collect().toMap
+    // 2 and 3 adopt 1's label; 1 keeps its own instead of vanishing
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

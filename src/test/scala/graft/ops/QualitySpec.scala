@@ -94,4 +94,18 @@ class QualitySpec extends AnyFunSuite {
       (2L, Some("b"), 222.0, "update"),
       (3L, Some("c"), 30.0, "keep")))
   }
+
+  test("mergeCdc: null op in the feed fails loudly, not a silent keep") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val changes = Seq((1L, Some(111.0), 1L, Option.empty[String]))
+      .toDF("k", "bal", "v", "op")
+    val e = intercept[Throwable] {
+      Quality.mergeCdc(base, changes, "k",
+        versionOrder = Seq(col("v").desc), payload = Seq("name", "bal"))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(e).contains("mergeCdc"))
+  }
 }

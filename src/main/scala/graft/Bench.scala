@@ -57,26 +57,55 @@ object Bench {
     }
 
     runAll("warmup") // warmup
-    // three timed passes, per-query MIN plus the max for spread: this host
+    calibrate() // the yardstick query needs its own codegen warm-up: a
+                // cold first cal reads ~3x hot and would falsely mark
+                // pass 1 contended, costing a full re-run pass
+    // timed passes, per-query MIN plus the max for spread: this host
     // shows multi-second CPU-contention bursts that land on random queries,
     // and C2 JIT keeps improving hot paths past the warmup pass — r2's
     // min-of-two recorded join_left at 2.7x its steady state purely from
-    // that. The min of three steady-state passes is the engine's actual
+    // that. The min of the steady-state passes is the engine's actual
     // throughput; the max makes contention attributable instead of
     // masquerading as a plan regression.
-    val cals = scala.collection.mutable.ListBuffer[Double]()
-    val passes = Seq("p1", "p2", "p3").map { p =>
-      cals += calibrate(); runAll(p)
+    //
+    // Calibration GATES which passes count (round-7 lesson: 3 of 4 passes
+    // ran at cal 2-9x healthy and folded a ~1.6x noise floor into every
+    // per-query min). A pass is clean iff the calibrations bracketing it
+    // both land at (or under) twice the healthy-host floor; contended
+    // passes are re-run (up to a fixed budget) and recorded per-pass in
+    // the detail doc, but never folded into the published min/max.
+    val CalClean = 0.2
+    val WantedClean = 3
+    val MaxPasses = 6
+    final case class Pass(times: Map[String, Double], failed: Seq[String],
+                          calBefore: Double, calAfter: Double) {
+      def clean: Boolean = calBefore <= CalClean && calAfter <= CalClean
     }
-    cals += calibrate() // bracket the last pass too
+    val cals = scala.collection.mutable.ListBuffer[Double]()
+    val passes = scala.collection.mutable.ListBuffer[Pass]()
+    var calPrev = calibrate()
+    cals += calPrev
+    while (passes.length < MaxPasses && passes.count(_.clean) < WantedClean) {
+      val (t, f) = runAll(s"p${passes.length + 1}")
+      val calAfter = calibrate() // brackets this pass AND opens the next
+      cals += calAfter
+      passes += Pass(t, f, calPrev, calAfter)
+      calPrev = calAfter
+    }
+    // publish only cal-clean passes; if the host never went quiet, fall
+    // back to all passes (labeled — cal/cal_max expose the contention)
+    val used = if (passes.exists(_.clean)) passes.filter(_.clean).toList
+               else passes.toList
+    System.err.println(
+      s"[bench] passes=${passes.length} clean=${passes.count(_.clean)} used=${used.length}")
     // min = the host's healthy speed; max = the worst burst the run saw.
     // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
     // mins are an upper bound on engine cost, not a measurement of it.
     val cal = cals.min
     val calMax = cals.max
-    val failed = passes.flatMap(_._2).distinct
+    val failed = passes.flatMap(_.failed).distinct
     val perQuery = suite.map { case (name, _) =>
-      val vs = passes.map(_._1(name))
+      val vs = used.map(_.times(name))
       name -> (if (vs.exists(_ < 0)) (-1.0, -1.0) else (vs.min, vs.max))
     }
     // The harness keeps only the LAST ~2000 chars of output and parses the
@@ -99,8 +128,11 @@ object Bench {
       if (failed.isEmpty) ""
       else ",\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
+    val passMeta = passes.map(p =>
+      s"""{"cal_before":${f3(p.calBefore)},"cal_after":${f3(p.calAfter)},"clean":${p.clean}}""")
+      .mkString("[", ",", "]")
     val detailDoc =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, (detailDoc + "\n").getBytes("UTF-8"))

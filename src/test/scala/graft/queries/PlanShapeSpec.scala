@@ -31,6 +31,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(executedPlan("sample_weighted").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed_join: no exchange anywhere below the bucket-aligned SMJ") {
+    // the whole point of the bucket layout: the orders⋈lineitem join and
+    // the per-order agg ride the load-time bucket shuffle. In the printed
+    // tree everything after the SortMergeJoin line IS its subtree (the
+    // rollup/sort above it print first), so the join subtree must be
+    // exchange-free; only the tiny 5-row priority rollup may exchange.
+    val plan = executedPlan("bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"bucket join lost its SMJ:\n$plan")
+    val below = plan.split("SortMergeJoin", 2)(1)
+    assert(!below.contains("Exchange"),
+      s"exchange below the bucket-aligned join:\n$plan")
+  }
+
   test("aggregation queries hash-aggregate (no SortAggregate fallback)") {
     for (q <- Seq("agg_pricing_summary", "drift_kl", "growth_accounting")) {
       val plan = executedPlan(q)

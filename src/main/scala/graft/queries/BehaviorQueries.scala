@@ -281,8 +281,14 @@ object BehaviorQueries {
     // once, the ~7 downstream passes read the compact materialization
     val ev = Readers.events(spark, dir).select(col("event_type"), col("value"))
       .localCheckpoint(false)
+    // the per-type scalar frames are ALSO lazily checkpointed: med is
+    // referenced by every one of the MAD chain's three internal passes
+    // (and bounded by the final count pass), and each broadcast reference
+    // would otherwise re-run the whole upstream exact-quantile chain —
+    // measured 3x the med cost at sf0.1 before these two lines
     val med = Quantiles.exact(ev, Seq(Quantiles.Q("med", col("value"), 0.5)),
       groupCols = Seq("event_type"), materialize = false)
+      .localCheckpoint(false)
     val mad = Quantiles.exact(
         ev.join(broadcast(med), Seq("event_type")),
         Seq(Quantiles.Q("mad", abs(col("value") - col("med")), 0.5)),
@@ -292,6 +298,7 @@ object BehaviorQueries {
     val bounded = mad.select(col("event_type"), col("med"), col("mad"),
       (col("med") - k * col("mad")).as("lo"),
       (col("med") + k * col("mad")).as("hi"))
+      .localCheckpoint(false)
     ev.join(broadcast(bounded), Seq("event_type"))
       .groupBy("event_type")
       .agg(round(first(col("med")), 6).as("med"),

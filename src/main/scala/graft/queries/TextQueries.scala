@@ -414,6 +414,126 @@ object TextQueries {
        |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing parameters: k-gram size 24, window 8 → any shared
+    * substring of ≥ 31 characters is GUARANTEED to share a fingerprint
+    * (Schleimer/Wilkerson/Aiken, SIGMOD'03), and the expected fingerprint
+    * density is 2/(w+1) ≈ 0.22 of the gram count. k is deliberately large
+    * for this corpus: template boilerplate makes shorter shared substrings
+    * ubiquitous (at k=8 virtually every doc pair collides), exactly the
+    * boilerplate problem production substring-dedup tunes k against.
+    */
+  val WinnowK = 24
+  val WinnowW = 8
+  val WinnowMinJaccard = 0.2
+
+  private def winnowed(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WinnowFunctions
+          .winnowFingerprints(col("text"), WinnowK, WinnowW).as("fps"),
+        greatest(length(col("text")) - lit(WinnowK - 1), lit(0))
+          .cast("long").as("n_grams"))
+
+  /** Per-document winnowed fingerprint summary — the map-only profile of
+    * the [[graft.functions.WinnowFingerprints]] native expression (O(n)
+    * Rabin–Karp roll + O(m) monotonic-deque sliding min, codegen'd; a HOF
+    * formulation would be O(m·w) interpreted). The DuckDB oracle
+    * recomputes every window min from per-gram polynomial folds, so a
+    * single hash or window-boundary error anywhere fails the compare.
+    */
+  def winnowFingerprintsQ(spark: SparkSession, dir: String): DataFrame =
+    winnowed(spark, dir).select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"),
+        when(size(col("fps")) > 0, element_at(col("fps"), -1)).as("fp_max"),
+        round(when(col("n_grams") > 0,
+          size(col("fps")).cast("double") / col("n_grams")), 6).as("density"))
+      .orderBy("doc_id")
+
+  /** The winnow CTE shared by both oracles: fingerprints = sorted distinct
+    * window minimums over per-gram polynomial-fold hashes.
+    */
+  private val winnowOracleCte: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text, greatest(length(text) - $WinnowK + 1, 0) AS m
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, m,
+       |    list_sort(list_distinct(
+       |      list_transform(range(0,
+       |          CASE WHEN m >= 1 THEN greatest(m - $WinnowW + 1, 1)
+       |               ELSE 0 END), j ->
+       |        list_min(list_transform(range(j, least(j + $WinnowW, m)), i ->
+       |          list_reduce(list_prepend(0::BIGINT,
+       |            list_transform(
+       |              regexp_extract_all(
+       |                substr(text, CAST(i AS INTEGER) + 1, $WinnowK),
+       |                '(?s).'),
+       |              c -> unicode(c)::BIGINT)),
+       |            (a, c) -> (a * ${graft.functions.RollingHashImpl.Base}
+       |                       + c) % ${graft.functions.RollingHashImpl.Mod}))))))
+       |      AS fps
+       |  FROM g
+       |)""".stripMargin
+
+  val winnowFingerprintsSql: String =
+    s"""$winnowOracleCte
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fps,
+       |  fps[1] AS fp_min, fps[-1] AS fp_max,
+       |  round(CASE WHEN m > 0 THEN len(fps)::DOUBLE / m END, 6) AS density
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Substring-level near-duplicate pairs via the winnowed fingerprint
+    * posting list: explode fingerprints, hash-equi self-join on the
+    * fingerprint value, count shared fingerprints per pair, keep pairs
+    * whose fingerprint-set Jaccard clears [[WinnowMinJaccard]]. Work is
+    * ∝ Σ_fp df² like every posting self-join ([[tfidfCosinePairs]]) —
+    * never all-pairs; a production run on boilerplate-heavy corpora
+    * additionally drops fingerprints above a document-frequency cap, the
+    * same stopword move, which k=24 already makes unnecessary here. The
+    * Jaccard filter runs on the UNROUNDED ratio on both engines, so the
+    * kept set is bit-identical.
+    */
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val f = winnowed(spark, dir)
+    val posting = f.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sizes = f.select(col("doc_id"), size(col("fps")).cast("long").as("n"))
+    val pairs = posting.as("a")
+      .join(posting.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast("double") /
+      (col("n_a") + col("n_b") - col("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(jac >= WinnowMinJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"), round(jac, 6).as("jaccard_fps"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupWinnowingSql: String =
+    s"""$winnowOracleCte,
+       |p AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |sz AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n FROM f),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard_fps
+       |FROM pr
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared)
+       |      >= $WinnowMinJaccard::DOUBLE
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Vocabulary build: corpus word counts with frequency-ranked ids — the
     * tokenizer-prep step of a training pipeline. One explode + one
     * aggregate + one ranked id assignment.
@@ -718,7 +838,9 @@ object TextQueries {
     "dedup_simhash" -> dedupSimhash,
     "simhash_buckets" -> simhashBuckets,
     "text_stats" -> textStatsQ,
-    "fingerprint_rolling" -> fingerprintRolling
+    "fingerprint_rolling" -> fingerprintRolling,
+    "winnow_fingerprints" -> winnowFingerprintsQ,
+    "dedup_winnowing" -> dedupWinnowing
   )
 
   val oracle: Map[String, String] = Map(
@@ -738,6 +860,8 @@ object TextQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "simhash_buckets" -> simhashBucketsSql,
     "text_stats" -> textStatsSql,
-    "fingerprint_rolling" -> fingerprintRollingSql
+    "fingerprint_rolling" -> fingerprintRollingSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+    "dedup_winnowing" -> dedupWinnowingSql
   )
 }

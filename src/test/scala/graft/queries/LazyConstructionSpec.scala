@@ -39,7 +39,8 @@ class LazyConstructionSpec extends AnyFunSuite {
     // iterative loops need lineage truncation, and the checkpointed
     // frames feed 3+ consumers at different keys.
     "pagerank", "lpa_communities", "graph_triangles",
-    "funnel_latency", "rfm_segments"
+    "funnel_latency", "rfm_segments",
+    "outlier_mad" // r8: med/bounds scalar frames checkpointed (3.1s→1.85s)
   )
 
   test("query construction runs zero Spark jobs (outside the eager allowlist)") {

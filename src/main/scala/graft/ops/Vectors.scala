@@ -344,4 +344,76 @@ object Vectors {
       .filter(col("_rn") <= nprobe)
       .select(keep :+ col(centroidId): _*)
   }
+
+  /** Nearest centroid per vector for DOUBLE-array centroids (the Lloyd
+    * path — [[dot]]'s native expression is float-only, so this uses the
+    * reference [[dotHof]] fold, which matches DuckDB's `list_dot_product`
+    * term order exactly). Cosines are rounded to 6 decimals BEFORE the
+    * argmax with centroid-id tiebreak, so the assignment is deterministic
+    * and engine-reproducible even when two centroids score within ULPs.
+    * Output: input columns + `centroid_id` + `_cos` (the rounded score).
+    */
+  def nearestCentroid(vectors: DataFrame, idCol: String,
+                      centroids: DataFrame,
+                      vecCol: String = "embedding",
+                      centroidId: String = "centroid_id",
+                      centroidVec: String = "c_emb"): DataFrame = {
+    val keep = vectors.columns.toIndexedSeq.map(col)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_cos").desc, col(centroidId))
+    vectors.withColumn("_vn", sqrt(dotHof(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(centroids
+        .withColumn("_cn", sqrt(dotHof(col(centroidVec), col(centroidVec))))))
+      .withColumn("_cos",
+        round(safeDiv(dotHof(col(vecCol), col(centroidVec)),
+          col("_vn") * col("_cn")), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(keep ++ Seq(col(centroidId), col("_cos")): _*)
+  }
+
+  /** Fixed-iteration Lloyd k-means refinement from caller-supplied initial
+    * centroids (`init`: centroid_id, c_emb as array<double>). Each round:
+    * rounded-cosine assignment ([[nearestCentroid]]), then the new
+    * centroid is the per-dimension mean of its members, rounded to 9
+    * decimals — the rounding pins the engine-order-dependent double sum
+    * far above ULP noise, so the DuckDB oracle reproduces every centroid
+    * (and therefore every subsequent assignment) bit-for-bit. A centroid
+    * that loses all members keeps its previous position.
+    *
+    * Scale shape: assignment is a broadcast of K centroids (map-only per
+    * member); the mean is one hash-aggregate keyed by (centroid, dim) —
+    * K·dim groups, bounded buffers — then a K-row rebuild whose
+    * `collect_list` holds at most `dim` elements. Iterations are a fixed
+    * plan-time constant (no convergence probe → construction stays
+    * job-free); production k-means at 100 TB runs the same loop with a
+    * sampled init and more rounds.
+    */
+  def kmeansLloyd(vectors: DataFrame, idCol: String, init: DataFrame,
+                  iterations: Int,
+                  vecCol: String = "embedding",
+                  centroidId: String = "centroid_id",
+                  centroidVec: String = "c_emb"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    var cents = init
+    for (_ <- 1 to iterations) {
+      val assigned = nearestCentroid(
+        vectors.select(col(idCol), col(vecCol)), idCol, cents,
+        vecCol, centroidId, centroidVec)
+      val means = assigned
+        .select(col(centroidId),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_v")))
+        .groupBy(col(centroidId), col("_pos"))
+        .agg(round(avg(col("_v")), 9).as("_m"))
+        .groupBy(col(centroidId))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          x => x.getField("_m")).as("_new"))
+      cents = cents.select(col(centroidId), col(centroidVec).as("_prev"))
+        .join(means, Seq(centroidId), "left")
+        .select(col(centroidId),
+          coalesce(col("_new"), col("_prev")).as(centroidVec))
+    }
+    cents
+  }
 }

@@ -444,6 +444,81 @@ object VectorQueries {
       |            (v - (lo + code / 255.0 * (hi - lo)))), 10) AS sse
       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Lloyd refinement rounds for [[kmeansRefine]] (fixed plan-time
+    * constant — construction stays job-free; see
+    * [[graft.ops.Vectors.kmeansLloyd]]).
+    */
+  val KmeansIters = 2
+
+  /** K-means over the embedding corpus: deterministic init (the first
+    * [[NumCentroids]] vectors — the same seed IVF uses), [[KmeansIters]]
+    * Lloyd rounds of rounded-cosine assignment + per-dimension mean
+    * (means rounded at 1e-9 so the engine-order-dependent double sums
+    * agree), then per-cluster membership stats against the refined
+    * centroids. The DuckDB oracle replays every round — assignments,
+    * means, and the final stats must ALL agree for the hashes to match.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val init = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val cents = Vectors.kmeansLloyd(emb, "vec_id", init, KmeansIters)
+    Vectors.nearestCentroid(emb, "vec_id", cents)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("_cos")), 6).as("mean_cos"),
+        round(min(col("_cos")), 6).as("min_cos"))
+      .orderBy("centroid_id")
+  }
+
+  val kmeansRefineSql: String = {
+    // cosine of data vector v against refined centroid list c.c_emb
+    def cosVC: String =
+      """list_dot_product(v.embedding::DOUBLE[], c.c_emb) /
+        |      (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.c_emb, c.c_emb)))""".stripMargin
+    val rounds = (1 to KmeansIters).map { i =>
+      s""",
+         |a$i AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round($cosVC, 6) DESC, c.centroid_id) AS rn
+         |    FROM embeddings v, c${i - 1} c)
+         |  WHERE rn = 1
+         |),
+         |m$i AS (
+         |  SELECT centroid_id, pos, round(avg(val), 9) AS m FROM (
+         |    SELECT a.centroid_id, unnest(v.embedding::DOUBLE[]) AS val,
+         |      unnest(range(1, len(v.embedding) + 1)) AS pos
+         |    FROM a$i a JOIN embeddings v USING (vec_id))
+         |  GROUP BY 1, 2
+         |),
+         |c$i AS (
+         |  SELECT c.centroid_id, coalesce(l.c_emb, c.c_emb) AS c_emb
+         |  FROM c${i - 1} c LEFT JOIN (
+         |    SELECT centroid_id, list(m ORDER BY pos) AS c_emb
+         |    FROM m$i GROUP BY 1) l USING (centroid_id)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_emb
+       |  FROM embeddings WHERE vec_id < $NumCentroids
+       |)$rounds,
+       |fin AS (
+       |  SELECT vec_id, centroid_id, cos FROM (
+       |    SELECT v.vec_id, c.centroid_id, round($cosVC, 6) AS cos,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round($cosVC, 6) DESC, c.centroid_id) AS rn
+       |    FROM embeddings v, c$KmeansIters c)
+       |  WHERE rn = 1
+       |)
+       |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos
+       |FROM fin GROUP BY 1 ORDER BY centroid_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_codes" -> sqCodes,
     "centroid_similarity" -> centroidSimilarity,
@@ -455,7 +530,8 @@ object VectorQueries {
     "embedding_neardup_lsh" -> embeddingNeardupLsh,
     "ann_recall" -> annRecall,
     "pq_codes" -> pqCodes,
-    "embedding_neardup" -> embeddingNeardup
+    "embedding_neardup" -> embeddingNeardup,
+    "kmeans_refine" -> kmeansRefine
   )
 
   val oracle: Map[String, String] = Map(
@@ -469,6 +545,7 @@ object VectorQueries {
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,
     "ann_recall" -> annRecallSql,
     "pq_codes" -> pqCodesSql,
-    "embedding_neardup" -> embeddingNeardupSql
+    "embedding_neardup" -> embeddingNeardupSql,
+    "kmeans_refine" -> kmeansRefineSql
   )
 }

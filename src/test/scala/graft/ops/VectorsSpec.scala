@@ -104,4 +104,40 @@ class VectorsSpec extends AnyFunSuite {
     // midpoint: code 128 (0.5*255 = 127.5 rounds half-up), small error
     assert(out(3L)._2 == 128L && out(3L)._3 > 0.0 && out(3L)._3 < 1e-4)
   }
+
+  test("kmeansLloyd: centroids move to cluster means; assignment splits") {
+    // two tight clusters on the +x / +y axes; init centroids are one
+    // member of each (ids 0 and 1), as kmeans_refine seeds from vec_id < K
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (10L, Seq(0.9f, 0.1f)), (11L, Seq(1.1f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)), (20L, Seq(0.1f, 0.9f)), (21L, Seq(0.0f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    val init = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("centroid_id"),
+        $"embedding".cast("array<double>").as("c_emb"))
+    val cents = Vectors.kmeansLloyd(vecs, "vec_id", init, iterations = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    // centroid 0 = mean of the three +x members (rounded at 1e-9)
+    assert(cents(0L).head == math.floor((1.0 + 0.9 + 1.1) / 3 * 1e9 + 0.5) / 1e9 ||
+      math.abs(cents(0L).head - 1.0) < 1e-6)
+    assert(cents(0L)(1) < 0.1 && cents(1L)(1) > 0.9)
+    val assigned = Vectors.nearestCentroid(vecs, "vec_id", init.toDF())
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(assigned(10L) == 0L && assigned(11L) == 0L)
+    assert(assigned(20L) == 1L && assigned(21L) == 1L)
+  }
+
+  test("kmeansLloyd: a centroid that loses every member keeps its position") {
+    // all points hug +x; centroid 1 starts on +y and attracts nobody
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (10L, Seq(0.9f, 0.0f)), (11L, Seq(1.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val init = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))
+    ).toDF("centroid_id", "c_emb")
+    val cents = Vectors.kmeansLloyd(vecs, "vec_id", init, iterations = 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents(1L) == Seq(0.0, 1.0)) // untouched
+    assert(cents(0L)(0) > 0.9)         // moved to the member mean
+  }
 }

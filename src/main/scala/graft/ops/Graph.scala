@@ -77,10 +77,12 @@ object Graph {
     * frequent label, ties to the smallest label — a deterministic
     * argmax expressed as ONE struct-max aggregate `max((count, −label))`
     * per node (never a per-node sort or window): two exchanges per
-    * iteration plus a co-partitioned label carry-over join (nodes with no
-    * in-edges keep their label — makes directed misuse well-defined
-    * instead of silently dropping them), with `localCheckpoint`
-    * keeping the plan iteration-constant. Fixed iterations make the
+    * iteration, with each node's own label unioned in as a ZERO-weight
+    * vote (a node with no in-edges keeps its label — directed misuse is
+    * well-defined instead of silently dropping rows; real votes always
+    * outweigh it, so symmetrized results are untouched) and
+    * `localCheckpoint` keeping the plan iteration-constant. Fixed
+    * iterations make the
     * result an exact engine-reproducible fixed-point prefix (sync LPA on
     * bipartite graphs can oscillate — bounded rounds are the contract,
     * not convergence).
@@ -93,21 +95,21 @@ object Graph {
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
-      val adopted = e
+      // each node's own label rides along as a ZERO-weight vote: a real
+      // vote (weight 1) always beats it, so semantics on a symmetrized
+      // graph are untouched — but a node with no in-edges (directed
+      // misuse) keeps its own label instead of silently vanishing. The
+      // union folds into the same keyed aggregate: no extra join, no
+      // third exchange per iteration.
+      labels = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
+        .select(col("dst").as("node"), col("label"), lit(1L).as("w"))
+        .unionByName(labels.select(col("node"), col("label"),
+          lit(0L).as("w")))
+        .groupBy("node", "label").agg(sum(col("w")).as("c"))
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("adopted"))
-      // left-join back over ALL nodes: on a directed input a node with no
-      // in-edges keeps its own label instead of silently vanishing (on a
-      // symmetrized graph every node has in-edges, so this is a no-op);
-      // both sides arrive hash-partitioned on node, so no new exchange
-      labels = labels
-        .join(adopted, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("adopted"), col("label")).as("label"))
+        .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(false)
     }
     labels

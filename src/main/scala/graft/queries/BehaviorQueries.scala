@@ -264,6 +264,71 @@ object BehaviorQueries {
       |FROM e CROSS JOIN mx WHERE report_day <= mx
       |GROUP BY report_day ORDER BY report_day""".stripMargin
 
+  /** HLL sketch precision for [[rollingActiveSketch]] (rse = 1.04/√2^lgK). */
+  val RollLgK = 12
+
+  /** Sketch-based rolling 7-day active users — the 100 TB twin of
+    * [[rollingActiveUsers]]. The exact query duplicates every (user, day)
+    * row up to 7× before a `count_distinct` whose per-day state is
+    * user-count-sized; this path builds ONE HLL sketch per day (map-side
+    * combined, fixed 2^lgK-byte state) and merges 7 sketches per report
+    * day — at scale the daily sketches are a few KB each and the rolling
+    * union touches no raw data. Published contract (the
+    * [[segmentOverlap]] pattern): the exact count plus a boolean that the
+    * estimate landed inside the proven 3·rse envelope — the estimate
+    * itself is engine-specific (DataSketches HLL), so the oracle checks
+    * the envelope, not the value; the exact yardstick column doubles as
+    * the local verification and would be dropped in production.
+    */
+  def rollingActiveSketch(spark: SparkSession, dir: String): DataFrame = {
+    val days = Readers.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    val perDay = days.groupBy("day")
+      .agg(expr(s"hll_sketch_agg(user_id, $RollLgK)").as("sk"))
+    val bounds = perDay.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("report_day"))
+    // range join on the (tiny, day-level) sketch table: each report day
+    // merges its trailing week's sketches; days whose window saw no
+    // activity drop out — the same set the exact query emits
+    val est = spine.join(broadcast(perDay),
+        col("day").between(col("report_day") - 6, col("report_day")))
+      .groupBy("report_day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = days.distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") <= col("hi"))
+      .groupBy("report_day")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+    val rse3 = 3.0 * 1.04 / math.sqrt((1 << RollLgK).toDouble)
+    est.join(exact, Seq("report_day"))
+      .select(col("report_day"), col("active_users"),
+        (abs(col("est") - col("active_users")) <=
+          lit(rse3) * col("active_users")).as("ok"))
+      .orderBy("report_day")
+  }
+
+  val rollingActiveSketchSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+      |  FROM events
+      |),
+      |mx AS (SELECT max(day) AS mx FROM ud),
+      |e AS (
+      |  SELECT user_id, unnest(generate_series(day, day + 6)) AS report_day
+      |  FROM ud
+      |)
+      |SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT)
+      |  AS active_users, TRUE AS ok
+      |FROM e CROSS JOIN mx WHERE report_day <= mx
+      |GROUP BY report_day ORDER BY report_day""".stripMargin
+
   /** Robust (MAD) outlier bounds per event type: median and the median
     * absolute deviation — the location/scale pair that one wild value
     * can't drag, unlike mean/stddev ([[outlierZscore]]'s pair). Two exact
@@ -665,6 +730,7 @@ object BehaviorQueries {
     "scd2_build" -> scd2Build,
     "scd2_lookup" -> scd2Lookup,
     "rolling_active_users" -> rollingActiveUsers,
+    "rolling_active_sketch" -> rollingActiveSketch,
     "outlier_mad" -> outlierMad,
     "funnel_latency" -> funnelLatency,
     "markov_transitions" -> markovTransitions)
@@ -682,6 +748,7 @@ object BehaviorQueries {
     "scd2_build" -> scd2BuildSql,
     "scd2_lookup" -> scd2LookupSql,
     "rolling_active_users" -> rollingActiveUsersSql,
+    "rolling_active_sketch" -> rollingActiveSketchSql,
     "outlier_mad" -> outlierMadSql,
     "funnel_latency" -> funnelLatencySql,
     "markov_transitions" -> markovTransitionsSql)

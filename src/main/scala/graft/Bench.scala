@@ -70,34 +70,42 @@ object Bench {
     //
     // Calibration GATES which passes count (round-7 lesson: 3 of 4 passes
     // ran at cal 2-9x healthy and folded a ~1.6x noise floor into every
-    // per-query min). A pass is clean iff the calibrations bracketing it
-    // both land at (or under) twice the healthy-host floor; contended
-    // passes are re-run (up to a fixed budget) and recorded per-pass in
-    // the detail doc, but never folded into the published min/max.
-    val CalClean = 0.2
+    // per-query min). The threshold is RELATIVE to the run's own observed
+    // floor — a pass is clean iff both bracketing calibrations land within
+    // 1.5x of the best calibration seen so far (never below a 0.2s grace):
+    // an absolute cutoff misfires on a host whose steady floor drifts
+    // (first r8 run: six steady passes at cal 0.213-0.232 all flunked a
+    // fixed 0.2 bar and the gate degenerated to the use-everything
+    // fallback). Contended passes are re-run (up to a fixed budget) and
+    // recorded per-pass in the detail doc, but never folded into the
+    // published min/max.
     val WantedClean = 3
     val MaxPasses = 6
+    def calThreshold(calMin: Double): Double = math.max(0.2, 1.5 * calMin)
     final case class Pass(times: Map[String, Double], failed: Seq[String],
                           calBefore: Double, calAfter: Double) {
-      def clean: Boolean = calBefore <= CalClean && calAfter <= CalClean
+      def cleanAt(thr: Double): Boolean = calBefore <= thr && calAfter <= thr
     }
     val cals = scala.collection.mutable.ListBuffer[Double]()
     val passes = scala.collection.mutable.ListBuffer[Pass]()
     var calPrev = calibrate()
     cals += calPrev
-    while (passes.length < MaxPasses && passes.count(_.clean) < WantedClean) {
+    while (passes.length < MaxPasses &&
+        passes.count(_.cleanAt(calThreshold(cals.min))) < WantedClean) {
       val (t, f) = runAll(s"p${passes.length + 1}")
       val calAfter = calibrate() // brackets this pass AND opens the next
       cals += calAfter
       passes += Pass(t, f, calPrev, calAfter)
       calPrev = calAfter
     }
-    // publish only cal-clean passes; if the host never went quiet, fall
-    // back to all passes (labeled — cal/cal_max expose the contention)
-    val used = if (passes.exists(_.clean)) passes.filter(_.clean).toList
+    // publish only cal-clean passes (judged against the final floor); if
+    // the host never went quiet, fall back to all passes (labeled —
+    // cal/cal_max expose the contention)
+    val thr = calThreshold(cals.min)
+    val used = if (passes.exists(_.cleanAt(thr))) passes.filter(_.cleanAt(thr)).toList
                else passes.toList
     System.err.println(
-      s"[bench] passes=${passes.length} clean=${passes.count(_.clean)} used=${used.length}")
+      s"[bench] passes=${passes.length} thr=$thr clean=${passes.count(_.cleanAt(thr))} used=${used.length}")
     // min = the host's healthy speed; max = the worst burst the run saw.
     // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
     // mins are an upper bound on engine cost, not a measurement of it.
@@ -129,7 +137,7 @@ object Bench {
       else ",\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     val passMeta = passes.map(p =>
-      s"""{"cal_before":${f3(p.calBefore)},"cal_after":${f3(p.calAfter)},"clean":${p.clean}}""")
+      s"""{"cal_before":${f3(p.calBefore)},"cal_after":${f3(p.calAfter)},"clean":${p.cleanAt(thr)}}""")
       .mkString("[", ",", "]")
     val detailDoc =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""

@@ -534,6 +534,85 @@ object TextQueries {
        |      >= $WinnowMinJaccard::DOUBLE
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Content-defined chunking parameters: 16-char window, boundary when
+    * the window hash ≡ 0 mod 2^5 → expected 32-char chunks (~9 per doc).
+    */
+  val CdcK = 16
+  val CdcBits = 5
+
+  /** Content-defined chunk dedup profile — the storage-dedup primitive
+    * ([[graft.functions.CdcChunks]]: Rabin-style boundaries, so an edit
+    * shifts offsets but re-aligns the chunk sequence within one chunk).
+    * Per document: chunk count, size extremes, and how many of its
+    * distinct chunks also appear in ANOTHER document — the number that
+    * prices content-addressed storage for a 100 TB corpus. Map-only
+    * chunking, one hash-aggregate for cross-doc frequencies keyed by the
+    * chunk digest (never the chunk text), one per-doc rollup.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunksFunctions
+          .cdcChunks(col("text"), CdcK, CdcBits)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    val docChunks = ch.select("doc_id", "h").distinct()
+    val freq = docChunks.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    ch.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+      .join(
+        docChunks.join(freq, Seq("h"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val cdcChunkDedupSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    list_filter(range($CdcK, length(text)), i ->
+       |      (list_reduce(list_prepend(0::BIGINT, list_transform(
+       |          regexp_extract_all(
+       |            substr(text, CAST(i AS INTEGER) - $CdcK + 1, $CdcK),
+       |            '(?s).'),
+       |          c -> unicode(c)::BIGINT)),
+       |        (a, c) -> (a * ${graft.functions.RollingHashImpl.Base}
+       |                   + c) % ${graft.functions.RollingHashImpl.Mod})
+       |       % ${1 << CdcBits}) = 0) AS bounds
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, text, n,
+       |    list_append(list_prepend(0::BIGINT, bounds), n::BIGINT) AS edges
+       |  FROM b
+       |), c AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, len(edges) - 1), j ->
+       |      substr(text,
+       |        CAST(edges[CAST(j AS INTEGER) + 1] AS INTEGER) + 1,
+       |        CAST(edges[CAST(j AS INTEGER) + 2]
+       |             - edges[CAST(j AS INTEGER) + 1] AS INTEGER)))) AS chunk
+       |  FROM e WHERE n > 0
+       |), ch AS (
+       |  SELECT doc_id, md5(chunk) AS h, length(chunk) AS len FROM c
+       |), dc AS (SELECT DISTINCT doc_id, h FROM ch),
+       |fr AS (SELECT h, count(*) AS ndocs FROM dc GROUP BY h),
+       |base AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(min(len) AS BIGINT) AS min_len,
+       |    CAST(max(len) AS BIGINT) AS max_len
+       |  FROM ch GROUP BY 1
+       |),
+       |sh AS (
+       |  SELECT dc.doc_id,
+       |    CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM dc JOIN fr USING (h) GROUP BY 1
+       |)
+       |SELECT base.doc_id, n_chunks, min_len, max_len, sh.n_shared
+       |FROM base JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Vocabulary build: corpus word counts with frequency-ranked ids — the
     * tokenizer-prep step of a training pipeline. One explode + one
     * aggregate + one ranked id assignment.
@@ -840,7 +919,8 @@ object TextQueries {
     "text_stats" -> textStatsQ,
     "fingerprint_rolling" -> fingerprintRolling,
     "winnow_fingerprints" -> winnowFingerprintsQ,
-    "dedup_winnowing" -> dedupWinnowing
+    "dedup_winnowing" -> dedupWinnowing,
+    "cdc_chunk_dedup" -> cdcChunkDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -862,6 +942,7 @@ object TextQueries {
     "text_stats" -> textStatsSql,
     "fingerprint_rolling" -> fingerprintRollingSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
-    "dedup_winnowing" -> dedupWinnowingSql
+    "dedup_winnowing" -> dedupWinnowingSql,
+    "cdc_chunk_dedup" -> cdcChunkDedupSql
   )
 }

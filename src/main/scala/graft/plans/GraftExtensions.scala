@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc}
+import graft.functions.{CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -85,6 +85,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "unicode_nfc expects 1 argument")
         UnicodeNfc(children.head)
+      }))
+
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "winnow_fingerprints expects (text, k literal, w literal)")
+        WinnowFingerprints(children.head,
+          intLit(children(1), "winnow_fingerprints: k"),
+          intLit(children(2), "winnow_fingerprints: w"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "cdc_chunks expects (text, k literal, bits literal)")
+        CdcChunks(children.head,
+          intLit(children(1), "cdc_chunks: k"),
+          intLit(children(2), "cdc_chunks: bits"))
       }))
 
     ext.injectFunction((

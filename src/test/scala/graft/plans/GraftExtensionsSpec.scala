@@ -65,4 +65,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r._1 == "café ok")
     assert(r._2 == 4)
   }
+
+  test("winnow_fingerprints and cdc_chunks are callable from SQL") {
+    val r = spark.sql(
+      "SELECT winnow_fingerprints('abcdab', 3, 2) AS fps, " +
+        "cdc_chunks('abc', 8, 4) AS ch")
+      .as[(Seq[Long], Seq[String])].collect()(0)
+    // same values the functions' unit specs pin
+    assert(r._1 == graft.functions.WinnowImpl.compute("abcdab", 3, 2)
+      .toLongArray().toSeq)
+    assert(r._2 == Seq("abc"))
+    // non-literal k rejected loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT winnow_fingerprints('x', length('abc'), 2)").collect())
+    assert(e.getMessage.contains("literal"))
+  }
 }

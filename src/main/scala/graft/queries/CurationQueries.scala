@@ -274,6 +274,60 @@ object CurationQueries {
       |)
       |GROUP BY source, keep_bps ORDER BY source""".stripMargin
 
+  /** Temperature exponent and sampling budget for [[domainTemperature]]. */
+  val MixAlpha = 0.7
+  val MixBudget = 100000L
+
+  /** Temperature-based domain reweighting — the sampling-weights step of
+    * a multi-source training mix (α < 1 upweights small domains, the
+    * p_d^α / Σ p^α rule from multilingual-model and Gopher/Pile-style
+    * recipes): per source, the corpus share, the reweighted sampling
+    * weight, the document budget it buys, and the implied epochs over
+    * that source (>1 = the domain repeats). Two 1-row broadcast scalars
+    * (corpus total, normalizer) around one per-source aggregate — the
+    * same shape at 100 TB. The only non-rational arithmetic is `pow`,
+    * which is NOT IEEE-correctly-rounded and may differ between engines
+    * in the last ulp — rounding the powered share at 1e-9 before
+    * normalizing pins both engines to the same value.
+    */
+  def domainTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val n = Readers.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = n.agg(sum(col("n_docs")).as("__N"))
+    val s = n.crossJoin(broadcast(tot))
+      .withColumn("__share", col("n_docs").cast("double") / col("__N"))
+      .withColumn("__pw", round(pow(col("__share"), lit(MixAlpha)), 9))
+    val z = s.agg(sum(col("__pw")).as("__Z"))
+    s.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("__share"), 6).as("share"),
+        round(col("__pw") / col("__Z"), 6).as("weight"),
+        floor(col("__pw") / col("__Z") * lit(MixBudget.toDouble) + lit(0.5))
+          .cast("long").as("target_docs"),
+        round((col("__pw") / col("__Z") * lit(MixBudget.toDouble)) /
+          col("n_docs"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
+  val domainTemperatureSql: String =
+    s"""WITH n AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |),
+       |t AS (SELECT sum(n_docs) AS N FROM n),
+       |s AS (
+       |  SELECT source, n_docs, n_docs::DOUBLE / N AS share,
+       |    round(pow(n_docs::DOUBLE / N, $MixAlpha::DOUBLE), 9) AS pw
+       |  FROM n CROSS JOIN t
+       |),
+       |z AS (SELECT sum(pw) AS Z FROM s)
+       |SELECT source, n_docs, round(share, 6) AS share,
+       |  round(pw / Z, 6) AS weight,
+       |  CAST(floor(pw / Z * ${MixBudget.toDouble}::DOUBLE + 0.5::DOUBLE)
+       |    AS BIGINT) AS target_docs,
+       |  round((pw / Z * ${MixBudget.toDouble}::DOUBLE) / n_docs, 6) AS epochs
+       |FROM s CROSS JOIN z ORDER BY source""".stripMargin
+
   val LenBucketWidth = 16L
 
   /** Sequence-length bucketing — the batch-padding ledger: bucket docs by
@@ -411,6 +465,7 @@ object CurationQueries {
     "decontaminate" -> decontaminate,
     "pii_redact" -> piiRedact,
     "domain_mix" -> domainMix,
+    "domain_temperature" -> domainTemperature,
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
@@ -423,5 +478,6 @@ object CurationQueries {
     "decontaminate" -> decontaminateSql,
     "pii_redact" -> piiRedactSql,
     "domain_mix" -> domainMixSql,
+    "domain_temperature" -> domainTemperatureSql,
     "len_buckets" -> lenBucketsSql)
 }

@@ -249,6 +249,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** Feature record of the quarantine-routing extractor: decode failures
+    * become DATA (ok=false + the decoder's message), never job failures.
+    */
+  val featureSafeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ok", BooleanType),
+    StructField("error", StringType),
+    StructField("n_bytes", LongType),
+    StructField("digest", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("brightness", DoubleType)
+  ))
+
+  /** [[extractFeatures]] with row-level quarantine routing — the shape a
+    * 100 TB ingest actually ships: a corrupt container must not kill the
+    * job (one bad file in a billion would make the pipeline unrunnable),
+    * and silently skipping it hides data loss. Each row decodes under a
+    * catch; failures carry `ok=false` plus the decoder's loud message
+    * (CRC mismatch, truncated chunk, bad signature…) so a downstream
+    * filter routes them to a quarantine sink while clean rows carry the
+    * usual decoded-pixel features. Same batched mapPartitions contract.
+    */
+  def extractFeaturesSafe(media: DataFrame,
+                          batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSafeSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          try {
+            val (w, h, pixels) = decodePng(r.getAs[Array[Byte]](1))
+            var sum = 0L
+            var i = 0
+            while (i < pixels.length) { sum += pixels(i) & 0xff; i += 1 }
+            val bright = sum.toDouble / pixels.length / 255.0
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(pixels).map("%02x".format(_)).mkString
+            Row(id, true, null, pixels.length.toLong, digest, w, h,
+              math.floor(bright * 1e6 + 0.5) / 1e6)
+          } catch {
+            case e: IllegalArgumentException =>
+              Row(id, false, e.getMessage.stripPrefix("requirement failed: "),
+                null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Resized raster shape: clamp each axis to the target independently
     * (a thumbnail grid cell, not aspect-preserving). Integer arithmetic so
     * the oracle can mirror it.

@@ -183,17 +183,68 @@ object MultimodalQueries {
       |  END AS peak
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Decode with row-level quarantine routing, end to end: every 17th
+    * container is deterministically corrupted (first signature byte
+    * zeroed), and [[graft.ops.Multimodal.extractFeaturesSafe]] turns the
+    * decoder's loud failure into DATA — `ok=false` plus the exact error —
+    * while clean rows carry the usual decoded-pixel features. This is the
+    * shape that keeps a 100 TB ingest runnable (one bad file must not
+    * kill the job) without hiding data loss (nothing is silently
+    * skipped). The oracle pins which ids fail, the exact message, and
+    * every surviving row's decoded statistics.
+    */
+  def multimodalQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.encodedMediaTable(
+      Readers.table(spark, dir, "documents"), "doc_id", "text", "source")
+    val corrupted = media.withColumn("media",
+      when(col("media_id") % 17 === 0,
+        concat(lit(Array[Byte](0)),
+          expr("substring(media, 2, 2147483647)")))
+        .otherwise(col("media")))
+    Multimodal.extractFeaturesSafe(corrupted).orderBy("media_id")
+  }
+
+  val multimodalQuarantineSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(text::BLOB) AS INTEGER) AS n,
+      |    CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 1
+      |              ELSE least(octet_length(text::BLOB), 64) END AS INTEGER) AS w
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, text, n, w,
+      |    CAST(CASE WHEN n = 0 THEN 1 ELSE (n + w - 1) // w END AS INTEGER) AS h
+      |  FROM g
+      |)
+      |SELECT doc_id AS media_id,
+      |  doc_id % 17 <> 0 AS ok,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'bad PNG signature byte 0' END AS error,
+      |  CASE WHEN doc_id % 17 <> 0 THEN CAST(w * h AS BIGINT) END AS n_bytes,
+      |  CASE WHEN doc_id % 17 <> 0
+      |       THEN md5(text || repeat(chr(0), w * h - n)) END AS digest,
+      |  CASE WHEN doc_id % 17 <> 0 THEN CAST(w AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 17 <> 0 THEN CAST(h AS INTEGER) END AS height,
+      |  CASE WHEN doc_id % 17 <> 0 THEN
+      |    floor(COALESCE(list_sum(list_transform(
+      |          regexp_extract_all(text, '(?s).'), c -> unicode(c))), 0)::DOUBLE
+      |        / (w * h)::DOUBLE / 255.0::DOUBLE * 1000000.0::DOUBLE
+      |        + 0.5::DOUBLE) / 1000000.0::DOUBLE
+      |  END AS brightness
+      |FROM d ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
-    "multimodal_audio" -> multimodalAudio
+    "multimodal_audio" -> multimodalAudio,
+    "multimodal_quarantine" -> multimodalQuarantine
   )
 
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
-    "multimodal_audio" -> multimodalAudioSql
+    "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_quarantine" -> multimodalQuarantineSql
   )
 }

@@ -113,6 +113,95 @@ object Analytics {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** TPC-H Q3-style shipping priority: the segment-filtered
+    * customer⋈orders⋈lineitem join with the classic "ordered before the
+    * cutoff, shipped after it" predicate pair, top-10 open orders by
+    * revenue. Plan shape: both date filters push into the parquet scans,
+    * the filtered customer side broadcasts, orders⋈lineitem shuffles on
+    * the order key, and the 10-row cut is a TakeOrdered over ROUNDED
+    * revenue (round-then-rank with id tiebreaks keeps the kept set
+    * engine-stable), never a global sort.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1996-06-01"
+    val cust = Readers.table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Readers.table(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Readers.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-06-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier revenue: the six-way join (region →
+    * nation → supplier/customer → orders → lineitem) with the
+    * same-nation constraint between customer and supplier. Plan shape at
+    * 100 TB: region/nation/supplier/customer all broadcast (each orders
+    * of magnitude under the fact tables — the join tree never shuffles a
+    * dimension), the year predicate pushes into the orders scan, and the
+    * single real shuffle is orders⋈lineitem on the order key ahead of a
+    * 25-group aggregate.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Readers.table(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nat = Readers.table(spark, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Readers.table(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val cust = Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val ord = Readers.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    ord.join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Distinct aggregation + dimension join: per-nation customer stats.
     * Nation is tiny → broadcast; count(distinct) expands to a two-phase
     * aggregate (Catalyst rewrites it; no driver collect).
@@ -329,7 +418,9 @@ object Analytics {
     "map_ops" -> mapOps,
     "array_ops" -> arrayOps,
     "tumbling_window" -> tumblingWindow,
-    "sessionize" -> sessionizeQ
+    "sessionize" -> sessionizeQ,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier
   )
 
   val oracle: Map[String, String] = Map(
@@ -345,6 +436,8 @@ object Analytics {
     "map_ops" -> mapOpsSql,
     "array_ops" -> arrayOpsSql,
     "tumbling_window" -> tumblingWindowSql,
-    "sessionize" -> sessionizeSql
+    "sessionize" -> sessionizeSql,
+    "q3_shipping_priority" -> q3ShippingPrioritySql,
+    "q5_local_supplier" -> q5LocalSupplierSql
   )
 }

@@ -44,6 +44,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exchange below the bucket-aligned join:\n$plan")
   }
 
+  test("q3: TakeOrdered top-10; q5: dimensions broadcast, never shuffled") {
+    val q3 = executedPlan("q3_shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"), s"q3 lost its top-k:\n$q3")
+    val q5 = executedPlan("q5_local_supplier")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(q5).length
+    assert(nBroadcast >= 2, s"q5 dimension joins not broadcast:\n$q5")
+  }
+
   test("aggregation queries hash-aggregate (no SortAggregate fallback)") {
     for (q <- Seq("agg_pricing_summary", "drift_kl", "growth_accounting")) {
       val plan = executedPlan(q)

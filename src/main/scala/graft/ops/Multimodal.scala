@@ -148,14 +148,34 @@ object Multimodal {
     * raster) where raster is the w×h grayscale pixel array. Truncated or
     * over-long compressed streams fail loudly.
     */
+  /** Allocation guard for [[decodePng]]: a crafted IHDR could declare
+    * dims like 2^30×2^30 and OOM the executor before any pixel data is
+    * read — a real decoder caps the raster it will materialize. 64 MPx
+    * is far above any thumbnail-pipeline input; oversized containers
+    * fail loudly and route to quarantine like any other corruption.
+    */
+  val MaxPixels: Long = 1L << 26
+
   def decodePng(png: Array[Byte]): (Int, Int, Array[Byte]) = {
     val (w, h, idat) = parsePng(png)
+    require(w >= 1 && h >= 1, s"non-positive IHDR dims ${w}x$h")
+    require(w.toLong * h <= MaxPixels,
+      s"raster ${w}x$h exceeds the $MaxPixels-pixel decode cap")
     val raw = new Array[Byte](h * (w + 1))
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat)
     var off = 0
     while (off < raw.length && !inflater.finished()) {
-      val k = inflater.inflate(raw, off, raw.length - off)
+      // DataFormatException is checked and would escape the quarantine
+      // catch (which routes IllegalArgumentException) — a CRC-valid chunk
+      // can still carry a corrupt zlib stream, so rewrap it loudly
+      val k =
+        try inflater.inflate(raw, off, raw.length - off)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt zlib stream in IDAT: ${e.getMessage}")
+        }
       require(k > 0 || !inflater.needsInput(), "truncated IDAT zlib stream")
       off += k
     }

@@ -197,4 +197,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r2.getDouble(7) == math.floor(amp * 1e6 + 0.5) / 1e6)
     assert(r2.getString(2) == md5hex("x".getBytes("UTF-8")))
   }
+
+  test("decodePng survives fuzzing: loud IAE or success, never a crash") {
+    val rnd = new scala.util.Random(99)
+    val base = Multimodal.encodePng(
+      Array.tabulate(200)(i => (i * 31 % 256).toByte))
+    for (_ <- 1 to 500) {
+      val m = base.clone()
+      // mutate 1-4 random bytes anywhere in the container
+      for (_ <- 0 to rnd.nextInt(4)) {
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      try { Multimodal.decodePng(m); () }
+      catch { case _: IllegalArgumentException => () } // only loud failures
+    }
+    for (_ <- 1 to 200) { // pure garbage of random sizes
+      val g = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      try { Multimodal.decodePng(g); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("decodePng caps the raster allocation from a crafted IHDR") {
+    // rewrite the IHDR of a valid container to claim 65536 x 65536 and
+    // restamp the chunk CRC so only the dims are "wrong"
+    val png = Multimodal.encodePng("dims bomb".getBytes("UTF-8")).clone()
+    def putBE(p: Int, v: Int): Unit = {
+      png(p) = (v >>> 24).toByte; png(p + 1) = (v >>> 16).toByte
+      png(p + 2) = (v >>> 8).toByte; png(p + 3) = v.toByte
+    }
+    putBE(16, 65536); putBE(20, 65536) // IHDR data starts at offset 16
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 4 + 13) // type + IHDR data
+    putBE(12 + 4 + 13, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
+    assert(e.getMessage.contains("decode cap"))
+    // and the quarantine path turns it into a row, not a job failure
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, png)).toDF("media_id", "media")
+    val r = Multimodal.extractFeaturesSafe(df).collect()(0)
+    assert(!r.getBoolean(1) && r.getString(2).contains("decode cap"))
+  }
+
+  test("a CRC-valid chunk with a corrupt zlib stream still fails loudly") {
+    // replace the IDAT DATA with garbage and restamp the chunk CRC: the
+    // container walk passes, the codec layer must reject it as IAE (the
+    // raw DataFormatException is checked and would escape quarantine)
+    val png = Multimodal.encodePng("zlib bomb check".getBytes("UTF-8")).clone()
+    def be(p: Int): Int = ((png(p) & 0xff) << 24) | ((png(p + 1) & 0xff) << 16) |
+      ((png(p + 2) & 0xff) << 8) | (png(p + 3) & 0xff)
+    // first chunk after signature is IHDR (25 bytes incl framing)
+    val idatOff = 8 + 12 + 13
+    val idatLen = be(idatOff)
+    assert(new String(png, idatOff + 4, 4, "US-ASCII") == "IDAT")
+    val rnd = new scala.util.Random(1)
+    for (i <- 0 until idatLen) png(idatOff + 8 + i) = rnd.nextInt(256).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, idatOff + 4, 4 + idatLen)
+    val cv = crc.getValue.toInt
+    png(idatOff + 8 + idatLen) = (cv >>> 24).toByte
+    png(idatOff + 9 + idatLen) = (cv >>> 16).toByte
+    png(idatOff + 10 + idatLen) = (cv >>> 8).toByte
+    png(idatOff + 11 + idatLen) = cv.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
+    assert(e.getMessage.contains("zlib") || e.getMessage.contains("truncated"))
+  }
 }

@@ -132,7 +132,11 @@ object Multimodal {
       crc.update(png, p + 4, 4 + len)
       require(crc.getValue.toInt == be(p + 8 + len), s"CRC mismatch in $typ")
       typ match {
-        case "IHDR" => w = be(p + 8); h = be(p + 12)
+        case "IHDR" =>
+          // dims live at data offsets 0/4 — a crafted short-length IHDR
+          // (CRC stamped over fewer bytes) must not read past the chunk
+          require(len == 13, s"bad IHDR length $len")
+          w = be(p + 8); h = be(p + 12)
         case "IDAT" => idat.write(png, p + 8, len)
         case _      => () // ancillary chunks skipped, like a real decoder
       }
@@ -176,11 +180,30 @@ object Multimodal {
             throw new IllegalArgumentException(
               s"corrupt zlib stream in IDAT: ${e.getMessage}")
         }
-      require(k > 0 || !inflater.needsInput(), "truncated IDAT zlib stream")
+      // zero progress with output space left means the stream can never
+      // complete: input exhausted (truncated), or the zlib header demands
+      // a preset dictionary (FDICT) — looping again would spin forever
+      require(k > 0 || inflater.finished(),
+        if (inflater.needsDictionary())
+          "IDAT zlib stream requires a preset dictionary"
+        else "truncated IDAT zlib stream")
       off += k
     }
     require(off == raw.length,
       s"IDAT inflated to $off bytes, expected ${raw.length}")
+    // the loop exits on a full buffer — probe once more so a stream that
+    // would inflate PAST the raster (corrupt producer) fails loudly
+    // instead of being silently prefix-decoded
+    val probe =
+      try inflater.inflate(new Array[Byte](1))
+      catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"corrupt zlib stream in IDAT: ${e.getMessage}")
+      }
+    require(probe == 0 && inflater.finished(),
+      if (probe > 0) s"IDAT inflates past the ${raw.length}-byte raster"
+      else "IDAT zlib stream missing its end-of-stream marker")
     inflater.end()
     val pixels = new Array[Byte](w * h)
     var r = 0
@@ -243,6 +266,29 @@ object Multimodal {
     * binding would see fixed-size tensors. Pure mapPartitions — no
     * shuffle, blobs never leave their input partition.
     */
+  private[ops] def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** The one per-row decode→features computation, shared by the failing
+    * ([[extractFeatures]]) and quarantine-routing ([[extractFeaturesSafe]])
+    * extractors so the two pipelines cannot drift: full PNG decode, then
+    * (n_pixels, digest-of-raster, width, height, mean brightness).
+    * Brightness rounds half-away-from-zero at 1e-6 (math.rint is
+    * half-EVEN, which diverges from SQL round() when the scaled value
+    * lands on an exactly-representable .5).
+    */
+  private def pngFeatureValues(media: Array[Byte])
+  : (Long, String, Int, Int, Double) = {
+    val (w, h, pixels) = decodePng(media)
+    var sum = 0L
+    var i = 0
+    while (i < pixels.length) { sum += pixels(i) & 0xff; i += 1 }
+    val bright = sum.toDouble / pixels.length / 255.0
+    (pixels.length.toLong, md5Hex(pixels), w, h,
+      math.floor(bright * 1e6 + 0.5) / 1e6)
+  }
+
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -251,19 +297,9 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // a real implementation hands `batch` to the model as one tensor
         batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val (w, h, pixels) = decodePng(r.getAs[Array[Byte]](1))
-          var sum = 0L
-          var i = 0
-          while (i < pixels.length) { sum += pixels(i) & 0xff; i += 1 }
-          val bright = sum.toDouble / pixels.length / 255.0
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(pixels).map("%02x".format(_)).mkString
-          // half-away-from-zero at 1e-6 (math.rint is half-EVEN, which
-          // diverges from SQL round() when the scaled value lands on an
-          // exactly-representable .5)
-          Row(id, pixels.length.toLong, digest, w, h,
-            math.floor(bright * 1e6 + 0.5) / 1e6)
+          val (n, digest, w, h, bright) =
+            pngFeatureValues(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), n, digest, w, h, bright)
         }
       }
     }(enc)
@@ -301,18 +337,18 @@ object Multimodal {
         batch.iterator.map { r =>
           val id = r.getLong(0)
           try {
-            val (w, h, pixels) = decodePng(r.getAs[Array[Byte]](1))
-            var sum = 0L
-            var i = 0
-            while (i < pixels.length) { sum += pixels(i) & 0xff; i += 1 }
-            val bright = sum.toDouble / pixels.length / 255.0
-            val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(pixels).map("%02x".format(_)).mkString
-            Row(id, true, null, pixels.length.toLong, digest, w, h,
-              math.floor(bright * 1e6 + 0.5) / 1e6)
+            val (n, digest, w, h, bright) =
+              pngFeatureValues(r.getAs[Array[Byte]](1))
+            Row(id, true, null, n, digest, w, h, bright)
           } catch {
-            case e: IllegalArgumentException =>
-              Row(id, false, e.getMessage.stripPrefix("requirement failed: "),
+            // NonFatal, not just IllegalArgumentException: a null payload
+            // (NPE) or a decoder bug (AIOOBE) must ALSO become a
+            // quarantine row — any escape here kills the whole job, the
+            // exact outcome this path exists to prevent
+            case scala.util.control.NonFatal(e) =>
+              Row(id, false,
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                  .stripPrefix("requirement failed: "),
                 null, null, null, null, null)
           }
         }
@@ -352,10 +388,12 @@ object Multimodal {
           val resized = new Array[Byte](w2 * h2)
           var rr = 0
           while (rr < h2) {
-            val sr = rr * h / h2
+            // long intermediate: rr*h overflows Int for tall rasters the
+            // 64-MPx cap still allows (e.g. 1 x 2^26 at rr >= 32)
+            val sr = (rr.toLong * h / h2).toInt
             var cc = 0
             while (cc < w2) {
-              resized(rr * w2 + cc) = pixels(sr * w + cc * w / w2)
+              resized(rr * w2 + cc) = pixels(sr * w + (cc.toLong * w / w2).toInt)
               cc += 1
             }
             rr += 1
@@ -606,8 +644,7 @@ object Multimodal {
             if (nSamples == 0) 0.0
             else math.sqrt(sumSq.toDouble / nSamples) / 32768.0
           val peak = peakAbs.toDouble / 32768.0
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(recovered).map("%02x".format(_)).mkString
+          val digest = md5Hex(recovered)
           // half-away-from-zero rounding, as extractFeatures documents
           Row(id, data.length.toLong, digest, rate, channels,
             math.floor(durationMs * 1e3 + 0.5) / 1e3,

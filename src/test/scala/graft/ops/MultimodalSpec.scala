@@ -263,4 +263,105 @@ class MultimodalSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
     assert(e.getMessage.contains("zlib") || e.getMessage.contains("truncated"))
   }
+
+  /** Hand-rolled container from raw chunks, CRCs stamped for real — for
+    * adversarial cases the encoder can't produce.
+    */
+  private def rawPng(chunks: (String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .foreach(out.write)
+    def be(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    chunks.foreach { case (typ, data) =>
+      out.write(be(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    out.toByteArray
+  }
+
+  private def ihdr(w: Int, h: Int): Array[Byte] =
+    Array((w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+      (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+      8, 0, 0, 0, 0)
+
+  test("a CRC-valid short-length IHDR fails loudly, not out-of-bounds") {
+    // len=0 IHDR as the LAST chunk: the old fixed-offset dim read indexed
+    // past the end of the buffer (AIOOBE escaping quarantine)
+    val png = rawPng("IHDR" -> Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
+    assert(e.getMessage.contains("IHDR length"))
+    // and an 8-byte IHDR (dims readable, depth fields missing) also fails
+    val png8 = rawPng("IHDR" -> ihdr(1, 1).take(8))
+    val e8 = intercept[IllegalArgumentException](Multimodal.decodePng(png8))
+    assert(e8.getMessage.contains("IHDR length"))
+  }
+
+  test("a zlib stream demanding a preset dictionary fails instead of spinning") {
+    // CMF/FLG 0x78BB: (0x78*256+0xBB) % 31 == 0 and FDICT (0x20) set —
+    // inflate() returns 0 forever on such a stream; the decoder must
+    // detect the stall, not loop on it
+    val png = rawPng(
+      "IHDR" -> ihdr(1, 1),
+      "IDAT" -> Array(0x78.toByte, 0xBB.toByte, 0, 0, 0, 1),
+      "IEND" -> Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
+    assert(e.getMessage.contains("preset dictionary"))
+  }
+
+  test("an IDAT that inflates past the declared raster fails loudly") {
+    // IHDR says 1x1 (raw stream = 2 bytes) but the zlib stream carries 10:
+    // silently prefix-decoding would mask a corrupt producer
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(Array.tabulate[Byte](10)(_.toByte)); deflater.finish()
+    val zbuf = new Array[Byte](64)
+    val n = deflater.deflate(zbuf)
+    deflater.end()
+    val png = rawPng(
+      "IHDR" -> ihdr(1, 1),
+      "IDAT" -> zbuf.take(n),
+      "IEND" -> Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(png))
+    assert(e.getMessage.contains("inflates past"))
+  }
+
+  test("quarantine routes ANY decode failure, not just IllegalArgumentException") {
+    // a null payload (upstream left join, corrupt cell) throws NPE inside
+    // the decoder — it must become an ok=false row, never a job failure
+    val df = Seq((1L, null: Array[Byte]), (2L, "ok".getBytes("UTF-8")))
+      .toDF("media_id", "text")
+      .select($"media_id",
+        when($"media_id" === 2L,
+          lit(Multimodal.encodePng("ok".getBytes("UTF-8"))))
+          .otherwise(lit(null).cast("binary")).as("media"))
+    val rows = Multimodal.extractFeaturesSafe(df).orderBy("media_id").collect()
+    assert(!rows(0).getBoolean(1) && rows(0).getString(2) != null)
+    assert(rows(1).getBoolean(1))
+  }
+
+  test("resize survives a tall raster whose row index arithmetic needs Long") {
+    // 1 x 2^20 passes the decode cap; pre-fix, rr*h overflowed Int for
+    // 64-MPx-legal tall rasters (this shape at 2^26; 2^20 keeps the spec
+    // fast while pinning the Long arithmetic via exact source-row checks)
+    val h = 1 << 20
+    val pixels = Array.tabulate[Byte](h)(r => (r % 251).toByte)
+    val png = Multimodal.encodeRaster(1, h, pixels)
+    val media = Seq((7L, png, "image/png", "src"))
+      .toDF("media_id", "media", "mime", "source")
+      .select($"media_id", $"media",
+        struct($"mime", $"source",
+          octet_length($"media").cast("long").as("n_bytes")).as("meta"))
+    val out = Multimodal.resizeMedia(media, 1, 40).collect()(0)
+    val (w2, h2, res) = Multimodal.decodePng(out.getAs[Array[Byte]](1))
+    assert(w2 == 1 && h2 == 40)
+    for (rr <- Seq(0, 1, 31, 32, 33, 39)) { // 32+ overflowed at h = 2^26
+      val sr = rr.toLong * h / 40
+      assert((res(rr) & 0xff) == ((sr % 251) & 0xff).toInt)
+    }
+  }
 }

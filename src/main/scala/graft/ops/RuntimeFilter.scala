@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.functions.BloomFilterFunctions.{bloomAgg, bloomContains}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit runtime-filter join reduction (see
+  * [[graft.functions.BloomFilterOps]] for the filter itself and the
+  * one-sidedness contract that makes this exact).
+  *
+  * The 100 TB shape this exists for: `fact ⋉ dim` where dim is
+  * millions-of-keys big — too big for a broadcast-hash join, so Spark
+  * plans a shuffle join and the ENTIRE fact table crosses the wire just
+  * to be discarded on the other side. Building a ~MB bloom over the dim
+  * keys and probing it in the fact scan's filter kills non-matching fact
+  * rows before the exchange: shuffle volume drops by the join's true
+  * selectivity (often 100×) for one extra dim pass that is itself a
+  * map-side-partial aggregation. False positives survive the probe but
+  * die in the exact join behind it, so results are bit-identical to the
+  * plain join for ANY filter size.
+  */
+object RuntimeFilter {
+
+  /** `fact ⋉ dim` (left-semi) with a bloom prefilter on the fact side.
+    *
+    * Plan shape: dim is scanned twice (once aggregated to the one-row
+    * filter that is BROADCAST into fact's scan-filter, once as the exact
+    * join side); fact is scanned once, pruned, then shuffles only
+    * surviving rows. `numBits` sizes the filter: ~10 bits/key ≈ 1% false
+    * positives at `numHashes = 5` (wasted shuffle, never wrong results).
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, factKey: Column,
+                          dim: DataFrame, dimKey: Column,
+                          numBits: Long = 1L << 23,
+                          numHashes: Int = 5): DataFrame = {
+    val bloom = dim.agg(
+      bloomAgg(xxhash64(dimKey), numBits, numHashes).as("__graft_bloom"))
+    val pruned = fact
+      .crossJoin(broadcast(bloom))
+      .where(bloomContains(col("__graft_bloom"), xxhash64(factKey)))
+      .drop("__graft_bloom")
+    val keys = dim.select(dimKey.as("__graft_dim_key")).distinct()
+    pruned.join(keys, factKey === col("__graft_dim_key"), "left_semi")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
+import graft.functions.{BloomFilterBuildAgg, BloomMightContain, CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -115,6 +115,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CdcChunks(children.head,
           intLit(children(1), "cdc_chunks: k"),
           intLit(children(2), "cdc_chunks: bits"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterBuildAgg].getName,
+        "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg expects (value, numBits literal, numHashes literal)")
+        val bits = children(1) match {
+          case Literal(v: Int, IntegerType) => v.toLong
+          case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg: numBits must be an integer literal, got $other")
+        }
+        BloomFilterBuildAgg(children.head, bits,
+          intLit(children(2), "graft_bloom_agg: numHashes"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_contains expects (bloom, value)")
+        BloomMightContain(children(0), children(1))
       }))
 
     ext.injectFunction((

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.{Sessionize, SkewJoin}
+import graft.ops.{RuntimeFilter, Sessionize, SkewJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -405,8 +405,43 @@ object Analytics {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  /** Bloom-pruned semi join ([[graft.ops.RuntimeFilter]]): revenue of
+    * lineitems whose order exceeds a price threshold. The bloom over the
+    * qualifying order keys is built as a map-side-partial aggregation,
+    * broadcast as ONE row, and probed in the lineitem scan's filter (a
+    * codegen-native expression), so non-matching lineitems never reach
+    * the semi-join exchange — the explicit form of a runtime filter. Any
+    * filter size gives the identical result (false positives die in the
+    * exact join), which is what the plain-`IN` oracle certifies.
+    */
+  def joinBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Readers.table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+    RuntimeFilter.bloomPrunedSemiJoin(
+        Readers.table(spark, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_linestatus",
+            "l_extendedprice"),
+        col("l_orderkey"),
+        hot, col("o_orderkey"),
+        numBits = 1L << 20, numHashes = 5)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val joinBloomPruneSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "join_bloom_prune" -> joinBloomPrune,
     "agg_rollup" -> aggRollup,
     "topk_orders" -> topkOrders,
     "window_rank" -> windowRank,
@@ -425,6 +460,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" -> aggPricingSummarySql,
+    "join_bloom_prune" -> joinBloomPruneSql,
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "window_rank" -> windowRankSql,

@@ -356,6 +356,98 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual image hash (dHash): sample the decoded raster on an 8×9
+    * grid (nearest-neighbor, the same floor arithmetic as [[resizeMedia]])
+    * and emit one bit per horizontally-adjacent comparison — 8 rows × 8
+    * comparisons = 64 bits. Near-identical images (crops of the same
+    * scan, re-encodes, one-pixel edits) land within a few bits of each
+    * other, which is what makes Hamming-banded image dedup work where
+    * byte-level hashing can't. The hash is returned as two 32-bit halves
+    * in BIGINTs (`phash_hi` bits 32-63, `phash_lo` bits 0-31) so the
+    * arithmetic stays sign-free and oracle-mirrorable.
+    *
+    * Output: (media_id, phash_hi, phash_lo, width, height). Map-only over
+    * the media table — the blob never shuffles; downstream dedup joins on
+    * 16-bit hash bands, never on payloads.
+    */
+  def imagePhash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, pixels) = decodePng(r.getAs[Array[Byte]](1))
+          // 8 rows × 9 sampled columns; indices are always in-raster
+          // (r·h/8 < h, c·w/9 < w)
+          val s = new Array[Int](72)
+          var i = 0
+          while (i < 72) {
+            val rr = i / 9; val cc = i % 9
+            s(i) = pixels(((rr.toLong * h / 8) * w +
+              (cc.toLong * w / 9)).toInt) & 0xff
+            i += 1
+          }
+          var hi = 0L; var lo = 0L
+          var b = 0
+          while (b < 64) {
+            val rr = b / 8; val cc = b % 8
+            if (s(rr * 9 + cc + 1) > s(rr * 9 + cc)) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          Row(r.getLong(0), hi, lo, w, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by banded perceptual hash: split the
+    * 64-bit dHash into four 16-bit bands, bucket-join on (band index,
+    * band value) — the LSH trick that makes this a hash-equi-join whose
+    * work scales with collisions, never an all-pairs product — then keep
+    * candidate pairs within `maxDist` Hamming bits. A pair must share at
+    * least one exact band to be SEEN (standard banding recall: ≤ maxDist
+    * errors spread over all four bands can hide a pair), which the
+    * oracle mirrors as `(∃ shared band) AND hamming ≤ maxDist`.
+    */
+  def imagePhashDedup(phash: DataFrame, maxDist: Int): DataFrame = {
+    val banded = phash.select(col("media_id"), col("phash_hi"),
+      col("phash_lo"),
+      explode(array(
+        struct(lit(0).as("band_idx"),
+          col("phash_lo").bitwiseAND(65535L).as("band_val")),
+        struct(lit(1).as("band_idx"),
+          shiftright(col("phash_lo"), 16).as("band_val")),
+        struct(lit(2).as("band_idx"),
+          col("phash_hi").bitwiseAND(65535L).as("band_val")),
+        struct(lit(3).as("band_idx"),
+          shiftright(col("phash_hi"), 16).as("band_val"))
+      )).as("band"))
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        col("band.band_idx"), col("band.band_val"))
+    val a = banded.select(col("media_id").as("id_a"),
+      col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("media_id").as("id_b"),
+      col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (bit_count(expr("hi_a ^ hi_b")) +
+          bit_count(expr("lo_a ^ lo_b"))).cast(IntegerType))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Resized raster shape: clamp each axis to the target independently
     * (a thumbnail grid cell, not aspect-preserving). Integer arithmetic so
     * the oracle can mirror it.

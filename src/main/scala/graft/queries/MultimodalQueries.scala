@@ -232,8 +232,94 @@ object MultimodalQueries {
       |  END AS brightness
       |FROM d ORDER BY media_id""".stripMargin
 
+  /** Perceptual hash over DECODED rasters: the dHash grid samples the
+    * unfiltered pixels, so the full codec chain sits under the oracle —
+    * which recomputes every sampled pixel and comparison bit
+    * arithmetically from the document text
+    * ([[graft.ops.Multimodal.imagePhash]]).
+    */
+  def imagePhashQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhash(
+        Multimodal.encodedMediaTable(
+          Readers.table(spark, dir, "documents"), "doc_id", "text", "source"))
+      .orderBy("media_id")
+
+  /** The dHash sampled-pixel list as DuckDB SQL: 8 rows × 9 cols, pixel
+    * at grid (r,c) = raster[(r·h/8)·w + (c·w/9)], raster = text bytes
+    * zero-padded to w×h. Shared by both phash oracles.
+    */
+  private val phashCte: String =
+    """WITH g AS (
+      |  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs,
+      |    CAST(octet_length(text::BLOB) AS INTEGER) AS n,
+      |    CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 1
+      |              ELSE least(octet_length(text::BLOB), 64) END AS INTEGER) AS w
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, cs, n, w,
+      |    CAST(CASE WHEN n = 0 THEN 1 ELSE (n + w - 1) // w END AS INTEGER) AS h
+      |  FROM g
+      |), s AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(72), i ->
+      |      CASE WHEN ((i // 9) * h // 8) * w + ((i % 9) * w // 9) < n
+      |           THEN unicode(cs[CAST(((i // 9) * h // 8) * w
+      |                               + ((i % 9) * w // 9) AS INTEGER) + 1])
+      |           ELSE 0 END) AS sp
+      |  FROM d
+      |), ph AS (
+      |  SELECT doc_id, w, h,
+      |    COALESCE(list_sum(list_transform(range(32), b ->
+      |      CASE WHEN sp[CAST(((b + 32) // 8) * 9 + ((b + 32) % 8) AS INTEGER) + 2]
+      |              > sp[CAST(((b + 32) // 8) * 9 + ((b + 32) % 8) AS INTEGER) + 1]
+      |           THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0)::BIGINT AS phash_hi,
+      |    COALESCE(list_sum(list_transform(range(32), b ->
+      |      CASE WHEN sp[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
+      |              > sp[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
+      |           THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0)::BIGINT AS phash_lo
+      |  FROM s
+      |)""".stripMargin
+
+  val imagePhashSql: String =
+    phashCte + """
+      |SELECT doc_id AS media_id, phash_hi, phash_lo,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height
+      |FROM ph ORDER BY media_id""".stripMargin
+
+  /** Near-duplicate images by banded dHash
+    * ([[graft.ops.Multimodal.imagePhashDedup]]): candidates share a
+    * 16-bit band (hash-equi-join, work ∝ collisions), pairs kept at
+    * Hamming ≤ 6. The oracle replays the exact contract — shared band
+    * AND distance — as an all-pairs self-join, affordable only because
+    * it is the oracle.
+    */
+  def imagePhashDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhashDedup(
+        Multimodal.imagePhash(
+          Multimodal.encodedMediaTable(
+            Readers.table(spark, dir, "documents"),
+            "doc_id", "text", "source")),
+        maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  val imagePhashDedupSql: String =
+    phashCte + """
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+      |     + bit_count(xor(a.phash_lo, b.phash_lo)) AS INTEGER) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE ((a.phash_lo & 65535) = (b.phash_lo & 65535)
+      |    OR (a.phash_lo // 65536) = (b.phash_lo // 65536)
+      |    OR (a.phash_hi & 65535) = (b.phash_hi & 65535)
+      |    OR (a.phash_hi // 65536) = (b.phash_hi // 65536))
+      |  AND bit_count(xor(a.phash_hi, b.phash_hi))
+      |    + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
+    "image_phash" -> imagePhashQ,
+    "image_phash_dedup" -> imagePhashDedupQ,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_audio" -> multimodalAudio,
@@ -242,6 +328,8 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
+    "image_phash" -> imagePhashSql,
+    "image_phash_dedup" -> imagePhashDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_audio" -> multimodalAudioSql,

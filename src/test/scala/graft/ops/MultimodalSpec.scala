@@ -344,6 +344,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getBoolean(1))
   }
 
+  test("imagePhash: dHash bits computed over the DECODED raster") {
+    // 128 bytes → 64×2 raster; recompute the expected hash from the
+    // content with independent arithmetic
+    val content = Array.tabulate(128)(i => ((i * 53 + 7) % 256).toByte)
+    val m = Multimodal.encodedMediaTable(
+      Seq((1L, new String(content.map(b => ((b & 0xff) % 128).toChar)), "s"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    // text round-trips through UTF-8, so build expectation from the same
+    // bytes the table actually encoded
+    val actualPng = m.select("media").collect()(0).getAs[Array[Byte]](0)
+    val (w, h, pixels) = Multimodal.decodePng(actualPng)
+    def sample(r: Int, c: Int): Int = pixels((r * h / 8) * w + (c * w / 9)) & 0xff
+    var expHi = 0L; var expLo = 0L
+    for (b <- 0 until 64) {
+      val (r, c) = (b / 8, b % 8)
+      if (sample(r, c + 1) > sample(r, c)) {
+        if (b < 32) expLo |= 1L << b else expHi |= 1L << (b - 32)
+      }
+    }
+    val row = Multimodal.imagePhash(m).collect()(0)
+    assert(row.getLong(1) == expHi && row.getLong(2) == expLo)
+    assert(row.getInt(3) == w && row.getInt(4) == h)
+  }
+
+  test("imagePhashDedup: near-identical rasters pair up, distinct ones don't") {
+    val base = Array.tabulate(256)(i => (((i * 31) % 97) + 10).toByte)
+    val nearDup = base.clone(); nearDup(40) = (nearDup(40) + 1).toByte
+    val distinct = Array.tabulate(256)(i => (((i * 113) % 89) + 5).toByte)
+    def str(a: Array[Byte]) = new String(a.map(b => (b & 0x7f).toChar))
+    val docs = Seq((1L, str(base), "s"), (2L, str(nearDup), "s"),
+      (3L, str(distinct), "s")).toDF("doc_id", "text", "source")
+    val phash = Multimodal.imagePhash(
+      Multimodal.encodedMediaTable(docs, "doc_id", "text", "source"))
+    val pairs = Multimodal.imagePhashDedup(phash, maxDist = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L))) // one-pixel edit: tiny Hamming distance
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("resize survives a tall raster whose row index arithmetic needs Long") {
     // 1 x 2^20 passes the decode cap; pre-fix, rr*h overflowed Int for
     // 64-MPx-legal tall rasters (this shape at 2^26; 2^20 keeps the spec

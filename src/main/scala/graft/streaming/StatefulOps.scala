@@ -121,6 +121,109 @@ object StatefulOps {
         })
   }
 
+  /** Event for gap sessionization: `ts` (TimestampType) carries the
+    * watermark, `ts_micros` the exact arithmetic (micros, the engine-wide
+    * time unit — no ms truncation drift against the batch operator).
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                          ts_micros: Long, value: Double, event_id: Long)
+
+  /** The open-session state: O(1) per active user — the boundedness that
+    * lets the state store survive any stream length; idle users expire
+    * via event-time timeout, not processing time, so reprocessing old
+    * data behaves identically to live runs.
+    */
+  case class OpenSession(user_id: Long, start_us: Long, end_us: Long,
+                         n: Long, sum_value: Double)
+
+  /** A closed session, keyed by (user, start) — no ordinal: a session
+    * number would have to survive state expiry to stay consistent, which
+    * contradicts bounded state. The batch twin's `session_no` is
+    * recoverable downstream by ranking starts per user.
+    */
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** Fold a micro-batch into gap sessions: returns the sessions CLOSED by
+    * this batch plus the still-open one. Within-batch order is (ts,
+    * event_id) like every engine operator; an event older than the open
+    * session's own gap window (late past the watermark) becomes its own
+    * singleton closed session — conservative: late data can fragment a
+    * session, never corrupt or resurrect one.
+    */
+  private[streaming] def foldSessions(uid: Long, gapMicros: Long,
+                                      events: Iterator[SessionEvent],
+                                      prior: Option[OpenSession])
+  : (Seq[ClosedSession], Option[OpenSession]) = {
+    def close(s: OpenSession) =
+      ClosedSession(uid, s.start_us, s.end_us, s.n, s.sum_value)
+    val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+    var open = prior
+    events.toSeq.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+      open match {
+        case None =>
+          open = Some(OpenSession(uid, e.ts_micros, e.ts_micros, 1L, e.value))
+        case Some(s) if e.ts_micros > s.end_us + gapMicros =>
+          closed += close(s)
+          open = Some(OpenSession(uid, e.ts_micros, e.ts_micros, 1L, e.value))
+        case Some(s) if e.ts_micros < s.start_us - gapMicros =>
+          closed += ClosedSession(uid, e.ts_micros, e.ts_micros, 1L, e.value)
+        case Some(s) =>
+          open = Some(s.copy(
+            start_us = math.min(s.start_us, e.ts_micros),
+            end_us = math.max(s.end_us, e.ts_micros),
+            n = s.n + 1, sum_value = s.sum_value + e.value))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
+  /** Streaming gap sessionization — the stateful twin of
+    * [[graft.ops.Sessionize]]: sessions close when the EVENT-TIME
+    * watermark passes their end plus the gap (never wall-clock, so
+    * replays are deterministic), emitted append-only exactly once. A
+    * micro-batch can also close a session directly when a same-user
+    * event lands past the gap. State is one [[OpenSession]] per active
+    * user; the timeout removes it at close, so the store holds only
+    * users inside their gap horizon — the bounded-state contract at
+    * 100 TB/day.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMicros: Long,
+                       watermarkDelay: String): Dataset[ClosedSession] = {
+    implicit val enc = Encoders.product[ClosedSession]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    val gapMs = gapMicros / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as(Encoders.product[SessionEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, s.start_us, s.end_us, s.n, s.sum_value))
+          } else {
+            val (closed, open) = foldSessions(uid, gapMicros, batch,
+              state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // timeout must sit strictly past the current watermark
+                state.setTimeoutTimestamp(math.max(
+                  s.end_us / 1000L + gapMs,
+                  state.getCurrentWatermarkMs() + 1L))
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+        })
+  }
+
   /** Fold a batch of events into the carried state. */
   private[streaming] def fold(userId: Long, events: Iterator[UserEvent],
                               prior: Option[UserProfile]): UserProfile =

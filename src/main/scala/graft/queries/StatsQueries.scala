@@ -135,6 +135,50 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  val HeavyGroupK = 200
+
+  /** Per-GROUP heavy hitters — frequent users per event type, one
+    * Misra–Gries sketch per key riding an ordinary `groupBy.agg`. This is
+    * the form a 100 TB pipeline actually runs ("top talkers per tenant"):
+    * state is O(groups × k) counters and only k-entry summaries shuffle,
+    * where an exact per-(group, item) count would shuffle the full key
+    * cross-product. Certified like [[heavyHitters]]: every item above its
+    * group's n/(k+1) threshold must appear in that group's sketch with an
+    * estimate in [true − n/(k+1), true] — merge-order-proof, so both
+    * engines agree row-for-row.
+    */
+  def heavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        col("user_id").cast("string").as("item"))
+    val sketch = ev.groupBy("grp")
+      .agg(graft.functions.HeavyHittersFunctions
+        .heavyHitters(col("item"), HeavyGroupK).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("e"))
+      .select(col("grp"), col("e.item").as("item"), col("e.est").as("est"))
+    val exact = ev.groupBy("grp", "item").agg(count(lit(1)).as("n_exact"))
+    val tot = ev.groupBy("grp").agg(count(lit(1)).cast("double").as("n"))
+    val slack = col("n") / (HeavyGroupK + 1)
+    exact.join(tot, Seq("grp"))
+      .filter(col("n_exact") > slack)
+      .join(sketch, Seq("grp", "item"), "left")
+      .select(col("grp"), col("item").cast("long").as("user_id"),
+        col("n_exact"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - slack).as("ok"))
+      .orderBy("grp", "user_id")
+  }
+
+  val heavyHittersGroupedSql: String =
+    s"""WITH e AS (SELECT event_type AS grp, user_id FROM events),
+       |x AS (SELECT grp, user_id, CAST(count(*) AS BIGINT) AS n_exact
+       |      FROM e GROUP BY 1, 2),
+       |t AS (SELECT grp, count(*)::DOUBLE AS n FROM e GROUP BY 1)
+       |SELECT grp, user_id, n_exact, TRUE AS ok
+       |FROM x JOIN t USING (grp)
+       |WHERE n_exact > n / ${HeavyGroupK + 1}
+       |ORDER BY grp, user_id""".stripMargin
+
   /** Revenue concentration per market segment: the Gini coefficient from
     * the rank formula `Σ(2i − n − 1)·xᵢ / (n·Σx)` over customers ranked
     * by (revenue, custkey) within their segment. The sort is a keyed
@@ -889,7 +933,8 @@ object StatsQueries {
     "pareto_front" -> paretoFront,
     "corr_matrix" -> corrMatrix,
     "sample_weighted" -> sampleWeighted,
-    "heavy_hitters" -> heavyHitters)
+    "heavy_hitters" -> heavyHitters,
+    "heavy_hitters_grouped" -> heavyHittersGrouped)
 
   val oracle: Map[String, String] = Map(
     "quantile_exact" -> quantileExactSql,
@@ -910,5 +955,6 @@ object StatsQueries {
     "pareto_front" -> paretoFrontSql,
     "corr_matrix" -> corrMatrixSql,
     "sample_weighted" -> sampleWeightedSql,
-    "heavy_hitters" -> heavyHittersSql)
+    "heavy_hitters" -> heavyHittersSql,
+    "heavy_hitters_grouped" -> heavyHittersGroupedSql)
 }

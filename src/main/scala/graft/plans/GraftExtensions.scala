@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomFilterBuildAgg, BloomMightContain, CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
+import graft.functions.{BloomFilterBuildAgg, BloomMightContain, CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, KllQuantilesAgg, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -132,6 +132,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BloomFilterBuildAgg(children.head, bits,
           intLit(children(2), "graft_bloom_agg: numHashes"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesAgg].getName,
+        "graft_kll_quantiles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length >= 3,
+          "graft_kll_quantiles expects (value, k literal, q literals...)")
+        val qs = children.drop(2).map {
+          case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_kll_quantiles: q must be a numeric literal, got $other")
+        }
+        KllQuantilesAgg(children.head,
+          intLit(children(1), "graft_kll_quantiles: k"), qs)
       }))
 
     ext.injectFunction((

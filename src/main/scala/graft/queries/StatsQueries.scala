@@ -135,6 +135,50 @@ object StatsQueries {
        |WHERE n_exact > n / ${HeavyK + 1}
        |ORDER BY item""".stripMargin
 
+  val KllQs  = Seq(0.25, 0.5, 0.75, 0.95)
+  val KllK   = 200
+  val KllTol = 0.05 // certified rank envelope; observed error ≈ 1/k
+
+  /** Certification of the native KLL quantile sketch
+    * ([[graft.functions.Kll]]) in the sketch-contract style of
+    * [[heavyHitters]]: the sketch's internals are engine-specific, but
+    * its GUARANTEE — each estimate's true rank within q·n ± tol·n — is
+    * not. One sketch pass (map-side partials, O(k·log n) state), one
+    * exact counting pass for the rank envelope, rows = (q, ok, n). At
+    * 100 TB this one-pass mergeable sketch is what replaces the 3-scan
+    * exact bracket (`quantile_exact`) wherever a 1/k rank error is
+    * acceptable.
+    */
+  def quantileSketchCheck(spark: SparkSession, dir: String): DataFrame = {
+    val li = Readers.table(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val est = li.agg(graft.functions.KllFunctions
+      .kllQuantiles(col("x"), KllK, KllQs).as("est"))
+    val counts = li.crossJoin(broadcast(est)).agg(
+      count(lit(1)).cast("double").as("n"),
+      KllQs.indices.flatMap(i => Seq(
+        count(when(col("x") < col("est")(i), 1)).cast("double").as(s"lt_$i"),
+        count(when(col("x") <= col("est")(i), 1)).cast("double").as(s"le_$i")
+      )): _*)
+    counts.select(explode(array(KllQs.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("q"),
+          ((lit(q) * col("n") <= col(s"le_$i") + lit(KllTol) * col("n")) &&
+            (lit(q) * col("n") >= col(s"lt_$i") - lit(KllTol) * col("n")))
+            .as("ok"),
+          col("n").cast("long").as("n"))
+      }: _*)).as("r"))
+      .select(col("r.q"), col("r.ok"), col("r.n"))
+      .orderBy("q")
+  }
+
+  val quantileSketchCheckSql: String = {
+    val rows = KllQs.map(q =>
+      s"SELECT $q::DOUBLE AS q, TRUE AS ok, n FROM t")
+    s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY q""".stripMargin
+  }
+
   val HeavyGroupK = 200
 
   /** Per-GROUP heavy hitters — frequent users per event type, one
@@ -934,7 +978,8 @@ object StatsQueries {
     "corr_matrix" -> corrMatrix,
     "sample_weighted" -> sampleWeighted,
     "heavy_hitters" -> heavyHitters,
-    "heavy_hitters_grouped" -> heavyHittersGrouped)
+    "heavy_hitters_grouped" -> heavyHittersGrouped,
+    "quantile_sketch_check" -> quantileSketchCheck)
 
   val oracle: Map[String, String] = Map(
     "quantile_exact" -> quantileExactSql,
@@ -956,5 +1001,6 @@ object StatsQueries {
     "corr_matrix" -> corrMatrixSql,
     "sample_weighted" -> sampleWeightedSql,
     "heavy_hitters" -> heavyHittersSql,
-    "heavy_hitters_grouped" -> heavyHittersGroupedSql)
+    "heavy_hitters_grouped" -> heavyHittersGroupedSql,
+    "quantile_sketch_check" -> quantileSketchCheckSql)
 }

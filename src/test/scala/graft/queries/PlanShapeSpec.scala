@@ -19,6 +19,31 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("join_bloom_prune: the bloom probe filters the fact BEFORE its shuffle") {
+    // the operator's whole reason to exist — if the probe migrates above
+    // the exchange, the full fact table crosses the wire again
+    val df = graft.SparkEntry.queries("join_bloom_prune")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val probeFilters = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.exists(
+          _.isInstanceOf[graft.functions.BloomMightContain]) => f
+    }
+    assert(probeFilters.nonEmpty, s"bloom probe missing:\n$finalPlan")
+    probeFilters.foreach { f =>
+      val shufflesBelow = f.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      assert(shufflesBelow.isEmpty,
+        s"bloom probe sits above a shuffle — pruning after the wire:\n$finalPlan")
+    }
+  }
+
   test("path_topk's k-cut is a TakeOrdered, never a full global sort") {
     assert(executedPlan("path_topk").contains("TakeOrderedAndProject"))
   }

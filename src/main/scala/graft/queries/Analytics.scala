@@ -439,9 +439,88 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q7-style bilateral trade volume: revenue shipped between two
+    * named nations, by direction and ship year. Plan: the one big join
+    * (lineitem ⋈ orders) shuffles once on the order key; supplier and
+    * customer shrink to the two nations FIRST and ride in as broadcasts,
+    * so the nation filter prunes at the scans, never after the wire.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Readers.table(spark, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name")
+    val supp = Readers.table(spark, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Readers.table(spark, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Readers.table(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(round(sum("volume"), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue
+      |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val Q18MinQty = 250.0
+
+  /** TPC-H Q18-style large-volume orders: orders whose total lineitem
+    * quantity exceeds the threshold, with their customer. The HAVING
+    * aggregation reduces lineitem to order grain BEFORE any join — the
+    * qualifying-order set is tiny, so the customer/order joins run over
+    * hundreds of rows, not the fact table; top-100 by a TakeOrdered.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Readers.table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    val ord = Readers.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Readers.table(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+       |FROM (
+       |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $Q18MinQty
+       |), orders, customer
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "join_bloom_prune" -> joinBloomPrune,
+    "q7_nation_volume" -> q7NationVolume,
+    "q18_large_orders" -> q18LargeOrders,
     "agg_rollup" -> aggRollup,
     "topk_orders" -> topkOrders,
     "window_rank" -> windowRank,
@@ -461,6 +540,8 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" -> aggPricingSummarySql,
     "join_bloom_prune" -> joinBloomPruneSql,
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,
     "window_rank" -> windowRankSql,

@@ -266,13 +266,80 @@ object QualityQueries {
       |  UNION ALL SELECT 'diff_c_mktsegment', diff_c_mktsegment FROM s
       |) ORDER BY metric""".stripMargin
 
+  val DigestBuckets = 16
+
+  /** Merkle-style replica reconciliation: both "replicas" of orders (the
+    * second with one row deliberately mutated) reduce to per-bucket
+    * XOR-of-row-digests, and the comparison is a join of two
+    * 16-row summaries — finding WHICH buckets differ in a 100 TB table
+    * costs two scans plus a constant-size exchange, instead of a
+    * row-by-row anti-join of replicas. XOR makes the bucket digest
+    * order-independent (any partitioning, any merge order) and
+    * incrementally maintainable (a changed row XORs out its old digest
+    * and in its new one). The row digest hashes a canonical string of
+    * the row through md5, so both engines agree bit-for-bit; the bucket
+    * is the join key's hash — co-located with how the table would
+    * actually be bucketed on disk.
+    */
+  def bucketDigest(spark: SparkSession, dir: String): DataFrame = {
+    def digests(mutated: Boolean): DataFrame = {
+      val o = Readers.table(spark, dir, "orders")
+      val status =
+        if (mutated)
+          when(col("o_orderkey") === 7L, lit("X")).otherwise(col("o_orderstatus"))
+        else col("o_orderstatus")
+      o.select((col("o_orderkey") % DigestBuckets).as("bucket"),
+          conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), status, col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")))), 1, 15), 16, 10)
+            .cast("long").as("d"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(d)").as("digest"))
+    }
+    val a = digests(mutated = false)
+    val b = digests(mutated = true)
+      .select(col("bucket"), col("n_rows").as("n_rows_b"),
+        col("digest").as("digest_b"))
+    a.join(b, Seq("bucket"))
+      .select(col("bucket"), col("n_rows"), col("digest"),
+        (col("digest") === col("digest_b") &&
+          col("n_rows") === col("n_rows_b")).as("is_match"))
+      .orderBy("bucket")
+  }
+
+  val bucketDigestSql: String =
+    s"""WITH a AS (
+       |  SELECT o_orderkey % $DigestBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    bit_xor(('0x' || substr(md5(
+       |      o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+       |      o_orderpriority || '|' || epoch_us(o_orderdate)::VARCHAR
+       |    ), 1, 15))::BIGINT) AS digest
+       |  FROM orders GROUP BY 1
+       |), b AS (
+       |  SELECT o_orderkey % $DigestBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    bit_xor(('0x' || substr(md5(
+       |      o_orderkey::VARCHAR || '|' ||
+       |      CASE WHEN o_orderkey = 7 THEN 'X' ELSE o_orderstatus END
+       |      || '|' || o_orderpriority || '|' || epoch_us(o_orderdate)::VARCHAR
+       |    ), 1, 15))::BIGINT) AS digest
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT a.bucket, a.n_rows, a.digest,
+       |  (a.digest = b.digest AND a.n_rows = b.n_rows) AS is_match
+       |FROM a JOIN b USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucket_digest" -> bucketDigest,
     "dq_checks" -> dqChecks,
     "cdc_upsert" -> cdcUpsert,
     "cdc_merge_delete" -> cdcMergeDelete,
     "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
+    "bucket_digest" -> bucketDigestSql,
     "dq_checks" -> dqChecksSql,
     "cdc_upsert" -> cdcUpsertSql,
     "cdc_merge_delete" -> cdcMergeDeleteSql,

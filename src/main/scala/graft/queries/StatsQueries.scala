@@ -179,6 +179,44 @@ object StatsQueries {
        |ORDER BY q""".stripMargin
   }
 
+  /** Per-group winsorization: clamp account balances into each segment's
+    * [p05, p95] before averaging — the standard outlier-robust
+    * normalization a feature/curation pipeline applies before training
+    * statistics. Two passes: a per-group percentile aggregate (5 groups ⇒
+    * a broadcast) and one clamp+aggregate scan; no row ever shuffles
+    * twice.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Readers.table(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("x"))
+    val bounds = c.groupBy("seg").agg(
+      expr("percentile(x, 0.05D)").as("p05"),
+      expr("percentile(x, 0.95D)").as("p95"))
+    c.join(broadcast(bounds), Seq("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("avg_raw"),
+        round(avg(greatest(least(col("x"), col("p95")), col("p05"))), 4)
+          .as("avg_winsorized"),
+        round(min(col("p05")), 4).as("p05"),
+        round(min(col("p95")), 4).as("p95"))
+      .orderBy("seg")
+  }
+
+  val winsorizeSql: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment AS seg,
+      |    quantile_cont(c_acctbal, 0.05) AS p05,
+      |    quantile_cont(c_acctbal, 0.95) AS p95
+      |  FROM customer GROUP BY 1
+      |)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(c_acctbal), 4) AS avg_raw,
+      |  round(avg(greatest(least(c_acctbal, p95), p05)), 4) AS avg_winsorized,
+      |  round(min(p05), 4) AS p05, round(min(p95), 4) AS p95
+      |FROM customer JOIN b ON c_mktsegment = b.seg
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
   val HeavyGroupK = 200
 
   /** Per-GROUP heavy hitters — frequent users per event type, one
@@ -979,7 +1017,8 @@ object StatsQueries {
     "sample_weighted" -> sampleWeighted,
     "heavy_hitters" -> heavyHitters,
     "heavy_hitters_grouped" -> heavyHittersGrouped,
-    "quantile_sketch_check" -> quantileSketchCheck)
+    "quantile_sketch_check" -> quantileSketchCheck,
+    "winsorize" -> winsorize)
 
   val oracle: Map[String, String] = Map(
     "quantile_exact" -> quantileExactSql,
@@ -1002,5 +1041,6 @@ object StatsQueries {
     "sample_weighted" -> sampleWeightedSql,
     "heavy_hitters" -> heavyHittersSql,
     "heavy_hitters_grouped" -> heavyHittersGroupedSql,
-    "quantile_sketch_check" -> quantileSketchCheckSql)
+    "quantile_sketch_check" -> quantileSketchCheckSql,
+    "winsorize" -> winsorizeSql)
 }

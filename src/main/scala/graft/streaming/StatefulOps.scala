@@ -224,6 +224,36 @@ object StatefulOps {
         })
   }
 
+  /** Continuous per-group quantiles: the streaming twin of
+    * `graft_kll_quantiles` — the SAME [[graft.functions.Kll]] ladder rides
+    * as keyed state (serialized form, so state-store encoding is the
+    * aggregate's own wire format), folded per micro-batch, O(k·log n) per
+    * group forever. Emits refreshed estimates for groups touched in the
+    * batch; the rank-envelope guarantee holds over the whole stream
+    * because the state update IS the batch fold — the same twin
+    * relationship as [[heavyHittersStream]] / `graft_heavy_hitters`.
+    */
+  case class GroupQuantiles(group: String, n: Long, est: Seq[Double])
+
+  def kllQuantilesStream(values: Dataset[(String, Double)], k: Int,
+                         qs: Seq[Double]): Dataset[GroupQuantiles] = {
+    implicit val enc = Encoders.product[GroupQuantiles]
+    implicit val stateEnc = Encoders.BINARY
+    values
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (group: String, batch: Iterator[(String, Double)],
+         state: GroupState[Array[Byte]]) => {
+          val st = state.getOption.map(graft.functions.Kll.deserialize)
+            .getOrElse(new graft.functions.Kll.KllState(k))
+          batch.foreach { case (_, v) => graft.functions.Kll.insert(st, v) }
+          state.update(graft.functions.Kll.serialize(st))
+          Iterator.single(GroupQuantiles(group, st.count,
+            qs.map(graft.functions.Kll.quantile(st, _))))
+        })
+  }
+
   /** Fold a batch of events into the carried state. */
   private[streaming] def fold(userId: Long, events: Iterator[UserEvent],
                               prior: Option[UserProfile]): UserProfile =

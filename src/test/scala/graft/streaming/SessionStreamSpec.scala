@@ -64,6 +64,32 @@ class SessionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KLL quantiles: same ladder as the batch aggregate, " +
+    "rank envelope holds over the whole stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = StatefulOps.kllQuantilesStream(mem.toDS(), k = 200,
+        qs = Seq(0.25, 0.5, 0.9))
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("update").start()
+    val data = Array.tabulate(8000)(i => ((i * 6007) % 8000).toDouble)
+    try {
+      data.grouped(2000).foreach { b =>
+        mem.addData(b.map(("g", _)).toSeq: _*); q.processAllAvailable()
+      }
+      val last = spark.table("kll_stream")
+        .as[StatefulOps.GroupQuantiles].collect().maxBy(_.n)
+      assert(last.n == 8000)
+      Seq(0.25, 0.5, 0.9).zip(last.est).foreach { case (qq, e) =>
+        val lt = data.count(_ < e); val le = data.count(_ <= e)
+        val target = qq * data.length
+        val err = if (target < lt) (lt - target) / data.length
+                  else if (target > le) (target - le) / data.length else 0.0
+        assert(err <= 0.02, s"q=$qq err=$err")
+      }
+    } finally q.stop()
+  }
+
   test("streaming closed sessions match the batch operator on ordered data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(

@@ -747,6 +747,121 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------------ video
+
+  /** Video container: `GVID` magic, big-endian u32 frame count, u32
+    * per-frame byte lengths (the seek index — what lets a decoder sample
+    * frame f WITHOUT parsing frames 0..f−1), then the frames back-to-back,
+    * each a REAL PNG ([[encodePng]]). Frame f's raster is the content
+    * rotated left by f bytes — same byte multiset every frame (so
+    * brightness is constant across frames, a property the oracle checks),
+    * different raster order (so each frame's pixel digest is distinct and
+    * any frame-indexing bug breaks the oracle).
+    */
+  def encodeVideo(content: Array[Byte], nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1, "video needs at least one frame")
+    val frames = (0 until nFrames).map { f =>
+      val rot = new Array[Byte](content.length)
+      var i = 0
+      while (i < content.length) {
+        rot(i) = content((i + f) % content.length); i += 1
+      }
+      encodePng(if (content.isEmpty) content else rot)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('V'); out.write('I'); out.write('D')
+    def be(v: Int): Unit = {
+      out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be(nFrames)
+    frames.foreach(fr => be(fr.length))
+    frames.foreach(fr => out.write(fr, 0, fr.length))
+    out.toByteArray
+  }
+
+  /** Parse the container: magic, frame count, index walk, extent check.
+    * Returns the frame payloads (still PNG-encoded). Corrupt input fails
+    * loudly for quarantine routing, like every decoder here.
+    */
+  def parseVideo(video: Array[Byte]): Seq[Array[Byte]] = {
+    require(video.length >= 8, "truncated GVID header")
+    require(video(0) == 'G' && video(1) == 'V' && video(2) == 'I' &&
+      video(3) == 'D', "bad GVID magic")
+    def be(p: Int): Int = ((video(p) & 0xff) << 24) | ((video(p + 1) & 0xff) << 16) |
+      ((video(p + 2) & 0xff) << 8) | (video(p + 3) & 0xff)
+    val n = be(4)
+    require(n >= 1 && n <= 100000, s"implausible frame count $n")
+    require(video.length >= 8 + 4 * n, "truncated GVID index")
+    val lens = (0 until n).map(i => be(8 + 4 * i))
+    require(lens.forall(_ >= 0), "negative frame length")
+    require(lens.map(_.toLong).sum == video.length - 8 - 4L * n,
+      "GVID index does not cover the container extent")
+    var off = 8 + 4 * n
+    lens.map { len =>
+      val fr = java.util.Arrays.copyOfRange(video, off, off + len)
+      off += len
+      fr
+    }
+  }
+
+  /** [[mediaTable]] with payloads wrapped as [[encodeVideo]] containers —
+    * frame count varies per id (2–4) so the index walk is exercised.
+    */
+  def encodedVideoTable(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.select(col(idCol).cast(LongType), col(textCol), col(sourceCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val vid = encodeVideo(
+            Option(r.getString(1)).getOrElse("").getBytes("UTF-8"),
+            nFrames = 2 + (id % 3).toInt)
+          Row(id, vid, Row("video/gvid", r.getString(2), vid.length.toLong))
+        }
+      }(enc)
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("digest", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("brightness", DoubleType)))
+
+  /** Frame-sampled video decode: seek via the index to every `stride`-th
+    * frame, full PNG decode of ONLY those frames (the skipped ones are
+    * never inflated — at production bitrates that is most of the work),
+    * per-frame digest + brightness over decoded pixels. One output row
+    * per sampled frame; batched mapPartitions, blobs never shuffle.
+    */
+  def extractVideoFrames(media: DataFrame, stride: Int,
+                         batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(videoFrameSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val frames = parseVideo(r.getAs[Array[Byte]](1))
+          frames.indices.filter(_ % stride == 0).map { f =>
+            val (n, digest, w, h, bright) = pngFeatureValues(frames(f))
+            Row(id, frames.length, f, digest, w, h, bright)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** "Frame sampling": cut the payload into fixed-size slices and keep every
     * `stride`-th one — the video-frame analogue, as pure column expressions.
     */

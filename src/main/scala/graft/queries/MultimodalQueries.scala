@@ -316,8 +316,57 @@ object MultimodalQueries {
       |    + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
 
+  private val VideoStride = 2
+
+  /** Frame-sampled VIDEO decode over real GVID containers (PNG frames +
+    * a seek index — [[graft.ops.Multimodal.encodeVideo]]): only every
+    * 2nd frame is inflated (the index makes skipping free, the dominant
+    * saving at production bitrates), each sampled frame fully decoded to
+    * pixels. Frame f's raster is the text rotated by f, so the oracle
+    * predicts each frame's digest exactly (rotation + zero padding) and
+    * brightness is provably constant across a video's frames.
+    */
+  def multimodalVideo(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractVideoFrames(
+        Multimodal.encodedVideoTable(
+          Readers.table(spark, dir, "documents"), "doc_id", "text", "source"),
+        stride = VideoStride)
+      .orderBy("media_id", "frame_idx")
+
+  val multimodalVideoSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(text::BLOB) AS INTEGER) AS n,
+       |    CAST(CASE WHEN octet_length(text::BLOB) = 0 THEN 1
+       |              ELSE least(octet_length(text::BLOB), 64) END AS INTEGER) AS w
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, text, n, w,
+       |    CAST(CASE WHEN n = 0 THEN 1 ELSE (n + w - 1) // w END AS INTEGER) AS h,
+       |    CAST(2 + doc_id % 3 AS INTEGER) AS nf
+       |  FROM g
+       |), fr AS (
+       |  SELECT doc_id, text, n, w, h, nf,
+       |    unnest(range(nf)) AS fi
+       |  FROM d
+       |)
+       |SELECT doc_id AS media_id, nf AS n_frames,
+       |  CAST(fi AS INTEGER) AS frame_idx,
+       |  md5(CASE WHEN n = 0 THEN ''
+       |           ELSE substr(text, CAST(fi % n AS INTEGER) + 1)
+       |             || substr(text, 1, CAST(fi % n AS INTEGER)) END
+       |      || repeat(chr(0), w * h - n)) AS digest,
+       |  w AS width, h AS height,
+       |  floor(COALESCE(list_sum(list_transform(
+       |          regexp_extract_all(text, '(?s).'), c -> unicode(c))), 0)::DOUBLE
+       |      / (w * h)::DOUBLE / 255.0::DOUBLE * 1000000.0::DOUBLE
+       |      + 0.5::DOUBLE) / 1000000.0::DOUBLE AS brightness
+       |FROM fr WHERE fi % $VideoStride = 0
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
+    "multimodal_video" -> multimodalVideo,
     "image_phash" -> imagePhashQ,
     "image_phash_dedup" -> imagePhashDedupQ,
     "multimodal_features" -> multimodalFeatures,
@@ -328,6 +377,7 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
+    "multimodal_video" -> multimodalVideoSql,
     "image_phash" -> imagePhashSql,
     "image_phash_dedup" -> imagePhashDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -344,6 +344,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getBoolean(1))
   }
 
+  test("video container round-trips frames; sampling decodes the right ones") {
+    val content = "video frame payload content".getBytes("UTF-8")
+    val vid = Multimodal.encodeVideo(content, nFrames = 5)
+    val frames = Multimodal.parseVideo(vid)
+    assert(frames.length == 5)
+    // frame 0 is the unrotated image; frame 2 is rotated by 2
+    val (_, _, px0) = Multimodal.decodePng(frames(0))
+    assert(px0.take(content.length).sameElements(content))
+    val (_, _, px2) = Multimodal.decodePng(frames(2))
+    assert(px2.take(content.length - 2)
+      .sameElements(content.drop(2)))
+    // stride-2 sampling over a 5-frame video → frames 0, 2, 4
+    val media = Seq((3L, vid, "video/gvid", "s"))
+      .toDF("media_id", "media", "mime", "source")
+      .select($"media_id", $"media",
+        struct($"mime", $"source",
+          octet_length($"media").cast("long").as("n_bytes")).as("meta"))
+    val out = Multimodal.extractVideoFrames(media, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(0, 2, 4))
+    assert(out.forall(_.getInt(1) == 5))
+    // same byte multiset every frame → identical brightness
+    assert(out.map(_.getDouble(6)).distinct.length == 1)
+    // different rotation → distinct digests
+    assert(out.map(_.getString(3)).distinct.length == 3)
+  }
+
+  test("video parse rejects corrupt containers loudly") {
+    val vid = Multimodal.encodeVideo("abc".getBytes("UTF-8"), 3)
+    val badMagic = vid.clone(); badMagic(0) = 'X'
+    assert(intercept[IllegalArgumentException](Multimodal.parseVideo(badMagic))
+      .getMessage.contains("magic"))
+    // index claiming more bytes than the container holds
+    val badIdx = vid.clone(); badIdx(8) = 0x7f
+    assert(intercept[IllegalArgumentException](Multimodal.parseVideo(badIdx))
+      .getMessage.contains("extent"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.parseVideo(vid.take(6))).getMessage.contains("truncated"))
+  }
+
   test("imagePhash: dHash bits computed over the DECODED raster") {
     // 128 bytes → 64×2 raster; recompute the expected hash from the
     // content with independent arithmetic

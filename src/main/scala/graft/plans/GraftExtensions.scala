@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomFilterBuildAgg, BloomMightContain, CdcChunks, FloatArrayDot, HeavyHittersSketch, HtmlUnescape, JaroWinkler, KllQuantilesAgg, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
+import graft.functions.{BloomFilterBuildAgg, BloomMightContain, CdcChunks, FloatArrayDot, HashingTrick, HeavyHittersSketch, HtmlUnescape, JaroWinkler, KllQuantilesAgg, RollingHash, SimilarityScore, TopKStructs, UnicodeNfc, WinnowFingerprints}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
@@ -132,6 +132,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BloomFilterBuildAgg(children.head, bits,
           intLit(children(2), "graft_bloom_agg: numHashes"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hashing_features"),
+      new ExpressionInfo(classOf[HashingTrick].getName, "hashing_features"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "hashing_features expects (text, dim literal)")
+        HashingTrick(children.head, intLit(children(1), "hashing_features: dim"))
       }))
 
     ext.injectFunction((

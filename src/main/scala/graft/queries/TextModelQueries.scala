@@ -78,11 +78,60 @@ object TextModelQueries {
       |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val HashDim = 64
+
+  /** Feature hashing over documents ([[graft.functions.HashingTrick]]):
+    * text → fixed-64-dim signed-count vector in a NARROW MAP — no
+    * vocabulary pass, no explode, no shuffle; the whole featurization is
+    * one codegen expression in the scan projection. The oracle rebuilds
+    * every vector component from md5 arithmetic and certifies via
+    * collision-sensitive summaries: nonzero count, L2 norm, and the
+    * index-weighted checksum (integer-exact, so a single misplaced or
+    * missigned token breaks it).
+    */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val vec = graft.functions.HashingTrickFunctions
+      .hashingFeatures(col("text"), HashDim)
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), vec.as("v"))
+      .select(col("doc_id"),
+        size(filter(col("v"), x => x =!= 0.0)).as("nnz"),
+        round(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)), 6)
+          .as("l2"),
+        aggregate(zip_with(col("v"),
+            sequence(lit(1L), lit(HashDim.toLong)), (x, i) => x * i),
+          lit(0.0), (a, x) => a + x).cast("long").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  val featureHashingSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $HashDim AS INTEGER)
+       |      AS idx,
+       |    CASE WHEN ('0x' || substr(md5(t), 9, 1))::INTEGER % 2 = 0
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM tok
+       |), v AS (
+       |  SELECT doc_id, idx, CAST(sum(sgn) AS DOUBLE) AS val
+       |  FROM h GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |  CAST(COALESCE(sum(CASE WHEN val <> 0 THEN 1 END), 0) AS INTEGER)
+       |    AS nnz,
+       |  round(sqrt(COALESCE(sum(val * val), 0)), 6) AS l2,
+       |  CAST(COALESCE(sum(val * (idx + 1)), 0) AS BIGINT) AS checksum
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> repetitionStats,
-    "ngram_lm_score" -> ngramLmScore)
+    "ngram_lm_score" -> ngramLmScore,
+    "feature_hashing" -> featureHashing)
 
   val oracle: Map[String, String] = Map(
     "repetition_stats" -> repetitionStatsSql,
-    "ngram_lm_score" -> ngramLmScoreSql)
+    "ngram_lm_score" -> ngramLmScoreSql,
+    "feature_hashing" -> featureHashingSql)
 }

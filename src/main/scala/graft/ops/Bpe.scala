@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge-rule training — the
+  * tokenizer-learning step of an LLM data pipeline, as ONE lazy Spark
+  * plan: no driver loop, no collect.
+  *
+  * Round structure (classic Sennrich/GPT BPE over a word-frequency
+  * table):
+  *   1. count adjacent symbol pairs, weighted by word frequency
+  *      (adjacent-position counting, overlaps included — the standard);
+  *   2. the argmax pair (ties broken lexicographically, so every engine
+  *      agrees) becomes merge rule r;
+  *   3. apply the merge to every word — LEFTMOST-NON-OVERLAPPING, via an
+  *      `aggregate` fold over the symbol array (the fold appends, or
+  *      replaces its last element when (last, next) equals the rule —
+  *      exactly the sequential semantics, in a parallel map).
+  *
+  * The trick that keeps it lazy: each round's rule is a ONE-ROW frame
+  * (`orderBy.limit(1)`) cross-joined (broadcast) into the next round's
+  * fold, which references its columns instead of driver-collected
+  * literals. R rounds = R nested folds in one DAG; Catalyst plans the
+  * whole chain, and nothing executes until the sink asks.
+  *
+  * Scale: the corpus reduces ONCE to a word-frequency table (the only
+  * data-sized pass); every round then runs over vocab-sized data. At
+  * 100 TB the vocab table is millions of rows — each round is a
+  * hash-aggregate + a 1-row TakeOrdered over it, embarrassingly small
+  * next to the corpus scan that produced it.
+  */
+object Bpe {
+
+  /** Word-frequency base table: lowercase whitespace tokens restricted to
+    * `^[a-z]+$` (BPE is defined over a closed symbol alphabet; the
+    * separator char used by the oracle replay must not occur in a
+    * symbol), capped at the `maxWords` most frequent words
+    * (deterministic: count desc, word) so the oracle replay stays
+    * affordable.
+    */
+  def wordTable(docs: DataFrame, textCol: String, maxWords: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("t"))
+      .select(lower(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+
+  /** One merge round over (w, c, syms): returns (rule, merged) where
+    * `rule` is the 1-row argmax frame (a, b, pair_count) and `merged` the
+    * vocabulary with the rule applied.
+    */
+  private def round(vocab: DataFrame): (DataFrame, DataFrame) = {
+    val pairs = vocab
+      .select(col("c"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("pair_count"))
+    val rule = pairs.orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(1)
+    val merged = vocab.crossJoin(broadcast(rule))
+      .select(col("w"), col("c"),
+        when(size(col("syms")) < 2, col("syms")).otherwise(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            slice(col("syms"), lit(1), lit(1)),
+            (acc, x) =>
+              when(element_at(acc, -1) === col("a") && x === col("b"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(col("a"), col("b")))))
+                .otherwise(concat(acc, array(x)))))
+          .as("syms"))
+    (rule, merged)
+  }
+
+  /** Train `rounds` merge rules; returns one row per rule:
+    * (round, a, b, merged, pair_count).
+    */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  maxWords: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    var vocab = wordTable(docs, textCol, maxWords)
+      .select(col("w"), col("c"),
+        // characters; Spark's split keeps the trailing zero-width match
+        // as an empty string — drop it
+        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+    val rules = (1 to rounds).map { r =>
+      // lazily checkpoint each vocab stage (the Graph.scala iteration
+      // pattern): rule r's subtree otherwise contains the whole chain up
+      // to r, so the union of R rules costs O(R²) corpus scans and the
+      // nested fold expressions blow up optimizer/codegen memory; with
+      // ≤maxWords-row stages materialized once, it is one corpus scan +
+      // R tiny rounds, and the plan stays round-constant
+      vocab = vocab.localCheckpoint(false)
+      val (rule, merged) = round(vocab)
+      vocab = merged
+      rule.select(lit(r).as("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("pair_count"))
+    }
+    rules.reduce(_.unionAll(_)).orderBy("round")
+  }
+}

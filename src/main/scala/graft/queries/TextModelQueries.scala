@@ -125,13 +125,75 @@ object TextModelQueries {
        |  CAST(COALESCE(sum(val * (idx + 1)), 0) AS BIGINT) AS checksum
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val BpeRounds   = 10
+  val BpeMaxWords = 2000
+
+  /** Distributed BPE merge-rule training ([[graft.ops.Bpe]]): 10 rounds
+    * learned as ONE lazy DAG — each round's argmax pair is a 1-row
+    * broadcast into the next round's merge fold, never a driver collect.
+    * The oracle replays every round (pair count → argmax → leftmost-
+    * non-overlapping merge via a string fold), so a divergence in ANY
+    * round's counting, tie-break, or merge application breaks every
+    * subsequent row.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.trainMerges(
+      Readers.table(spark, dir, "documents"), "text",
+      rounds = BpeRounds, maxWords = BpeMaxWords)
+
+  val bpeTrainSql: String = {
+    def pairCte(r: Int): String =
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b,
+         |    CAST(sum(c) AS BIGINT) AS pair_count FROM (
+         |    SELECT c, unnest(list_zip(list_slice(sy, 1, len(sy)-1),
+         |                              list_slice(sy, 2, len(sy)))) AS pr
+         |    FROM (SELECT c, list_slice(string_split(s, '|'), 1, -2) AS sy
+         |          FROM v${r - 1})
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS (SELECT a, b, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT w, c,
+         |    list_reduce(list_prepend('', list_slice(string_split(s,'|'),1,-2)),
+         |      (acc, x) -> CASE WHEN x = m$r.b
+         |                        AND ends_with('|' || acc, '|' || m$r.a || '|')
+         |                       THEN left(acc, len(acc) - len(m$r.a) - 1)
+         |                            || m$r.a || m$r.b || '|'
+         |                       ELSE acc || x || '|' END) AS s
+         |  FROM v${r - 1}, m$r
+         |)""".stripMargin
+    val finals = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a, b, a||b AS merged, pair_count FROM m$r")
+      .mkString("\nUNION ALL\n")
+    // each part stripMargin'd SEPARATELY, then plain-concatenated: the
+    // generated SQL is full of legitimate '|' (concat operator, symbol
+    // separator), and a second stripMargin pass over embedded parts
+    // would eat one pipe of every line-leading '||'
+    val header =
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT lower(unnest(string_split(text,' '))) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w ORDER BY c DESC, w LIMIT $BpeMaxWords
+         |),
+         |v0 AS (SELECT w, c, regexp_replace(w, '(.)', '\\1|', 'g') AS s
+         |       FROM words)""".stripMargin
+    header + ",\n" + (1 to BpeRounds).map(pairCte).mkString(",\n") +
+      "\nSELECT * FROM (\n" + finals + "\n) ORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> repetitionStats,
     "ngram_lm_score" -> ngramLmScore,
-    "feature_hashing" -> featureHashing)
+    "feature_hashing" -> featureHashing,
+    "bpe_train" -> bpeTrain)
 
   val oracle: Map[String, String] = Map(
     "repetition_stats" -> repetitionStatsSql,
     "ngram_lm_score" -> ngramLmScoreSql,
-    "feature_hashing" -> featureHashingSql)
+    "feature_hashing" -> featureHashingSql,
+    "bpe_train" -> bpeTrainSql)
 }

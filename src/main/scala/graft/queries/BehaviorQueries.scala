@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
-import graft.ops.{AsOfJoin, Behavior}
+import graft.ops.{AsOfJoin, Behavior, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -717,7 +717,86 @@ object BehaviorQueries {
       |LEFT JOIN act a ON a.week_idx = w.week_idx - 1
       |ORDER BY w.week_idx""".stripMargin
 
+
+  /** Funnel scoped to SESSIONS instead of lifetimes: sessionize (30-min
+    * gap), then run the ordered funnel per (user, session) — a view
+    * yesterday no longer qualifies today's click, which is what
+    * product analytics usually means by "conversion". Composition of two
+    * existing operators sharing one shuffle family: the session window
+    * and the funnel windows both partition by user, so the funnel's
+    * (user, session) partitions nest inside the session exchange.
+    * Output: sessions per funnel depth with the share of all sessions.
+    */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.withSessionNo(Readers.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        gapMicros = 30L * 60 * 1000000)
+      .withColumn("skey", concat_ws("#", col("user_id"), col("session_no")))
+    val f = Behavior.funnel(sess, col("skey"), col("ts"), col("event_id"),
+      col("event_type"), FunnelSteps)
+    val byDepth = f.groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+    val tot = byDepth.agg(sum("n_sessions").cast("double").as("total"))
+    byDepth.crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_sessions"),
+        round(col("n_sessions") / col("total"), 6).as("frac"))
+      .orderBy("depth")
+  }
+
+  private val sessionBeforeFrame =
+    """PARTITION BY user_id, session_no ORDER BY us, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING""".stripMargin
+
+  val sessionFunnelSql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM (
+       |    SELECT user_id, ts, event_id, event_type,
+       |      CASE WHEN prev_us IS NULL
+       |                OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+       |           THEN 1 ELSE 0 END AS is_new
+       |    FROM (
+       |      SELECT user_id, ts, event_id, event_type,
+       |        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |          PARTITION BY user_id
+       |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+       |      FROM events))
+       |),
+       |q0 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(0)}' THEN us END AS qual_0
+       |  FROM s
+       |),
+       |q1 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(1)}' AND
+       |      min(qual_0) OVER ($sessionBeforeFrame) IS NOT NULL
+       |    THEN us END AS qual_1
+       |  FROM q0
+       |),
+       |q2 AS (
+       |  SELECT *, CASE WHEN event_type = '${FunnelSteps(2)}' AND
+       |      min(qual_1) OVER ($sessionBeforeFrame) IS NOT NULL
+       |    THEN us END AS qual_2
+       |  FROM q1
+       |),
+       |f AS (
+       |  SELECT user_id, session_no,
+       |    CAST(CASE WHEN min(qual_2) IS NOT NULL THEN 3
+       |              WHEN min(qual_1) IS NOT NULL THEN 2
+       |              WHEN min(qual_0) IS NOT NULL THEN 1
+       |              ELSE 0 END AS INT) AS depth
+       |  FROM q2 GROUP BY user_id, session_no
+       |),
+       |d AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+       |      FROM f GROUP BY 1),
+       |t AS (SELECT sum(n_sessions)::DOUBLE AS total FROM d)
+       |SELECT depth, n_sessions, round(n_sessions / total, 6) AS frac
+       |FROM d CROSS JOIN t ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_funnel" -> sessionFunnel,
     "growth_accounting" -> growthAccounting,
     "user_streaks" -> userStreaks,
     "engagement_hist" -> engagementHist,
@@ -736,6 +815,7 @@ object BehaviorQueries {
     "markov_transitions" -> markovTransitions)
 
   val oracle: Map[String, String] = Map(
+    "session_funnel" -> sessionFunnelSql,
     "growth_accounting" -> growthAccountingSql,
     "user_streaks" -> userStreaksSql,
     "engagement_hist" -> engagementHistSql,

@@ -455,7 +455,51 @@ object CurationQueries {
       |    AS leak_users
       |FROM u GROUP BY split ORDER BY split""".stripMargin
 
+
+  val AnonK = 5
+
+  /** k-anonymity audit over quasi-identifiers (market segment × nation):
+    * the pre-release privacy gate a curated dataset runs — any
+    * quasi-identifier combination observed fewer than k times makes its
+    * members re-identifiable and must be suppressed or generalized. One
+    * hash aggregate over the quasi-identifier tuple; the audit emits every
+    * group with its size and pass flag plus exactly what a suppression
+    * pass would drop. At 100 TB this is the same single groupBy — the
+    * quasi-identifier domain, not the data, bounds the result.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Readers.table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"))
+    val tot = groups.agg(sum(col("n")).cast("double").as("total"),
+      sum(when(col("n") < AnonK, col("n")).otherwise(lit(0L)))
+        .cast("double").as("suppressed"))
+    groups.crossJoin(broadcast(tot))
+      .select(col("segment"), col("nation"), col("n"),
+        (col("n") >= AnonK).as("k_anonymous"),
+        round(col("suppressed") / col("total"), 6).as("suppression_rate"))
+      .orderBy("segment", "nation")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH g AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2
+       |), t AS (
+       |  SELECT sum(n)::DOUBLE AS total,
+       |    COALESCE(sum(CASE WHEN n < $AnonK THEN n END), 0)::DOUBLE
+       |      AS suppressed
+       |  FROM g
+       |)
+       |SELECT segment, nation, n, n >= $AnonK AS k_anonymous,
+       |  round(suppressed / total, 6) AS suppression_rate
+       |FROM g CROSS JOIN t
+       |ORDER BY segment, nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity" -> kAnonymity,
     "group_split" -> groupSplit,
     "chunk_tokens" -> chunkTokens,
     "quality_filter" -> qualityFilter,
@@ -469,6 +513,7 @@ object CurationQueries {
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
+    "k_anonymity" -> kAnonymitySql,
     "group_split" -> groupSplitSql,
     "chunk_tokens" -> chunkTokensSql,
     "quality_filter" -> qualityFilterSql,

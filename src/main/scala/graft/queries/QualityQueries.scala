@@ -331,7 +331,50 @@ object QualityQueries {
        |FROM a JOIN b USING (bucket)
        |ORDER BY bucket""".stripMargin
 
+
+  /** Join fan-out audit — the skew diagnosis that DECIDES between a plain
+    * shuffle join, a broadcast, and the salted join: for each join key,
+    * the row count, key cardinality, and the max/avg/p99 rows-per-key
+    * multiplicities. A p99≪max profile is the hot-key signature that
+    * makes `join_salted`'s salting worth its replication; flat profiles
+    * make it pure overhead. One hash aggregate per audited key.
+    */
+  def joinFanoutAudit(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_fanout"),
+          round(avg(col("cnt")), 4).as("avg_fanout"),
+          round(expr("percentile(cnt, 0.99D)"), 4).as("p99_fanout"))
+        .select(lit(label).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_fanout"), col("avg_fanout"), col("p99_fanout"))
+    profile(Readers.table(spark, dir, "lineitem"), "l_orderkey",
+        "lineitem.l_orderkey")
+      .unionAll(profile(Readers.table(spark, dir, "orders"), "o_custkey",
+        "orders.o_custkey"))
+      .unionAll(profile(Readers.events(spark, dir), "user_id",
+        "events.user_id"))
+      .orderBy("join_key")
+  }
+
+  val joinFanoutAuditSql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table.$key' AS join_key,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  max(cnt) AS max_fanout,
+         |  round(avg(cnt), 4) AS avg_fanout,
+         |  round(quantile_cont(cnt, 0.99), 4) AS p99_fanout
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+         |      FROM $table GROUP BY $key)""".stripMargin
+    Seq(one("lineitem", "l_orderkey"), one("orders", "o_custkey"),
+      one("events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fanout_audit" -> joinFanoutAudit,
     "bucket_digest" -> bucketDigest,
     "dq_checks" -> dqChecks,
     "cdc_upsert" -> cdcUpsert,
@@ -339,6 +382,7 @@ object QualityQueries {
     "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
+    "join_fanout_audit" -> joinFanoutAuditSql,
     "bucket_digest" -> bucketDigestSql,
     "dq_checks" -> dqChecksSql,
     "cdc_upsert" -> cdcUpsertSql,

@@ -862,6 +862,61 @@ object Multimodal {
     }(enc)
   }
 
+  val FingerprintWindow  = 16 // samples per energy window
+  val FingerprintMaxBits = 48 // fingerprint length cap (fits a BIGINT)
+
+  val audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_windows", IntegerType),
+    StructField("fingerprint", LongType),
+    StructField("energy_total", LongType)))
+
+  /** Audio fingerprint from DECODED PCM — the audio analogue of
+    * [[imagePhash]]: channel-0 samples are cut into 16-sample windows,
+    * each window's energy (Σ sample², exact 64-bit integers) compared to
+    * the clip mean, one bit per window (capped at 48). The compare is
+    * `energy·n_windows > total` — pure integer arithmetic, so both
+    * engines agree bit-for-bit with no float mean. Same loudness-shape
+    * robustness idea as production audio fingerprints (energy contour
+    * vs. its own mean), minus the FFT; map-only, blobs never shuffle.
+    */
+  def audioFingerprint(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFingerprintSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, channels, data) = parseWav(r.getAs[Array[Byte]](1))
+          val nFrames = data.length / 2 / channels
+          val nw = math.min(nFrames / FingerprintWindow, FingerprintMaxBits)
+          val energies = new Array[Long](nw)
+          var w = 0
+          while (w < nw) {
+            var e = 0L
+            var i = 0
+            while (i < FingerprintWindow) {
+              val f = w * FingerprintWindow + i
+              val p = f * channels * 2 // channel 0 of frame f
+              val v = ((data(p + 1).toInt << 8) | (data(p) & 0xff)).toLong
+              e += v * v
+              i += 1
+            }
+            energies(w) = e
+            w += 1
+          }
+          val total = energies.sum
+          var fp = 0L
+          w = 0
+          while (w < nw) {
+            if (energies(w) * nw > total) fp |= 1L << w
+            w += 1
+          }
+          Row(r.getLong(0), nw, fp, total)
+        }
+      }
+    }(enc)
+  }
+
   /** "Frame sampling": cut the payload into fixed-size slices and keep every
     * `stride`-th one — the video-frame analogue, as pure column expressions.
     */

@@ -364,9 +364,49 @@ object MultimodalQueries {
        |FROM fr WHERE fi % $VideoStride = 0
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Audio fingerprints over decoded PCM
+    * ([[graft.ops.Multimodal.audioFingerprint]]): window-energy contour
+    * vs clip mean, one bit per window, all-integer — the oracle rebuilds
+    * every energy and comparison from the synth mapping, so one wrong
+    * sample anywhere in the WAV decode chain flips a bit and fails the
+    * hash.
+    */
+  def audioFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(
+        Multimodal.encodedAudioTable(
+          Readers.table(spark, dir, "documents"), "doc_id", "text", "source"))
+      .orderBy("media_id")
+
+  val audioFingerprintSql: String = {
+    val W = Multimodal.FingerprintWindow
+    val B = Multimodal.FingerprintMaxBits
+    s"""WITH g AS (
+       |  SELECT doc_id, regexp_extract_all(text, '(?s).') AS cs,
+       |    CAST(octet_length(text::BLOB) AS INTEGER) AS n
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id,
+       |    CAST(least(n // $W, $B) AS INTEGER) AS nw,
+       |    list_transform(range(least(n // $W, $B)), w ->
+       |      65536::BIGINT * list_sum(list_transform(
+       |        cs[CAST(w * $W + 1 AS INTEGER):CAST(w * $W + $W AS INTEGER)],
+       |        c -> CAST((unicode(c) - 128) * (unicode(c) - 128) AS BIGINT))))
+       |      AS es
+       |  FROM g
+       |)
+       |SELECT doc_id AS media_id, nw AS n_windows,
+       |  CAST(COALESCE(list_sum(list_transform(range(nw), w ->
+       |    CASE WHEN es[CAST(w AS INTEGER) + 1] * nw > list_sum(es)
+       |         THEN 1::BIGINT << w ELSE 0::BIGINT END)), 0) AS BIGINT)
+       |    AS fingerprint,
+       |  CAST(COALESCE(list_sum(es), 0) AS BIGINT) AS energy_total
+       |FROM e ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_binary" -> multimodalBinary,
     "multimodal_video" -> multimodalVideo,
+    "audio_fingerprint" -> audioFingerprintQ,
     "image_phash" -> imagePhashQ,
     "image_phash_dedup" -> imagePhashDedupQ,
     "multimodal_features" -> multimodalFeatures,
@@ -378,6 +418,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "multimodal_binary" -> multimodalBinarySql,
     "multimodal_video" -> multimodalVideoSql,
+    "audio_fingerprint" -> audioFingerprintSql,
     "image_phash" -> imagePhashSql,
     "image_phash_dedup" -> imagePhashDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -344,6 +344,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getBoolean(1))
   }
 
+  test("audioFingerprint: window-energy bits from decoded PCM, all-integer") {
+    // 48 content bytes → 3 windows of 16; loud/quiet/loud pattern.
+    // ASCII-range bytes only: the table encodes text via UTF-8, and a
+    // byte ≥ 0x80 would become two bytes and shift every window
+    val content = (Array.fill(16)(10.toByte) ++ Array.fill(16)(127.toByte) ++
+      Array.fill(16)(20.toByte))
+    val media = Seq((5L, new String(content.map(b => (b & 0xff).toChar)), "s"))
+      .toDF("doc_id", "text", "source")
+    // build via the real WAV path (2 channels for id 5: 1 + 5%2 = 2)
+    val table = Multimodal.encodedAudioTable(media, "doc_id", "text", "source")
+    val r = Multimodal.audioFingerprint(table).collect()(0)
+    assert(r.getInt(1) == 3)
+    // energies per window (sample = (b-128)*256): recompute independently
+    val es = content.grouped(16).map(_.map { b =>
+      val v = ((b & 0xff) - 128).toLong * 256; v * v
+    }.sum).toArray
+    val tot = es.sum
+    val expFp = es.zipWithIndex
+      .collect { case (e, w) if e * 3 > tot => 1L << w }.sum
+    assert(r.getLong(2) == expFp && r.getLong(3) == tot)
+    // windows 0 (122²) and 2 (118²) are above the mean, window 1 (0) is not
+    assert(expFp == 5L)
+  }
+
   test("video container round-trips frames; sampling decodes the right ones") {
     val content = "video frame payload content".getBytes("UTF-8")
     val vid = Multimodal.encodeVideo(content, nFrames = 5)

@@ -373,7 +373,38 @@ object QualityQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
   }
 
+
+  /** Column-level lineage of the flagship pipeline, derived from the
+    * ANALYZED Catalyst plan ([[graft.plans.Lineage]]) — the governance
+    * artifact (impact analysis, PII audit) extracted from the same tree
+    * the optimizer consumes, so it can never drift from the code. The
+    * oracle pins the expected column → source mapping as literals: a
+    * refactor that silently changes what feeds an output column fails
+    * the compare.
+    */
+  def columnLineageQ(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.plans.Lineage
+      .columnLineage(Core.denormalizedFlagship(spark, dir))
+      .map { case (o, s) => (o, s.mkString(",")) }
+    spark.createDataFrame(rows).toDF("out_col", "sources")
+      .orderBy("out_col")
+  }
+
+  val columnLineageSql: String = Seq(
+    ("c_mktsegment", "customer.c_mktsegment"),
+    ("c_name", "customer.c_name"),
+    ("event_id", "events.event_id"),
+    ("event_type", "events.event_type"),
+    ("k", "events.props"),
+    ("ts", "events.ts"),
+    ("user_id", "events.user_id"),
+    ("value", "events.value"),
+    ("value_scaled", "events.value"))
+    .map { case (o, src) => s"SELECT '$o' AS out_col, '$src' AS sources" }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY out_col")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "column_lineage" -> columnLineageQ,
     "join_fanout_audit" -> joinFanoutAudit,
     "bucket_digest" -> bucketDigest,
     "dq_checks" -> dqChecks,
@@ -382,6 +413,7 @@ object QualityQueries {
     "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
+    "column_lineage" -> columnLineageSql,
     "join_fanout_audit" -> joinFanoutAuditSql,
     "bucket_digest" -> bucketDigestSql,
     "dq_checks" -> dqChecksSql,

@@ -795,8 +795,70 @@ object BehaviorQueries {
        |SELECT depth, n_sessions, round(n_sessions / total, 6) AS frac
        |FROM d CROSS JOIN t ORDER BY depth""".stripMargin
 
+
+  /** Watermark-lateness audit: treating event_id as ARRIVAL order (the
+    * generator assigns ids in emission order), each event's lateness is
+    * how far the stream's event-time high-water mark had already passed
+    * it on arrival. The histogram answers the question every streaming
+    * deployment must: "how much state does watermark delay X buy, and
+    * what fraction of events would it drop" — computed from batch
+    * history BEFORE committing a streaming config. One window pass in
+    * arrival order + one aggregate.
+    */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    // arrival model: daily files delivered in day order, rows UNORDERED
+    // within each day (md5 of the id — the deterministic stand-in for
+    // multi-source interleaving). The generator's event_id order is
+    // perfectly time-sorted, which would make the audit vacuous.
+    val arrival = Window.orderBy(col("day"), col("h"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateness = Readers.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("h", md5(col("event_id").cast("string")))
+      .withColumn("hwm", max(col("us")).over(arrival))
+      // integer seconds (div), matching the oracle's floor division —
+      // double '/' would put a 0.5s-late event in a different bucket
+      .withColumn("late_s", expr("(hwm - us) div 1000000"))
+    val buckets = lateness.select(
+      when(col("late_s") === 0, "0_on_time")
+        .when(col("late_s") <= 60, "1_under_1m")
+        .when(col("late_s") <= 3600, "2_under_1h")
+        .when(col("late_s") <= 86400, "3_under_1d")
+        .otherwise("4_over_1d").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val tot = buckets.agg(sum("n").cast("double").as("total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        round(col("n") / col("total"), 6).as("frac"))
+      .orderBy("bucket")
+  }
+
+  val latenessAuditSql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    md5(event_id::VARCHAR) AS h
+      |  FROM events
+      |), l AS (
+      |  SELECT (max(us) OVER (ORDER BY day, h, event_id
+      |            ROWS UNBOUNDED PRECEDING) - us) // 1000000 AS late_s
+      |  FROM e
+      |), b AS (
+      |  SELECT CASE WHEN late_s = 0 THEN '0_on_time'
+      |              WHEN late_s <= 60 THEN '1_under_1m'
+      |              WHEN late_s <= 3600 THEN '2_under_1h'
+      |              WHEN late_s <= 86400 THEN '3_under_1d'
+      |              ELSE '4_over_1d' END AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM l GROUP BY 1
+      |), t AS (SELECT sum(n)::DOUBLE AS total FROM b)
+      |SELECT bucket, n, round(n / total, 6) AS frac
+      |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_funnel" -> sessionFunnel,
+    "lateness_audit" -> latenessAudit,
     "growth_accounting" -> growthAccounting,
     "user_streaks" -> userStreaks,
     "engagement_hist" -> engagementHist,
@@ -816,6 +878,7 @@ object BehaviorQueries {
 
   val oracle: Map[String, String] = Map(
     "session_funnel" -> sessionFunnelSql,
+    "lateness_audit" -> latenessAuditSql,
     "growth_accounting" -> growthAccountingSql,
     "user_streaks" -> userStreaksSql,
     "engagement_hist" -> engagementHistSql,

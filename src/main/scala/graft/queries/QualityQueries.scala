@@ -403,8 +403,75 @@ object QualityQueries {
     .map { case (o, src) => s"SELECT '$o' AS out_col, '$src' AS sources" }
     .mkString("", "\nUNION ALL\n", "\nORDER BY out_col")
 
+
+  /** GDPR deletion-propagation plan: given the forget-set (customers with
+    * key ≡ 0 mod 97 — the deterministic stand-in for a deletion-request
+    * feed), size the cascade across the referential graph BEFORE running
+    * it: orders of those customers, lineitems of those orders, events of
+    * those users. Each table is one scan with a broadcast semi-probe of
+    * the (tiny) doomed-key set — the plan a deletion job would execute,
+    * priced without executing it. Pairs with [[columnLineageQ]]: lineage
+    * says where PII flows, this says what forgetting it costs.
+    */
+  def cascadeDeletePlan(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, key: String, ids: DataFrame,
+              label: String): DataFrame =
+      df.join(broadcast(ids.distinct().withColumnRenamed("id", "__did")),
+          col(key) === col("__did"), "left")
+        .agg(count(lit(1)).as("n_total"), count(col("__did")).as("n_delete"))
+        .select(lit(label).as("table_name"), col("n_total"), col("n_delete"),
+          round(col("n_delete") / col("n_total").cast("double"), 6).as("frac"))
+    val doomed = Readers.table(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("id"))
+    val doomedOrders = Readers.table(spark, dir, "orders")
+      .join(broadcast(doomed), col("o_custkey") === col("id"), "left_semi")
+      .select(col("o_orderkey").as("id"))
+    audit(Readers.table(spark, dir, "customer"), "c_custkey", doomed,
+        "customer")
+      .unionAll(audit(Readers.table(spark, dir, "events"), "user_id", doomed,
+        "events"))
+      .unionAll(audit(Readers.table(spark, dir, "lineitem"), "l_orderkey",
+        doomedOrders, "lineitem"))
+      .unionAll(audit(Readers.table(spark, dir, "orders"), "o_custkey", doomed,
+        "orders"))
+      .orderBy("table_name")
+  }
+
+  val cascadeDeletePlanSql: String =
+    """WITH doomed AS (
+      |  SELECT c_custkey AS id FROM customer WHERE c_custkey % 97 = 0
+      |), doomed_orders AS (
+      |  SELECT o_orderkey AS id FROM orders
+      |  WHERE o_custkey IN (SELECT id FROM doomed)
+      |), rows_ AS (
+      |  SELECT 'customer' AS table_name,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |     WHERE c_custkey IN (SELECT id FROM doomed)) AS n_delete
+      |  UNION ALL
+      |  SELECT 'events',
+      |    (SELECT count(*) FROM events),
+      |    (SELECT count(*) FROM events
+      |     WHERE user_id IN (SELECT id FROM doomed))
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT id FROM doomed_orders))
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_custkey IN (SELECT id FROM doomed))
+      |)
+      |SELECT table_name, n_total, n_delete,
+      |  round(n_delete / n_total::DOUBLE, 6) AS frac
+      |FROM rows_ ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "column_lineage" -> columnLineageQ,
+    "cascade_delete_plan" -> cascadeDeletePlan,
     "join_fanout_audit" -> joinFanoutAudit,
     "bucket_digest" -> bucketDigest,
     "dq_checks" -> dqChecks,
@@ -414,6 +481,7 @@ object QualityQueries {
 
   val oracle: Map[String, String] = Map(
     "column_lineage" -> columnLineageSql,
+    "cascade_delete_plan" -> cascadeDeletePlanSql,
     "join_fanout_audit" -> joinFanoutAuditSql,
     "bucket_digest" -> bucketDigestSql,
     "dq_checks" -> dqChecksSql,

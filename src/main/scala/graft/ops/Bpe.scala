@@ -60,7 +60,39 @@ object Bpe {
       .agg(sum(col("c")).as("pair_count"))
     val rule = pairs.orderBy(col("pair_count").desc, col("a"), col("b"))
       .limit(1)
-    val merged = vocab.crossJoin(broadcast(rule))
+    (rule, applyRule(vocab, rule))
+  }
+
+  /** Apply `rounds` learned merge rules to EVERY distinct word (not just
+    * the capped training vocabulary) and return (w, n_tokens) — the
+    * tokenizer's inference path. Same lazy shape as training: each rule
+    * is a 1-row broadcast crossJoin feeding the next fold; the word list
+    * is distinct-word-sized, so a corpus tokenizes by a broadcast join
+    * against this table instead of folding per occurrence.
+    */
+  def tokenizeWords(docs: DataFrame, textCol: String, rounds: Int,
+                    maxWords: Int): DataFrame = {
+    var vocab = wordTable(docs, textCol, maxWords)
+      .select(col("w"), col("c"),
+        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+      .localCheckpoint(false)
+    var all = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .select(lower(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).distinct()
+      .select(col("w"), lit(1L).as("c"),
+        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+      .localCheckpoint(false)
+    (1 to rounds).foreach { _ =>
+      val (rule, mergedTrain) = round(vocab)
+      // the rule LEARNED on the training vocab applies to ALL words
+      all = applyRule(all, rule).localCheckpoint(false)
+      vocab = mergedTrain.localCheckpoint(false)
+    }
+    all.select(col("w"), size(col("syms")).as("n_tokens"))
+  }
+
+  private def applyRule(vocab: DataFrame, rule: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(rule))
       .select(col("w"), col("c"),
         when(size(col("syms")) < 2, col("syms")).otherwise(
           aggregate(
@@ -72,8 +104,6 @@ object Bpe {
                   array(concat(col("a"), col("b")))))
                 .otherwise(concat(acc, array(x)))))
           .as("syms"))
-    (rule, merged)
-  }
 
   /** Train `rounds` merge rules; returns one row per rule:
     * (round, a, b, merged, pair_count).

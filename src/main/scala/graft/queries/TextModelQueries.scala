@@ -185,15 +185,104 @@ object TextModelQueries {
       "\nSELECT * FROM (\n" + finals + "\n) ORDER BY round"
   }
 
+  /** The tokenizer's INFERENCE path: apply the 10 learned merges to
+    * every distinct word (a broadcast-rule fold over the distinct-word
+    * table — per-word work, never per-occurrence), then tokenize the
+    * corpus by joining doc words against that table. Per-doc output:
+    * word/token/char counts and chars-per-token — the compression the
+    * learned vocab actually buys. Oracle replays training AND applies
+    * each rule to the full word list.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val tok = graft.ops.Bpe.tokenizeWords(docs, "text",
+      BpeRounds, BpeMaxWords)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), lower(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(tok, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_tokens").as("n_tokens"),
+        sum(length(col("w"))).as("n_chars"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_tokens").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenizeSql: String = {
+    def foldCte(name: String, src: String, rule: String): String =
+      s"""$name AS (
+         |  SELECT w, c,
+         |    list_reduce(list_prepend('', list_slice(string_split(s,'|'),1,-2)),
+         |      (acc, x) -> CASE WHEN x = $rule.b
+         |                        AND ends_with('|' || acc, '|' || $rule.a || '|')
+         |                       THEN left(acc, len(acc) - len($rule.a) - 1)
+         |                            || $rule.a || $rule.b || '|'
+         |                       ELSE acc || x || '|' END) AS s
+         |  FROM $src, $rule
+         |)""".stripMargin
+    def pairCte(r: Int): String =
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b,
+         |    CAST(sum(c) AS BIGINT) AS pair_count FROM (
+         |    SELECT c, unnest(list_zip(list_slice(sy, 1, len(sy)-1),
+         |                              list_slice(sy, 2, len(sy)))) AS pr
+         |    FROM (SELECT c, list_slice(string_split(s, '|'), 1, -2) AS sy
+         |          FROM v${r - 1})
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS (SELECT a, b, pair_count FROM p$r
+         |        ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
+    val header =
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT lower(unnest(string_split(text,' '))) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w ORDER BY c DESC, w LIMIT $BpeMaxWords
+         |),
+         |v0 AS (SELECT w, c, regexp_replace(w, '(.)', '\\1|', 'g') AS s
+         |       FROM words),
+         |aw0 AS (
+         |  SELECT DISTINCT w, 1::BIGINT AS c,
+         |    regexp_replace(w, '(.)', '\\1|', 'g') AS s FROM (
+         |    SELECT lower(unnest(string_split(text,' '))) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      pairCte(r) + ",\n" + foldCte(s"v$r", s"v${r - 1}", s"m$r") + ",\n" +
+        foldCte(s"aw$r", s"aw${r - 1}", s"m$r")
+    }.mkString(",\n")
+    val tail =
+      s"""doc_words AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, lower(unnest(string_split(text,' '))) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |),
+         |tok AS (SELECT w, CAST(len(string_split(s,'|')) - 1 AS INTEGER)
+         |          AS n_tokens FROM aw$BpeRounds)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+         |  round(sum(len(w)) / sum(n_tokens)::DOUBLE, 4) AS compression
+         |FROM doc_words JOIN tok USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    header + ",\n" + rounds + ",\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> repetitionStats,
     "ngram_lm_score" -> ngramLmScore,
     "feature_hashing" -> featureHashing,
-    "bpe_train" -> bpeTrain)
+    "bpe_train" -> bpeTrain,
+    "bpe_tokenize" -> bpeTokenize)
 
   val oracle: Map[String, String] = Map(
     "repetition_stats" -> repetitionStatsSql,
     "ngram_lm_score" -> ngramLmScoreSql,
     "feature_hashing" -> featureHashingSql,
-    "bpe_train" -> bpeTrainSql)
+    "bpe_train" -> bpeTrainSql,
+    "bpe_tokenize" -> bpeTokenizeSql)
 }

@@ -32,6 +32,18 @@ class BpeSpec extends AnyFunSuite {
     assert(out(1) == (2, "aaaa", 2L))
   }
 
+  test("tokenizeWords applies learned rules to words OUTSIDE the training cap") {
+    // train on 'the'-dominated corpus with maxWords=2 ('the', 'cat');
+    // 'thecat' is outside the cap but must still tokenize under the
+    // learned rules (h+e, t+he after round 2)
+    val docs = Seq("the the the cat thecat").toDF("text")
+    val tok = Bpe.tokenizeWords(docs, "text", rounds = 2, maxWords = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(tok("the") == 1)    // [the]
+    assert(tok("thecat") == 4) // [the, c, a, t]
+    assert(tok("cat") == 3)    // untouched by (h,e)/(t,he)
+  }
+
   test("word table lowercases, filters the alphabet, and caps deterministically") {
     val docs = Seq("Foo foo BAR 123 b|d x").toDF("text")
     val words = Bpe.wordTable(docs, "text", maxWords = 2)

@@ -41,9 +41,11 @@ class LazyConstructionSpec extends AnyFunSuite {
     "pagerank", "lpa_communities", "graph_triangles",
     "funnel_latency", "rfm_segments",
     "outlier_mad", // r8: med/bounds scalar frames checkpointed (3.1s→1.85s)
-    "bpe_train" // r8: per-round vocab stages checkpointed — un-checkpointed,
-                // the union of R rules is O(R²) corpus scans and the nested
-                // folds OOM'd codegen (measured: heap exhaustion at R=10)
+    "bpe_train", // r8: per-round vocab stages checkpointed — un-checkpointed,
+                 // the union of R rules is O(R²) corpus scans and the nested
+                 // folds OOM'd codegen (measured: heap exhaustion at R=10)
+    "bpe_tokenize" // r8: same checkpointed round chain, plus the all-words
+                   // table it folds the learned rules over
   )
 
   test("query construction runs zero Spark jobs (outside the eager allowlist)") {

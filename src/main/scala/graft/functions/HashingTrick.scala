@@ -25,18 +25,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashingTrickOps {
 
+  // per-row MessageDigest.getInstance would mean a provider lookup +
+  // allocation on every row of a scan-projection hot path
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hashFeatures(text: UTF8String, dim: Int): ArrayData = {
     val vec = new Array[Double](dim)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val s = text.toString
+    val md = md5.get()
+    // operate on the UTF-8 bytes directly (no String round-trip):
+    // tokens split on the 0x20 byte, which never occurs inside a
+    // multi-byte UTF-8 sequence, so byte-level splitting == the
+    // char-level split the oracle replays
+    val bytes = text.getBytes
     var start = 0
     var i = 0
-    val n = s.length
+    val n = bytes.length
     while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        val token = s.substring(start, i)
-        val d = md.digest(token.getBytes("UTF-8"))
-        md.reset()
+      if (i == n || bytes(i) == ' ') {
+        md.update(bytes, start, i - start)
+        val d = md.digest()
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         val idx = (h % dim).toInt

@@ -58,8 +58,17 @@ object Bpe {
         (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("c")).as("pair_count"))
+    // the sentinel no-op rule (a = b = '' — the empty string is never a
+    // symbol) guarantees the rule frame is EXACTLY one row even when the
+    // vocabulary has no pairs left: an empty argmax would otherwise
+    // crossJoin-annihilate the whole word table, silently losing every
+    // tokenization. An exhausted round emits the explicit no-op instead.
+    val sentinel = vocab.sparkSession.range(1)
+      .select(lit("").as("a"), lit("").as("b"), lit(0L).as("pair_count"))
     val rule = pairs.orderBy(col("pair_count").desc, col("a"), col("b"))
       .limit(1)
+      .unionAll(sentinel)
+      .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
     (rule, applyRule(vocab, rule))
   }
 
@@ -72,15 +81,21 @@ object Bpe {
     */
   def tokenizeWords(docs: DataFrame, textCol: String, rounds: Int,
                     maxWords: Int): DataFrame = {
-    var vocab = wordTable(docs, textCol, maxWords)
-      .select(col("w"), col("c"),
-        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
-      .localCheckpoint(false)
-    var all = docs.select(explode(split(col(textCol), " ")).as("t"))
+    // ONE data-sized pass: the word-count table feeds BOTH the capped
+    // training vocabulary and the full word list (a second corpus
+    // explode for the distinct words would double the only cost that
+    // scales with the data)
+    val counts = docs.select(explode(split(col(textCol), " ")).as("t"))
       .select(lower(col("t")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$")).distinct()
-      .select(col("w"), lit(1L).as("c"),
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    def withSyms(df: DataFrame): DataFrame =
+      df.select(col("w"), col("c"),
         filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+    var vocab = withSyms(counts.orderBy(col("c").desc, col("w"))
+      .limit(maxWords)).localCheckpoint(false)
+    var all = withSyms(counts.select(col("w"), lit(1L).as("c")))
       .localCheckpoint(false)
     (1 to rounds).foreach { _ =>
       val (rule, mergedTrain) = round(vocab)

@@ -53,6 +53,21 @@ object Lineage {
     case w: Window =>
       val below = fold(w.child)
       below ++ w.windowExpressions.map(e => e.exprId.id -> refs(e, below))
+    case g: Generate =>
+      // explode/posexplode/inline/json_tuple: every generated column
+      // derives from the generator's inputs — without this case the
+      // generated attributes would silently lose attribution, turning
+      // the PII audit into a false negative for any exploding pipeline
+      val below = fold(g.child)
+      below ++ g.generatorOutput.map(a =>
+        a.exprId.id -> refs(g.generator, below))
+    case e: Expand =>
+      // rollup/cube/grouping-sets lower to Expand: output column i is
+      // fed by position i of EVERY projection
+      val below = fold(e.child)
+      below ++ e.output.zipWithIndex.map { case (a, i) =>
+        a.exprId.id -> e.projections.flatMap(p => refs(p(i), below)).toSet
+      }
     case u: Union =>
       val children = u.children.map(fold)
       val merged = u.children.map(_.output).transpose.zip(u.output).map {

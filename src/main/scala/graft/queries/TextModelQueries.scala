@@ -153,7 +153,9 @@ object TextModelQueries {
          |    WHERE len(sy) >= 2)
          |  GROUP BY 1, 2
          |),
-         |m$r AS (SELECT a, b, pair_count FROM p$r
+         |m$r AS (SELECT a, b, pair_count FROM (
+         |          SELECT a, b, pair_count FROM p$r
+         |          UNION ALL SELECT '', '', 0::BIGINT)
          |        ORDER BY pair_count DESC, a, b LIMIT 1),
          |v$r AS (
          |  SELECT w, c,
@@ -233,7 +235,9 @@ object TextModelQueries {
          |    WHERE len(sy) >= 2)
          |  GROUP BY 1, 2
          |),
-         |m$r AS (SELECT a, b, pair_count FROM p$r
+         |m$r AS (SELECT a, b, pair_count FROM (
+         |          SELECT a, b, pair_count FROM p$r
+         |          UNION ALL SELECT '', '', 0::BIGINT)
          |        ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
     val header =
       s"""WITH words AS (

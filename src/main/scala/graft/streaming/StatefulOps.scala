@@ -147,10 +147,13 @@ object StatefulOps {
 
   /** Fold a micro-batch into gap sessions: returns the sessions CLOSED by
     * this batch plus the still-open one. Within-batch order is (ts,
-    * event_id) like every engine operator; an event older than the open
-    * session's own gap window (late past the watermark) becomes its own
-    * singleton closed session — conservative: late data can fragment a
-    * session, never corrupt or resurrect one.
+    * event_id) like every engine operator. Events older than the open
+    * session's own gap window (late past the watermark) fold into their
+    * own LATE sub-session for the batch — late events within one gap of
+    * each other coalesce instead of fragmenting into per-event
+    * singletons — which closes at batch end (only one open session may
+    * persist as state). Conservative contract: late data can still split
+    * a session at a batch boundary, never corrupt or resurrect one.
     */
   private[streaming] def foldSessions(uid: Long, gapMicros: Long,
                                       events: Iterator[SessionEvent],
@@ -160,6 +163,7 @@ object StatefulOps {
       ClosedSession(uid, s.start_us, s.end_us, s.n, s.sum_value)
     val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
     var open = prior
+    var lateOpen: Option[OpenSession] = None
     events.toSeq.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
       open match {
         case None =>
@@ -168,7 +172,17 @@ object StatefulOps {
           closed += close(s)
           open = Some(OpenSession(uid, e.ts_micros, e.ts_micros, 1L, e.value))
         case Some(s) if e.ts_micros < s.start_us - gapMicros =>
-          closed += ClosedSession(uid, e.ts_micros, e.ts_micros, 1L, e.value)
+          // ascending order ⇒ a late event can only extend the late
+          // sub-session's end, never precede it
+          lateOpen match {
+            case Some(ls) if e.ts_micros <= ls.end_us + gapMicros =>
+              lateOpen = Some(ls.copy(end_us = e.ts_micros,
+                n = ls.n + 1, sum_value = ls.sum_value + e.value))
+            case other =>
+              other.foreach(ls => closed += close(ls))
+              lateOpen = Some(
+                OpenSession(uid, e.ts_micros, e.ts_micros, 1L, e.value))
+          }
         case Some(s) =>
           open = Some(s.copy(
             start_us = math.min(s.start_us, e.ts_micros),
@@ -176,6 +190,7 @@ object StatefulOps {
             n = s.n + 1, sum_value = s.sum_value + e.value))
       }
     }
+    lateOpen.foreach(ls => closed += close(ls))
     (closed.toSeq, open)
   }
 

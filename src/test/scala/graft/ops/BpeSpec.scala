@@ -44,6 +44,24 @@ class BpeSpec extends AnyFunSuite {
     assert(tok("cat") == 3)    // untouched by (h,e)/(t,he)
   }
 
+  test("exhausted merges emit the no-op sentinel, never annihilate the vocab") {
+    // single-char words: round 1 has no pairs at all — an empty argmax
+    // frame used to crossJoin the word table down to zero rows
+    val docs = Seq("a b a c").toDF("text")
+    val rules = Bpe.trainMerges(docs, "text", rounds = 2, maxWords = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    assert(rules.toSeq == Seq((1, "", "", 0L), (2, "", "", 0L)))
+    val tok = Bpe.tokenizeWords(docs, "text", rounds = 2, maxWords = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(tok == Map("a" -> 1, "b" -> 1, "c" -> 1))
+    // and mid-way exhaustion: 'aa' merges once, then nothing is left
+    val docs2 = Seq("aa aa").toDF("text")
+    val rules2 = Bpe.trainMerges(docs2, "text", rounds = 3, maxWords = 10)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(rules2.toSeq == Seq((1, "aa", 2L), (2, "", 0L), (3, "", 0L)))
+  }
+
   test("word table lowercases, filters the alphabet, and caps deterministically") {
     val docs = Seq("Foo foo BAR 123 b|d x").toDF("text")
     val words = Bpe.wordTable(docs, "text", maxWords = 2)

@@ -35,6 +35,23 @@ class LineageSpec extends AnyFunSuite {
     assert(lin("rnk") == Seq("orders.o_totalprice")) // rank over revenue
   }
 
+  test("generated and expanded columns keep their attribution") {
+    // explode (Generate): the generated column derives from its input —
+    // losing this made the PII audit a false NEGATIVE for exploding plans
+    val df = graft.etl.Readers.table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lin = Lineage.columnLineage(df).toMap
+    assert(lin("tok") == Seq("documents.text"))
+    assert(Lineage.dependents(df, Set("documents.text")) == Seq("tok"))
+    // rollup lowers to Expand: measures keep their source attribution
+    val ru = graft.etl.Readers.table(spark, sfDir, "orders")
+      .rollup("o_orderstatus")
+      .agg(sum("o_totalprice").as("rev"))
+    val linRu = Lineage.columnLineage(ru).toMap
+    assert(linRu("rev") == Seq("orders.o_totalprice"))
+    assert(linRu("o_orderstatus") == Seq("orders.o_orderstatus"))
+  }
+
   test("dependents: the PII audit finds what reads a tainted column") {
     val df = graft.queries.Core.denormalizedFlagship(spark, sfDir)
     val tainted = Lineage.dependents(df, Set("customer.c_name"))

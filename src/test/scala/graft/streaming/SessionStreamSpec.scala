@@ -35,6 +35,15 @@ class SessionStreamSpec extends AnyFunSuite {
     val (closed3, _) = StatefulOps.foldSessions(2L, Gap,
       Iterator(ev(2L, 200), ev(2L, 105), ev(2L, 100)), None)
     assert(closed3 == Seq(ClosedSession(2L, 100000000L, 105000000L, 2L, 2.0)))
+    // late events within one gap of EACH OTHER coalesce into one late
+    // sub-session instead of fragmenting into per-event singletons
+    val (closed4, open4) = StatefulOps.foldSessions(3L, Gap,
+      Iterator(ev(3L, 50), ev(3L, 55), ev(3L, 90)),
+      Some(OpenSession(3L, 200000000L, 210000000L, 2L, 2.0)))
+    assert(closed4 == Seq(
+      ClosedSession(3L, 50000000L, 55000000L, 2L, 2.0),
+      ClosedSession(3L, 90000000L, 90000000L, 1L, 1.0)))
+    assert(open4.contains(OpenSession(3L, 200000000L, 210000000L, 2L, 2.0)))
   }
 
   test("streaming sessions close by gap jump AND by watermark timeout") {

@@ -118,6 +118,16 @@ object BenchStream {
       EventStreams.clickPurchaseJoinOuter(
         ds.toDF().filter(col("event_type") === "click"),
         ds.toDF().filter(col("event_type") === "purchase")))
+    val sessionEvents = events.map(e =>
+      StatefulOps.SessionEvent(e.user_id, e.ts, e.ts.getTime * 1000L,
+        e.value, e.event_id))
+    val grpValues = events.map(e => (e.event_type, e.value))
+    run("sessionize_stream", sessionEvents, "append")(
+      ds => StatefulOps.sessionizeStream(ds,
+        gapMicros = 30L * 60 * 1000000, watermarkDelay = "1 hour").toDF())
+    run("kll_quantiles_stream", grpValues, "update")(
+      ds => StatefulOps.kllQuantilesStream(ds, k = 200,
+        qs = Seq(0.5, 0.9, 0.99)).toDF())
     run("doc_quality_filtered", docs, "append")(
       ds => DocStreams.qualityFiltered(ds.toDF()))
     run("doc_curated", docs, "append")(

@@ -44,6 +44,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("banded/fused joins never degrade to nested loops or cartesians") {
+    // the LSH-style band join (image_phash_dedup) and the RRF fusion
+    // (hybrid_search_rrf) are equi-joins by construction — a refactor
+    // that breaks the equi-key would silently plan a nested loop and
+    // turn work-∝-collisions into all-pairs
+    for (key <- Seq("image_phash_dedup", "hybrid_search_rrf")) {
+      val plan = executedPlan(key)
+      assert(!plan.contains("CartesianProduct"),
+        s"$key plans a cartesian:\n$plan")
+    }
+    // the band join itself has no scalar crossJoins, so there a nested
+    // loop of ANY kind means the equi-key was lost (hybrid_search_rrf
+    // legitimately BNLJs its 1-row corpus-stats broadcasts)
+    val banded = executedPlan("image_phash_dedup")
+    assert(!banded.contains("BroadcastNestedLoopJoin"),
+      s"band join lost its equi-key:\n$banded")
+  }
+
+  test("feature_hashing shuffles only for its final total order") {
+    // the featurization itself is a narrow map — the ONLY exchange
+    // allowed is the range partitioning of the deterministic ORDER BY
+    val df = graft.SparkEntry.queries("feature_hashing")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.size <= 1,
+      s"feature_hashing gained a non-sort shuffle:\n$finalPlan")
+  }
+
   test("path_topk's k-cut is a TakeOrdered, never a full global sort") {
     assert(executedPlan("path_topk").contains("TakeOrderedAndProject"))
   }

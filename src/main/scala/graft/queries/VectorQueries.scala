@@ -519,7 +519,56 @@ object VectorQueries {
        |FROM fin GROUP BY 1 ORDER BY centroid_id""".stripMargin
   }
 
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus (the IVF centroid assignment, reused), then find near-dup
+    * pairs ONLY within clusters — at k clusters the pair work drops to
+    * ~1/k of all-pairs while catching the same semantic duplicates,
+    * because near-identical embeddings land in the same cell. Each
+    * emitted row is a dedup decision: `drop_id` is removed because it is
+    * ≥ τ cosine-similar to the lower-id `keep_id` in its cluster. The
+    * cross-cluster recall loss at boundaries is the documented trade
+    * (same knob as `ann_ivf` vs `ann_ivf_nprobe2`).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .withColumn("_n", Vectors.norm(col("embedding")))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("e_a"), col("_n").as("n_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("drop_id"),
+      col("embedding").as("e_b"), col("_n").as("n_b"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("keep_id") < col("drop_id"))
+      .withColumn("cos", round(
+        Vectors.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+      .where(col("cos") >= NeardupCos)
+      .select("centroid_id", "keep_id", "drop_id", "cos")
+      .orderBy("centroid_id", "keep_id", "drop_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |)
+       |SELECT q.centroid_id, q.vec_id AS keep_id, x.vec_id AS drop_id,
+       |  round(${cosSql("q", "x")}, 6) AS cos
+       |FROM assigned q JOIN assigned x
+       |  ON q.centroid_id = x.centroid_id AND q.vec_id < x.vec_id
+       |WHERE round(${cosSql("q", "x")}, 6) >= $NeardupCos
+       |ORDER BY q.centroid_id, keep_id, drop_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup" -> semanticDedup,
     "sq_codes" -> sqCodes,
     "centroid_similarity" -> centroidSimilarity,
     "ann_bruteforce" -> annBruteforce,
@@ -535,6 +584,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "semantic_dedup" -> semanticDedupSql,
     "sq_codes" -> sqCodesSql,
     "centroid_similarity" -> centroidSimilaritySql,
     "ann_bruteforce" -> annBruteforceSql,

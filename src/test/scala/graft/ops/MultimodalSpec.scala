@@ -218,6 +218,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("parseWav and parseVideo survive fuzzing: loud IAE or success") {
+    val rnd = new scala.util.Random(7)
+    val wav = Multimodal.encodeWav(
+      Array.tabulate(200)(i => (i * 13 % 256).toByte), 16000, 2)
+    for (_ <- 1 to 400) {
+      val m = wav.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { Multimodal.parseWav(m); () }
+      catch { case _: IllegalArgumentException => () } // only loud failures
+    }
+    val vid = Multimodal.encodeVideo(
+      Array.tabulate(80)(i => (i * 29 % 256).toByte), 3)
+    for (_ <- 1 to 400) {
+      val m = vid.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { Multimodal.parseVideo(m).foreach(Multimodal.decodePng); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    for (_ <- 1 to 200) { // pure garbage of random sizes
+      val g = Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      try { Multimodal.parseWav(g); () }
+      catch { case _: IllegalArgumentException => () }
+      try { Multimodal.parseVideo(g); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("decodePng caps the raster allocation from a crafted IHDR") {
     // rewrite the IHDR of a valid container to claim 65536 x 65536 and
     // restamp the chunk CRC so only the dims are "wrong"

@@ -192,7 +192,69 @@ object Core {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** End-to-end certification of the SQL FUNCTION SURFACE: every
+    * engine-registered function (GraftExtensions) invoked from pure SQL
+    * text — scalars inline, aggregates over VALUES — with the computed
+    * value pinned against a literal oracle. A registration regression
+    * (renamed function, changed arity, broken builder) or a semantic
+    * drift in any native expression fails this one key. unicode_nfc and
+    * similarity_score_native are certified by their own keys
+    * (`unicode_nfc`, `similarity_scores`) — non-ASCII literals don't
+    * survive source-encoding round-trips reliably, and the scorer needs
+    * the reference's full argument tuple.
+    */
+  def sqlFunctionSurface(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      """SELECT 'cdc_chunks' AS fn,
+        |  CAST(size(cdc_chunks('the quick brown fox jumps over the lazy dog',
+        |                       8, 4)) AS STRING) AS val
+        |UNION ALL SELECT 'float_array_dot',
+        |  CAST(float_array_dot(array(1.5F, 2.0F, -3.0F),
+        |                       array(4.0F, 0.5F, 2.0F)) AS STRING)
+        |UNION ALL SELECT 'graft_bloom_contains',
+        |  CAST((SELECT graft_bloom_contains(
+        |          graft_bloom_agg(xxhash64(v), 1024, 3), xxhash64('b'))
+        |        FROM (VALUES ('a'), ('b'), ('c')) t(v)) AS STRING)
+        |UNION ALL SELECT 'graft_heavy_hitters',
+        |  (SELECT CAST(graft_heavy_hitters(v, 2)[0].item AS STRING)
+        |   FROM (VALUES ('x'), ('x'), ('x'), ('y')) t(v))
+        |UNION ALL SELECT 'graft_kll_quantiles',
+        |  (SELECT CAST(graft_kll_quantiles(v, 16, 0.5D)[0] AS STRING)
+        |   FROM (VALUES (1.0D), (2.0D), (3.0D), (4.0D), (5.0D)) t(v))
+        |UNION ALL SELECT 'graft_top_k',
+        |  (SELECT CAST(graft_top_k(s, id, 1)[0].id AS STRING)
+        |   FROM (VALUES (1.0D, 10L), (9.0D, 99L)) t(s, id))
+        |UNION ALL SELECT 'hashing_features',
+        |  CAST(CAST(aggregate(zip_with(hashing_features('alpha beta', 16),
+        |    sequence(1L, 16L), (x, i) -> x * i), 0.0D, (a, x) -> a + x)
+        |    AS BIGINT) AS STRING)
+        |UNION ALL SELECT 'html_unescape', html_unescape('a &amp; b &lt;c&gt;')
+        |UNION ALL SELECT 'jaro_winkler',
+        |  CAST(round(jaro_winkler('martha', 'marhta'), 6) AS STRING)
+        |UNION ALL SELECT 'rolling_hash',
+        |  CAST(rolling_hash('abcdefghij') AS STRING)
+        |UNION ALL SELECT 'winnow_fingerprints',
+        |  CAST(size(winnow_fingerprints('the quick brown fox', 4, 3))
+        |    AS STRING)
+        |ORDER BY fn""".stripMargin)
+
+  val sqlFunctionSurfaceSql: String = Seq(
+    ("cdc_chunks", "3"),
+    ("float_array_dot", "1.0"),
+    ("graft_bloom_contains", "true"),
+    ("graft_heavy_hitters", "x"),
+    ("graft_kll_quantiles", "3.0"),
+    ("graft_top_k", "99"),
+    ("hashing_features", "-5"),
+    ("html_unescape", "a & b <c>"),
+    ("jaro_winkler", "0.961111"),
+    ("rolling_hash", "140777271"),
+    ("winnow_fingerprints", "9"))
+    .map { case (f, v) => s"SELECT '$f' AS fn, '$v' AS val" }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY fn")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_function_surface" -> sqlFunctionSurface,
     "scan_projected" -> scanProjected,
     "cast_normalize" -> castNormalize,
     "clean_text" -> cleanText,
@@ -204,6 +266,7 @@ object Core {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_function_surface" -> sqlFunctionSurfaceSql,
     "scan_projected" -> scanProjectedSql,
     "cast_normalize" -> castNormalizeSql,
     "clean_text" -> cleanTextSql,

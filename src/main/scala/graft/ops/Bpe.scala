@@ -40,11 +40,25 @@ object Bpe {
     * affordable.
     */
   def wordTable(docs: DataFrame, textCol: String, maxWords: Int): DataFrame =
+    wordCounts(docs, textCol)
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+
+  /** The one word-normalization contract (explode → lower → alphabet
+    * filter → count) — every consumer and both DuckDB oracles must agree
+    * on it, so it lives in exactly one place.
+    */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("t"))
       .select(lower(col("t")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(maxWords)
+
+  /** Split words into character symbols; Spark's split keeps the
+    * trailing zero-width match as an empty string — drop it.
+    */
+  private def withSyms(df: DataFrame): DataFrame =
+    df.select(col("w"), col("c"),
+      filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
 
   /** One merge round over (w, c, syms): returns (rule, merged) where
     * `rule` is the 1-row argmax frame (a, b, pair_count) and `merged` the
@@ -85,14 +99,7 @@ object Bpe {
     // training vocabulary and the full word list (a second corpus
     // explode for the distinct words would double the only cost that
     // scales with the data)
-    val counts = docs.select(explode(split(col(textCol), " ")).as("t"))
-      .select(lower(col("t")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
-    def withSyms(df: DataFrame): DataFrame =
-      df.select(col("w"), col("c"),
-        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+    val counts = wordCounts(docs, textCol).localCheckpoint(false)
     var vocab = withSyms(counts.orderBy(col("c").desc, col("w"))
       .limit(maxWords)).localCheckpoint(false)
     var all = withSyms(counts.select(col("w"), lit(1L).as("c")))
@@ -126,11 +133,7 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
                   maxWords: Int): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
-    var vocab = wordTable(docs, textCol, maxWords)
-      .select(col("w"), col("c"),
-        // characters; Spark's split keeps the trailing zero-width match
-        // as an empty string — drop it
-        filter(split(col("w"), "(?!^)"), x => length(x) > 0).as("syms"))
+    var vocab = withSyms(wordTable(docs, textCol, maxWords))
     val rules = (1 to rounds).map { r =>
       // lazily checkpoint each vocab stage (the Graph.scala iteration
       // pattern): rule r's subtree otherwise contains the whole chain up

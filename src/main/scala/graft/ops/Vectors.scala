@@ -47,7 +47,7 @@ object Vectors {
     * DIVIDE_BY_ZERO on x/0 — a zero-norm vector (failed inference, padding)
     * must yield null, not abort the job.
     */
-  private[ops] def safeDiv(num: Column, denom: Column): Column =
+  def safeDiv(num: Column, denom: Column): Column =
     when(denom =!= 0.0, num / denom)
 
   /** Cosine similarity; null if either norm is zero. */

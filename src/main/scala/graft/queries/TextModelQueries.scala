@@ -141,32 +141,40 @@ object TextModelQueries {
       Readers.table(spark, dir, "documents"), "text",
       rounds = BpeRounds, maxWords = BpeMaxWords)
 
+  /** Shared oracle-CTE generators for the two BPE keys: both replays
+    * MUST use identical pair counting, sentinel, tie-break, and fold —
+    * a fix applied to one copy and not the other would leave the keys
+    * certified against diverging semantics.
+    */
+  private def bpePairAndRuleCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pr[1] AS a, pr[2] AS b,
+       |    CAST(sum(c) AS BIGINT) AS pair_count FROM (
+       |    SELECT c, unnest(list_zip(list_slice(sy, 1, len(sy)-1),
+       |                              list_slice(sy, 2, len(sy)))) AS pr
+       |    FROM (SELECT c, list_slice(string_split(s, '|'), 1, -2) AS sy
+       |          FROM v${r - 1})
+       |    WHERE len(sy) >= 2)
+       |  GROUP BY 1, 2
+       |),
+       |m$r AS (SELECT a, b, pair_count FROM (
+       |          SELECT a, b, pair_count FROM p$r
+       |          UNION ALL SELECT '', '', 0::BIGINT)
+       |        ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
+
+  private def bpeFoldCte(name: String, src: String, rule: String): String =
+    s"""$name AS (
+       |  SELECT w, c,
+       |    list_reduce(list_prepend('', list_slice(string_split(s,'|'),1,-2)),
+       |      (acc, x) -> CASE WHEN x = $rule.b
+       |                        AND ends_with('|' || acc, '|' || $rule.a || '|')
+       |                       THEN left(acc, len(acc) - len($rule.a) - 1)
+       |                            || $rule.a || $rule.b || '|'
+       |                       ELSE acc || x || '|' END) AS s
+       |  FROM $src, $rule
+       |)""".stripMargin
+
   val bpeTrainSql: String = {
-    def pairCte(r: Int): String =
-      s"""p$r AS (
-         |  SELECT pr[1] AS a, pr[2] AS b,
-         |    CAST(sum(c) AS BIGINT) AS pair_count FROM (
-         |    SELECT c, unnest(list_zip(list_slice(sy, 1, len(sy)-1),
-         |                              list_slice(sy, 2, len(sy)))) AS pr
-         |    FROM (SELECT c, list_slice(string_split(s, '|'), 1, -2) AS sy
-         |          FROM v${r - 1})
-         |    WHERE len(sy) >= 2)
-         |  GROUP BY 1, 2
-         |),
-         |m$r AS (SELECT a, b, pair_count FROM (
-         |          SELECT a, b, pair_count FROM p$r
-         |          UNION ALL SELECT '', '', 0::BIGINT)
-         |        ORDER BY pair_count DESC, a, b LIMIT 1),
-         |v$r AS (
-         |  SELECT w, c,
-         |    list_reduce(list_prepend('', list_slice(string_split(s,'|'),1,-2)),
-         |      (acc, x) -> CASE WHEN x = m$r.b
-         |                        AND ends_with('|' || acc, '|' || m$r.a || '|')
-         |                       THEN left(acc, len(acc) - len(m$r.a) - 1)
-         |                            || m$r.a || m$r.b || '|'
-         |                       ELSE acc || x || '|' END) AS s
-         |  FROM v${r - 1}, m$r
-         |)""".stripMargin
     val finals = (1 to BpeRounds)
       .map(r => s"SELECT $r AS round, a, b, a||b AS merged, pair_count FROM m$r")
       .mkString("\nUNION ALL\n")
@@ -183,7 +191,10 @@ object TextModelQueries {
          |),
          |v0 AS (SELECT w, c, regexp_replace(w, '(.)', '\\1|', 'g') AS s
          |       FROM words)""".stripMargin
-    header + ",\n" + (1 to BpeRounds).map(pairCte).mkString(",\n") +
+    val rounds = (1 to BpeRounds).map(r =>
+      bpePairAndRuleCte(r) + ",\n" + bpeFoldCte(s"v$r", s"v${r - 1}", s"m$r"))
+      .mkString(",\n")
+    header + ",\n" + rounds +
       "\nSELECT * FROM (\n" + finals + "\n) ORDER BY round"
   }
 
@@ -213,32 +224,6 @@ object TextModelQueries {
   }
 
   val bpeTokenizeSql: String = {
-    def foldCte(name: String, src: String, rule: String): String =
-      s"""$name AS (
-         |  SELECT w, c,
-         |    list_reduce(list_prepend('', list_slice(string_split(s,'|'),1,-2)),
-         |      (acc, x) -> CASE WHEN x = $rule.b
-         |                        AND ends_with('|' || acc, '|' || $rule.a || '|')
-         |                       THEN left(acc, len(acc) - len($rule.a) - 1)
-         |                            || $rule.a || $rule.b || '|'
-         |                       ELSE acc || x || '|' END) AS s
-         |  FROM $src, $rule
-         |)""".stripMargin
-    def pairCte(r: Int): String =
-      s"""p$r AS (
-         |  SELECT pr[1] AS a, pr[2] AS b,
-         |    CAST(sum(c) AS BIGINT) AS pair_count FROM (
-         |    SELECT c, unnest(list_zip(list_slice(sy, 1, len(sy)-1),
-         |                              list_slice(sy, 2, len(sy)))) AS pr
-         |    FROM (SELECT c, list_slice(string_split(s, '|'), 1, -2) AS sy
-         |          FROM v${r - 1})
-         |    WHERE len(sy) >= 2)
-         |  GROUP BY 1, 2
-         |),
-         |m$r AS (SELECT a, b, pair_count FROM (
-         |          SELECT a, b, pair_count FROM p$r
-         |          UNION ALL SELECT '', '', 0::BIGINT)
-         |        ORDER BY pair_count DESC, a, b LIMIT 1)""".stripMargin
     val header =
       s"""WITH words AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
@@ -255,8 +240,9 @@ object TextModelQueries {
          |  WHERE regexp_matches(w, '^[a-z]+$$')
          |)""".stripMargin
     val rounds = (1 to BpeRounds).map { r =>
-      pairCte(r) + ",\n" + foldCte(s"v$r", s"v${r - 1}", s"m$r") + ",\n" +
-        foldCte(s"aw$r", s"aw${r - 1}", s"m$r")
+      bpePairAndRuleCte(r) + ",\n" +
+        bpeFoldCte(s"v$r", s"v${r - 1}", s"m$r") + ",\n" +
+        bpeFoldCte(s"aw$r", s"aw${r - 1}", s"m$r")
     }.mkString(",\n")
     val tail =
       s"""doc_words AS (

@@ -48,8 +48,11 @@ object VectorQueries {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val centroids = emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // cache: both self-join sides embed this assignment subtree
+    // (embeddings × centroids argmax) — uncached, Spark computes it twice
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .withColumn("_n", Vectors.norm(col("embedding")))
+      .cache()
     val queries = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"), col("_n").as("_qn"))
@@ -90,8 +93,11 @@ object VectorQueries {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val centroids = emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // cache: both self-join sides embed this assignment subtree
+    // (embeddings × centroids argmax) — uncached, Spark computes it twice
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .withColumn("_n", Vectors.norm(col("embedding")))
+      .cache()
     // query-side: the 2 nearest centroids per query (shared probe operator)
     val qProbes = Vectors.centroidProbes(
         emb.filter(col("vec_id") < NumQueries), "vec_id", centroids, nprobe = 2)
@@ -535,16 +541,19 @@ object VectorQueries {
       .select("vec_id", "embedding")
     val centroids = emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // cache: both self-join sides embed this assignment subtree
+    // (embeddings × centroids argmax) — uncached, Spark computes it twice
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .withColumn("_n", Vectors.norm(col("embedding")))
+      .cache()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("keep_id"),
       col("embedding").as("e_a"), col("_n").as("n_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("drop_id"),
       col("embedding").as("e_b"), col("_n").as("n_b"))
     a.join(b, Seq("centroid_id"))
       .where(col("keep_id") < col("drop_id"))
-      .withColumn("cos", round(
-        Vectors.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+      .withColumn("cos", round(Vectors.safeDiv(
+        Vectors.dot(col("e_a"), col("e_b")), col("n_a") * col("n_b")), 6))
       .where(col("cos") >= NeardupCos)
       .select("centroid_id", "keep_id", "drop_id", "cos")
       .orderBy("centroid_id", "keep_id", "drop_id")

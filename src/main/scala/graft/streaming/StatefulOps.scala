@@ -152,8 +152,12 @@ object StatefulOps {
     * own LATE sub-session for the batch — late events within one gap of
     * each other coalesce instead of fragmenting into per-event
     * singletons — which closes at batch end (only one open session may
-    * persist as state). Conservative contract: late data can still split
-    * a session at a batch boundary, never corrupt or resurrect one.
+    * persist as state). Conservative contract: late data can still
+    * FRAGMENT sessions relative to the batch operator (at batch
+    * boundaries, and when events straddle the late threshold — the
+    * threshold is fixed against the open session's current start, so an
+    * in-gap pair can land on opposite sides of it); it never corrupts or
+    * resurrects a closed session.
     */
   private[streaming] def foldSessions(uid: Long, gapMicros: Long,
                                       events: Iterator[SessionEvent],

@@ -19,16 +19,26 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("join_bloom_prune: the bloom probe filters the fact BEFORE its shuffle") {
-    // the operator's whole reason to exist — if the probe migrates above
-    // the exchange, the full fact table crosses the wire again
-    val df = graft.SparkEntry.queries("join_bloom_prune")(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val finalPlan = df.queryExecution.executedPlan match {
+  /** The INITIAL physical plan, unwrapped from AQE. The properties
+    * asserted on it (probe placement, shuffle count) are decided by the
+    * optimizer before execution; AQE re-optimization can coalesce or
+    * specialize exchanges but does not move deterministic filters or add
+    * shuffles, so the static plan is the right artifact to pin — and it
+    * costs no execution.
+    */
+  private def physicalPlan(name: String)
+  : org.apache.spark.sql.execution.SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case p => p
     }
+
+  test("join_bloom_prune: the bloom probe filters the fact BEFORE its shuffle") {
+    // the operator's whole reason to exist — if the probe migrates above
+    // the exchange, the full fact table crosses the wire again
+    val finalPlan = physicalPlan("join_bloom_prune")
     val probeFilters = finalPlan.collect {
       case f: org.apache.spark.sql.execution.FilterExec
         if f.condition.exists(
@@ -65,13 +75,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("feature_hashing shuffles only for its final total order") {
     // the featurization itself is a narrow map — the ONLY exchange
     // allowed is the range partitioning of the deterministic ORDER BY
-    val df = graft.SparkEntry.queries("feature_hashing")(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val finalPlan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
+    val finalPlan = physicalPlan("feature_hashing")
     val shuffles = finalPlan.collect {
       case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
     }

@@ -217,6 +217,48 @@ object StatsQueries {
       |FROM customer JOIN b ON c_mktsegment = b.seg
       |GROUP BY seg ORDER BY seg""".stripMargin
 
+
+  val KllGroupQs = Seq(0.5, 0.9)
+
+  /** Per-GROUP KLL quantiles — "latency percentiles per tenant" in ONE
+    * pass: a sketch per key rides an ordinary groupBy.agg (O(groups ×
+    * k·log n) state, only ladders shuffle), where exact per-group
+    * percentiles need a per-group sort. Certified like
+    * [[quantileSketchCheck]], per group: each estimate's true rank
+    * within its OWN group must sit inside q·n_g ± tol·n_g.
+    */
+  def quantileSketchGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Readers.events(spark, dir)
+      .select(col("event_type").as("grp"), col("value").as("x"))
+    val ests = ev.groupBy("grp").agg(graft.functions.KllFunctions
+      .kllQuantiles(col("x"), KllK, KllGroupQs).as("est"))
+    val counts = ev.join(broadcast(ests), Seq("grp")).groupBy("grp").agg(
+      count(lit(1)).cast("double").as("n"),
+      KllGroupQs.indices.flatMap(i => Seq(
+        count(when(col("x") < col("est")(i), 1)).cast("double").as(s"lt_$i"),
+        count(when(col("x") <= col("est")(i), 1)).cast("double").as(s"le_$i")
+      )): _*)
+    counts.select(col("grp"),
+        explode(array(KllGroupQs.zipWithIndex.map { case (q, i) =>
+          struct(lit(q).as("q"),
+            ((lit(q) * col("n") <= col(s"le_$i") + lit(KllTol) * col("n")) &&
+              (lit(q) * col("n") >= col(s"lt_$i") - lit(KllTol) * col("n")))
+              .as("ok"),
+            col("n").cast("long").as("n"))
+        }: _*)).as("r"))
+      .select(col("grp"), col("r.q"), col("r.ok"), col("r.n"))
+      .orderBy("grp", "q")
+  }
+
+  val quantileSketchGroupedSql: String = {
+    val rows = KllGroupQs.map(q =>
+      s"SELECT grp, $q::DOUBLE AS q, TRUE AS ok, n FROM t")
+    s"""WITH t AS (SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY grp, q""".stripMargin
+  }
+
   val HeavyGroupK = 200
 
   /** Per-GROUP heavy hitters — frequent users per event type, one
@@ -1018,6 +1060,7 @@ object StatsQueries {
     "heavy_hitters" -> heavyHitters,
     "heavy_hitters_grouped" -> heavyHittersGrouped,
     "quantile_sketch_check" -> quantileSketchCheck,
+    "quantile_sketch_grouped" -> quantileSketchGrouped,
     "winsorize" -> winsorize)
 
   val oracle: Map[String, String] = Map(
@@ -1042,5 +1085,6 @@ object StatsQueries {
     "heavy_hitters" -> heavyHittersSql,
     "heavy_hitters_grouped" -> heavyHittersGroupedSql,
     "quantile_sketch_check" -> quantileSketchCheckSql,
+    "quantile_sketch_grouped" -> quantileSketchGroupedSql,
     "winsorize" -> winsorizeSql)
 }

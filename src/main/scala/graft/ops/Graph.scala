@@ -27,6 +27,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** k-hop reachability (bounded BFS) from a seed set: returns (node,
+    * hop) with each reached node's MINIMUM hop distance ≤ k. The
+    * per-level shape is the scale-correct BFS: frontier ⋈ edges on src
+    * (hash-equi-join), distinct on the new frontier, anti-join against
+    * the reached set so no node is expanded twice — per level the work
+    * is O(frontier-adjacent edges), and `localCheckpoint` keeps the plan
+    * level-constant. The bounded k (vs full transitive closure) is what
+    * a 100 TB graph permits: each level is one join + one anti-join, k
+    * levels total, no fixpoint probe.
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val e = edges.select("src", "dst").localCheckpoint(false)
+    var reached = seeds.select(col("node"), lit(0).as("hop"))
+      .distinct().localCheckpoint(false)
+    var frontier = reached.select("node")
+    (1 to k).foreach { h =>
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(false)
+      reached = reached.unionAll(next).localCheckpoint(false)
+      frontier = next.select("node")
+    }
+    reached
+  }
+
   /** Damped PageRank over `edges` (columns `src`, `dst`), a fixed number
     * of iterations from a uniform start. Returns (node, rank) for every
     * node appearing as src or dst; ranks sum to 1 on sink-free graphs.

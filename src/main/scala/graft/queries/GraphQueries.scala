@@ -193,12 +193,60 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+
+  val KHop = 3
+  val KHopSeeds = 3 // customers 0, 1, 2
+
+  /** k-hop reachability over the trade graph from 3 seed customers —
+    * bounded BFS ([[graft.ops.Graph.kHop]]): per hop, how many nodes
+    * become reachable and a node-id checksum pinning exactly WHICH. On
+    * the near-bipartite-complete trade graph the frontier saturates by
+    * hop 2-3, which the oracle's level-by-level replay certifies.
+    */
+  def graphKhop(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(Readers.table(spark, dir, "orders"),
+      Readers.table(spark, dir, "lineitem"))
+    val seeds = Readers.table(spark, dir, "customer")
+      .filter(col("c_custkey") < KHopSeeds)
+      .select((col("c_custkey") * 2L).as("node"))
+    graft.ops.Graph.kHop(edges, seeds, KHop)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").cast("long").as("node_sum"))
+      .orderBy("hop")
+  }
+
+  val graphKhopSql: String = {
+    def level(h: Int): String =
+      s"""f$h AS (
+         |  SELECT DISTINCT e.dst AS node, $h AS hop
+         |  FROM edges e JOIN f${h - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM r${h - 1})
+         |),
+         |r$h AS (SELECT node, hop FROM r${h - 1}
+         |        UNION ALL SELECT node, hop FROM f$h)""".stripMargin
+    val levels = (1 to KHop).map(level).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |edges AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+       |f0 AS (SELECT c_custkey * 2 AS node, 0 AS hop FROM customer
+       |       WHERE c_custkey < $KHopSeeds),
+       |r0 AS (SELECT node, hop FROM f0),
+       |$levels
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM r$KHop GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_khop" -> graphKhop,
     "pagerank" -> pagerank,
     "graph_triangles" -> triangleCounts,
     "lpa_communities" -> lpaCommunities)
 
   val oracle: Map[String, String] = Map(
+    "graph_khop" -> graphKhopSql,
     "pagerank" -> pagerankSql,
     "graph_triangles" -> triangleCountsSql,
     "lpa_communities" -> lpaCommunitiesSql)

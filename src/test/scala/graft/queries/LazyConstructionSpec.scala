@@ -38,7 +38,7 @@ class LazyConstructionSpec extends AnyFunSuite {
     // alternative (no checkpoint) was measured slower for these shapes —
     // iterative loops need lineage truncation, and the checkpointed
     // frames feed 3+ consumers at different keys.
-    "pagerank", "lpa_communities", "graph_triangles",
+    "pagerank", "lpa_communities", "graph_triangles", "graph_khop",
     "funnel_latency", "rfm_segments",
     "outlier_mad", // r8: med/bounds scalar frames checkpointed (3.1s→1.85s)
     "bpe_train", // r8: per-round vocab stages checkpointed — un-checkpointed,

@@ -52,6 +52,37 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions") {
+    // the 100 TB star-join lever STATIC pruning can't reach: the
+    // qualifying partitions are only known after filtering the dim at
+    // RUNTIME — Spark plans a dynamicpruning subquery on the fact's
+    // partition column, so the fact scan reads only the partitions the
+    // filtered dim actually joins
+    val base = Files.createTempDirectory("graft_dpp").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite")
+      .parquet(s"$base/fact")
+    orders.select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("tier",
+        when(col("prio") === "1-URGENT", "hot").otherwise("cold"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    // the dim predicate must be one DPP considers "likely selective"
+    // (EqualTo/In/comparison) — a bare boolean attribute filter is NOT,
+    // and silently forfeits the pruning
+    val dim = spark.read.parquet(s"$base/dim").filter(col("tier") === "hot")
+    val q = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+    val planned = q.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$planned")
+    // and the pruned plan computes exactly the static filter's answer
+    val expected = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+      .collect().toSeq
+    assert(q.collect().toSeq == expected)
+  }
+
   test("partitioned write enables partition pruning at scan") {
     val out = Files.createTempDirectory("graft-part").toString
     graft.etl.Readers.events(spark, dir)

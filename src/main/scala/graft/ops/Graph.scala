@@ -49,7 +49,10 @@ object Graph {
         .join(reached.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(false)
-      reached = reached.unionAll(next).localCheckpoint(false)
+      // next is already checkpointed; reached is a shallow union of
+      // checkpointed levels — checkpointing the union too would store a
+      // duplicate copy of the whole reached set per hop
+      reached = reached.unionAll(next)
       frontier = next.select("node")
     }
     reached

@@ -29,7 +29,12 @@ object Observe {
     */
   def withQualityMetrics(df: DataFrame, keyCol: String, valueCol: String)
   : (DataFrame, Observation) = {
-    val obs = Observation(s"graft_quality_${keyCol}_$valueCol")
+    // no-arg Observation ⇒ UUID name: observed-metric names must be
+    // UNIQUE within a query, and a deterministic column-derived name
+    // would collide the moment two audits of the same columns meet in
+    // one action. Harvesting goes through the returned handle, so the
+    // name never matters to the caller.
+    val obs = Observation()
     val observed = df.observe(obs,
       count(lit(1)).as("n_rows"),
       count(when(col(keyCol).isNull, 1)).as("n_null_key"),

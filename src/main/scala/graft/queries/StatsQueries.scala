@@ -160,15 +160,27 @@ object StatsQueries {
         count(when(col("x") < col("est")(i), 1)).cast("double").as(s"lt_$i"),
         count(when(col("x") <= col("est")(i), 1)).cast("double").as(s"le_$i")
       )): _*)
-    counts.select(explode(array(KllQs.zipWithIndex.map { case (q, i) =>
-        struct(lit(q).as("q"),
-          ((lit(q) * col("n") <= col(s"le_$i") + lit(KllTol) * col("n")) &&
-            (lit(q) * col("n") >= col(s"lt_$i") - lit(KllTol) * col("n")))
-            .as("ok"),
-          col("n").cast("long").as("n"))
-      }: _*)).as("r"))
-      .select(col("r.q"), col("r.ok"), col("r.n"))
-      .orderBy("q")
+    kllEnvelopeRows(counts, KllQs, Nil).orderBy("q")
+  }
+
+  /** The one KLL rank-envelope certification contract (shared by the
+    * global and per-group keys so a tolerance/strictness fix cannot
+    * diverge them): from a counts frame carrying `n` plus `lt_i`/`le_i`
+    * per rank fraction, emit (group..., q, ok, n) rows where ok ⇔ the
+    * estimate's true rank sits inside q·n ± tol·n.
+    */
+  private def kllEnvelopeRows(counts: DataFrame, qs: Seq[Double],
+                              groupCols: Seq[String]): DataFrame = {
+    val rows = explode(array(qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"),
+        ((lit(q) * col("n") <= col(s"le_$i") + lit(KllTol) * col("n")) &&
+          (lit(q) * col("n") >= col(s"lt_$i") - lit(KllTol) * col("n")))
+          .as("ok"),
+        col("n").cast("long").as("n"))
+    }: _*)).as("r")
+    counts.select(groupCols.map(col) :+ rows: _*)
+      .select(groupCols.map(col) ++
+        Seq(col("r.q"), col("r.ok"), col("r.n")): _*)
   }
 
   val quantileSketchCheckSql: String = {
@@ -238,16 +250,7 @@ object StatsQueries {
         count(when(col("x") < col("est")(i), 1)).cast("double").as(s"lt_$i"),
         count(when(col("x") <= col("est")(i), 1)).cast("double").as(s"le_$i")
       )): _*)
-    counts.select(col("grp"),
-        explode(array(KllGroupQs.zipWithIndex.map { case (q, i) =>
-          struct(lit(q).as("q"),
-            ((lit(q) * col("n") <= col(s"le_$i") + lit(KllTol) * col("n")) &&
-              (lit(q) * col("n") >= col(s"lt_$i") - lit(KllTol) * col("n")))
-              .as("ok"),
-            col("n").cast("long").as("n"))
-        }: _*)).as("r"))
-      .select(col("grp"), col("r.q"), col("r.ok"), col("r.n"))
-      .orderBy("grp", "q")
+    kllEnvelopeRows(counts, KllGroupQs, Seq("grp")).orderBy("grp", "q")
   }
 
   val quantileSketchGroupedSql: String = {

@@ -469,7 +469,53 @@ object QualityQueries {
       |  round(n_delete / n_total::DOUBLE, 6) AS frac
       |FROM rows_ ORDER BY table_name""".stripMargin
 
+
+  /** The crawl-ingest contract end to end: documents serialized to JSONL
+    * with deliberately corrupt lines interleaved (every 50th doc id),
+    * read back through the PERMISSIVE quarantine reader
+    * ([[graft.etl.Readers.jsonlQuarantine]]) — malformed lines survive the
+    * scan as `_corrupt_record` rows instead of failing the job or
+    * silently vanishing, and the aggregate proves none were lost OR
+    * double-counted. The write at construction is the same
+    * demonstrates-its-own-layout pattern as `bucketed_join`.
+    */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast(IntegerType).as("n_chars"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_rt_" +
+      Integer.toHexString(dir.hashCode)
+    val good = docs.select(to_json(struct(col("doc_id"), col("source"),
+      col("n_chars"))).as("value"))
+    val corrupt = docs.filter(col("doc_id") % 50 === 0)
+      .select(concat(lit("{corrupt "), col("doc_id")).as("value"))
+    good.unionAll(corrupt).coalesce(1)
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", IntegerType)))
+    Readers.jsonlQuarantine(spark, out, schema)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(col("doc_id")).as("n_good"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT
+      |  CAST(count(*) + sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(count(*) AS BIGINT) AS n_good,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jsonl_roundtrip" -> jsonlRoundtrip,
     "column_lineage" -> columnLineageQ,
     "cascade_delete_plan" -> cascadeDeletePlan,
     "join_fanout_audit" -> joinFanoutAudit,
@@ -480,6 +526,7 @@ object QualityQueries {
     "table_diff" -> tableDiff)
 
   val oracle: Map[String, String] = Map(
+    "jsonl_roundtrip" -> jsonlRoundtripSql,
     "column_lineage" -> columnLineageSql,
     "cascade_delete_plan" -> cascadeDeletePlanSql,
     "join_fanout_audit" -> joinFanoutAuditSql,

@@ -516,10 +516,43 @@ object Analytics {
        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q16-style supplier diversity: per (brand, type-prefix), how
+    * many DISTINCT suppliers shipped the part — excluding suppliers with
+    * any negative account balance (the "complaints" anti-set). Exercises
+    * the anti-subquery + count(distinct) pair: the exclusion is a
+    * broadcast anti-join BEFORE the distinct aggregation, so excluded
+    * suppliers never enter the shuffle.
+    */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Readers.table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val li = Readers.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === bad("s_suppkey"),
+        "left_anti")
+    val part = Readers.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        substring(col("p_type"), 1, 6).as("p_type_prefix"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type_prefix")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type_prefix"))
+  }
+
+  val q16SupplierDiversitySql: String =
+    """SELECT p_brand, substr(p_type, 1, 6) AS p_type_prefix,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type_prefix
+      |ORDER BY supplier_cnt DESC, p_brand, p_type_prefix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "join_bloom_prune" -> joinBloomPrune,
     "q7_nation_volume" -> q7NationVolume,
+    "q16_supplier_diversity" -> q16SupplierDiversity,
     "q18_large_orders" -> q18LargeOrders,
     "agg_rollup" -> aggRollup,
     "topk_orders" -> topkOrders,
@@ -541,6 +574,7 @@ object Analytics {
     "agg_pricing_summary" -> aggPricingSummarySql,
     "join_bloom_prune" -> joinBloomPruneSql,
     "q7_nation_volume" -> q7NationVolumeSql,
+    "q16_supplier_diversity" -> q16SupplierDiversitySql,
     "q18_large_orders" -> q18LargeOrdersSql,
     "agg_rollup" -> aggRollupSql,
     "topk_orders" -> topkOrdersSql,

@@ -13,7 +13,19 @@ object VectorQueries {
 
   private val NumQueries = 5      // query set: vec_id < 5
   private val TopK = 10
-  private val NumCentroids = 8    // IVF "centroids": vec_id < 8
+
+  /** Default IVF / SemDeDup cluster count for the certified demo keys
+    * (centroid seeds: vec_id < k). k is THE scale knob, not part of the
+    * design: within-cluster pair work is ~Σ|cluster|² ≈ n²/k, so k must
+    * grow with the corpus (SemDeDup, Abbas et al. 2023, uses k in the
+    * tens of thousands at n ~ 10⁹; rule of thumb k ≈ n / ⟨target cluster
+    * size⟩). Every operator below takes k as an argument —
+    * [[semanticDedupK]] / [[annIvfK]] — and a second configuration is
+    * certified end-to-end as `semantic_dedup_k64` (k=64 over the same
+    * corpus), with `SemanticDedupScalingSpec` asserting the candidate
+    * pair count actually drops as k grows. 8 is only the sf-demo default.
+    */
+  val NumCentroids = 8
   private val IvfK = 5
 
   /** DuckDB cosine between two embedding lists, in double. */
@@ -41,12 +53,17 @@ object VectorQueries {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF search: assign all vectors to their nearest of $NumCentroids
-    * centroids, then answer each query inside its own centroid bucket only.
+  /** IVF search: assign all vectors to their nearest of k centroids, then
+    * answer each query inside its own centroid bucket only. k is the
+    * probe-fraction dial (each query scans ~1/k of the corpus) — see the
+    * [[NumCentroids]] scaling note.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfK(spark, dir, NumCentroids)
+
+  def annIvfK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
+    val centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: both self-join sides embed this assignment subtree
     // (embeddings × centroids argmax) — uncached, Spark computes it twice
@@ -64,14 +81,16 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  val annIvfSql: String =
+  val annIvfSql: String = annIvfSqlK(NumCentroids)
+
+  def annIvfSqlK(k: Int): String =
     s"""WITH assigned AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
        |    FROM embeddings v, embeddings c
-       |    WHERE c.vec_id < $NumCentroids)
+       |    WHERE c.vec_id < $k)
        |  WHERE rn = 1
        |)
        |SELECT query_id, centroid_id, rank, vec_id, cos FROM (
@@ -535,11 +554,19 @@ object VectorQueries {
     * ≥ τ cosine-similar to the lower-id `keep_id` in its cluster. The
     * cross-cluster recall loss at boundaries is the documented trade
     * (same knob as `ann_ivf` vs `ann_ivf_nprobe2`).
+    *
+    * k (cluster count) is an argument, certified at TWO settings —
+    * `semantic_dedup` (k=8) and `semantic_dedup_k64` (k=64) — because the
+    * within-cluster pair stage is ~n²/k at fixed k: k must scale with the
+    * corpus for the linear-ish framing to hold (see [[NumCentroids]]).
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupK(spark, dir, NumCentroids)
+
+  def semanticDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings")
       .select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
+    val centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: both self-join sides embed this assignment subtree
     // (embeddings × centroids argmax) — uncached, Spark computes it twice
@@ -559,14 +586,16 @@ object VectorQueries {
       .orderBy("centroid_id", "keep_id", "drop_id")
   }
 
-  val semanticDedupSql: String =
+  val semanticDedupSql: String = semanticDedupSqlK(NumCentroids)
+
+  def semanticDedupSqlK(k: Int): String =
     s"""WITH assigned AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
        |    FROM embeddings v, embeddings c
-       |    WHERE c.vec_id < $NumCentroids)
+       |    WHERE c.vec_id < $k)
        |  WHERE rn = 1
        |)
        |SELECT q.centroid_id, q.vec_id AS keep_id, x.vec_id AS drop_id,
@@ -576,8 +605,16 @@ object VectorQueries {
        |WHERE round(${cosSql("q", "x")}, 6) >= $NeardupCos
        |ORDER BY q.centroid_id, keep_id, drop_id""".stripMargin
 
+  /** The second certified k for the SemDeDup family — same corpus, 8×
+    * more clusters, so the within-cluster candidate-pair stage shrinks
+    * ~8× (SemanticDedupScalingSpec asserts the drop). Green at both k's
+    * proves the knob, not just the shape, works.
+    */
+  val ScaledCentroids = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup" -> semanticDedup,
+    "semantic_dedup_k64" -> ((s, d) => semanticDedupK(s, d, ScaledCentroids)),
     "sq_codes" -> sqCodes,
     "centroid_similarity" -> centroidSimilarity,
     "ann_bruteforce" -> annBruteforce,
@@ -594,6 +631,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "semantic_dedup" -> semanticDedupSql,
+    "semantic_dedup_k64" -> semanticDedupSqlK(ScaledCentroids),
     "sq_codes" -> sqCodesSql,
     "centroid_similarity" -> centroidSimilaritySql,
     "ann_bruteforce" -> annBruteforceSql,

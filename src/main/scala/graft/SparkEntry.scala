@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, AnalyticsExt, BehaviorQueries, Core, CurationQueries, GraphQueries, LayoutQueries, MultimodalQueries, QualityQueries, SearchQueries, StatsQueries, TextModelQueries, TimeSeriesQueries, TextQueries, VectorQueries}
+import graft.queries.{Analytics, AnalyticsExt, BehaviorQueries, Core, CurationQueries, GraphQueries, LayoutQueries, MultimodalQueries, QualityQueries, SearchQueries, SqlSurface, StatsQueries, TextModelQueries, TimeSeriesQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       MultimodalQueries.queries ++ CurationQueries.queries ++
       LayoutQueries.queries ++ BehaviorQueries.queries ++
       SearchQueries.queries ++ TextModelQueries.queries ++
-      QualityQueries.queries ++ StatsQueries.queries ++ GraphQueries.queries ++ TimeSeriesQueries.queries
+      QualityQueries.queries ++ StatsQueries.queries ++ GraphQueries.queries ++
+      TimeSeriesQueries.queries ++ SqlSurface.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++ CurationQueries.oracle ++
       LayoutQueries.oracle ++ BehaviorQueries.oracle ++
       SearchQueries.oracle ++ TextModelQueries.oracle ++
-      QualityQueries.oracle ++ StatsQueries.oracle ++ GraphQueries.oracle ++ TimeSeriesQueries.oracle
+      QualityQueries.oracle ++ StatsQueries.oracle ++ GraphQueries.oracle ++
+      TimeSeriesQueries.oracle ++ SqlSurface.oracle
 }

@@ -123,4 +123,24 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("HashAggregate"), s"$q lost its hash aggregate")
     }
   }
+
+  test("correlated subqueries plan as existence equi-joins, never BNLJ") {
+    // the whole point of the SqlSurface keys: Catalyst's
+    // RewritePredicateSubquery / RewriteCorrelatedScalarSubquery must turn
+    // EXISTS / NOT EXISTS / correlated scalar avg into hash-equi
+    // semi/anti/outer joins on the correlation key — a
+    // BroadcastNestedLoopJoin or CartesianProduct anywhere means the
+    // correlation was lost and the plan is all-pairs at scale
+    for (q <- Seq("q4_order_priority", "q17_small_qty", "q21_wait_suppliers")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q subquery degraded to a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+    val q4 = executedPlan("q4_order_priority")
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS is not a semi join:\n$q4")
+    val q21 = executedPlan("q21_wait_suppliers")
+    assert(q21.contains("LeftSemi"), s"q21 EXISTS is not a semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"q21 NOT EXISTS is not an anti join:\n$q21")
+  }
 }

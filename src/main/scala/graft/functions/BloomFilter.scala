@@ -45,6 +45,21 @@ object BloomFilterOps {
     h | 1L
   }
 
+  /** First hash: full splitmix64 finalizer. The Scala API pre-hashes keys
+    * with xxhash64, but the SQL function `graft_bloom_agg` accepts ANY
+    * BIGINT — with a raw `h1 = v`, sequential keys (ids 1..n) cluster
+    * their first probe positions and the false-positive rate blows past
+    * the ~10 bits/key rule of thumb (cost, never correctness — the filter
+    * stays one-sided). A full avalanche on h1 restores uniform spread for
+    * arbitrary key distributions.
+    */
+  def mixH1(v: Long): Long = {
+    var h = v + 0x9E3779B97F4A7C15L
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
   def headerBytes: Int = 12
 
   def bufferSize(numBits: Long): Int =
@@ -62,10 +77,11 @@ object BloomFilterOps {
   def put(buf: Array[Byte], v: Long): Unit = {
     val numHashes = readNumHashes(buf)
     val numBits = readNumBits(buf)
+    val h1 = mixH1(v)
     val h2 = mix(v)
     var i = 0
     while (i < numHashes) {
-      val pos = java.lang.Long.remainderUnsigned(v + i * h2, numBits)
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
       val b = headerBytes + (pos >> 3).toInt
       buf(b) = (buf(b) | (1 << (pos & 7).toInt)).toByte
       i += 1
@@ -90,10 +106,11 @@ object BloomFilterOps {
   def mightContain(buf: Array[Byte], v: Long): Boolean = {
     val numHashes = readNumHashes(buf)
     val numBits = readNumBits(buf)
+    val h1 = mixH1(v)
     val h2 = mix(v)
     var i = 0
     while (i < numHashes) {
-      val pos = java.lang.Long.remainderUnsigned(v + i * h2, numBits)
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, numBits)
       if ((buf(headerBytes + (pos >> 3).toInt) & (1 << (pos & 7).toInt)) == 0)
         return false
       i += 1

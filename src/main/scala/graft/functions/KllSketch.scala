@@ -162,6 +162,18 @@ object Kll {
       st.levels += lv
       i += 1
     }
+    // A malformed buffer encoding nLevels=0 would leave `levels` empty and
+    // make the NEXT insert throw IndexOutOfBounds far from the corruption
+    // site (this format round-trips through the streaming state store).
+    // Re-seed an empty level 0 so corrupt state fails loudly here — or not
+    // at all: an empty-but-valid state resumes cleanly.
+    if (st.levels.isEmpty) {
+      require(st.count == 0L,
+        s"KLL deserialize: corrupt buffer — ${st.count} counted items but " +
+          "zero levels")
+      st.levels += new ArrayBuffer[Double]()
+      st.flips += 0
+    }
     st
   }
 }

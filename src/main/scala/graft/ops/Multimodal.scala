@@ -597,7 +597,12 @@ object Multimodal {
     val blockAlign = channels * 2
     val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
       le32(byteRate) ++ le16(blockAlign) ++ le16(16)
-    val junk = "INFOengine".getBytes("US-ASCII")
+    // Deliberately ODD-length LIST payload: PCM synthesis makes the data
+    // chunk always even (content.length · channels · 2), so this chunk is
+    // what keeps the RIFF word-alignment pad path — encoder pad byte AND
+    // parseWav's `len % 2` walk — exercised by every generated container.
+    val junk = "INFOengine!".getBytes("US-ASCII")
+    val junkPad = junk.length % 2
     // PCM data: one frame per content byte, sample replicated per channel
     val data = new Array[Byte](content.length * channels * 2)
     var i = 0
@@ -613,7 +618,7 @@ object Multimodal {
       i += 1
     }
     val dataPad = data.length % 2
-    val riffSize = 4 + (8 + fmt.length) + (8 + junk.length) +
+    val riffSize = 4 + (8 + fmt.length) + (8 + junk.length + junkPad) +
       (8 + data.length + dataPad)
     val out = new java.io.ByteArrayOutputStream(riffSize + 8)
     def ascii(s: String): Unit =
@@ -623,6 +628,7 @@ object Multimodal {
     out.write(fmt, 0, fmt.length)
     ascii("LIST"); out.write(le32(junk.length), 0, 4)
     out.write(junk, 0, junk.length)
+    if (junkPad == 1) out.write(0)
     ascii("data"); out.write(le32(data.length), 0, 4)
     out.write(data, 0, data.length)
     if (dataPad == 1) out.write(0)

@@ -810,13 +810,32 @@ object BehaviorQueries {
     // within each day (md5 of the id — the deterministic stand-in for
     // multi-source interleaving). The generator's event_id order is
     // perfectly time-sorted, which would make the audit vacuous.
-    val arrival = Window.orderBy(col("day"), col("h"), col("event_id"))
+    //
+    // The running high-water mark is computed HIERARCHICALLY: a naive
+    // `max() OVER (ORDER BY day, h, event_id)` is one unpartitioned
+    // window — the whole table collapses into a single sort task. Instead
+    // the arrival order's leading key (day) partitions the heavy window:
+    //   hwm(row) = max(running max WITHIN the row's day,
+    //                  max over all PRIOR days' totals)
+    // The within-day window shards across days; the cross-day running max
+    // is a window over one row PER DAY (thousands of rows at any scale),
+    // broadcast back onto the events. Identical value, scale-correct shape.
+    val withinDay = Window.partitionBy("day")
+      .orderBy(col("h"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lateness = Readers.events(spark, dir)
+    val base = Readers.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("day", expr("us div 86400000000"))
       .withColumn("h", md5(col("event_id").cast("string")))
-      .withColumn("hwm", max(col("us")).over(arrival))
+    val priorDays = base.groupBy("day").agg(max("us").as("day_max"))
+      .withColumn("prior_hwm", max(col("day_max")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("day", "prior_hwm")
+    val lateness = base
+      .withColumn("day_run", max(col("us")).over(withinDay))
+      .join(broadcast(priorDays), Seq("day"))
+      // greatest() ignores the null prior_hwm of the first day
+      .withColumn("hwm", greatest(col("day_run"), col("prior_hwm")))
       // integer seconds (div), matching the oracle's floor division —
       // double '/' would put a 0.5s-late event in a different bucket
       .withColumn("late_s", expr("(hwm - us) div 1000000"))

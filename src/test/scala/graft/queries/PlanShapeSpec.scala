@@ -124,6 +124,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lateness_audit: the event-level window is partitioned (by day)") {
+    // the running HWM is hierarchical — the only unpartitioned window
+    // allowed is the one-row-per-day cross-day running max (its child
+    // aggregates to day grain first); the events-grain window must carry
+    // a partition spec or the whole table collapses into one sort task
+    val plan = physicalPlan("lateness_audit")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"lateness_audit lost its windows:\n$plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"unpartitioned window runs at event grain (no day rollup below):\n$plan")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"event-level window lost its day partitioning:\n$plan")
+  }
+
   test("correlated subqueries plan as existence equi-joins, never BNLJ") {
     // the whole point of the SqlSurface keys: Catalyst's
     // RewritePredicateSubquery / RewriteCorrelatedScalarSubquery must turn

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exactly-once half of the streaming story (CheckpointRecoverySpec
+  * is the durability half): Structured Streaming redelivers a micro-batch
+  * when a failure lands between the sink's write and the checkpoint's
+  * offset commit — at-least-once delivery. This spec OPENS that exact
+  * window: the sink commits batch 1, then the query is killed before the
+  * engine can commit offsets; the restarted query replays batch 1 with
+  * the same batchId and data, and the target must show no duplicate rows
+  * and no double-applied merge.
+  */
+class IdempotentSinkSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("replayed batch after kill-between-sink-commit-and-checkpoint is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_idem_ckpt").toString
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_idem_target").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val sink = new IdempotentMergeSink(target, "k", "v", Seq("payload"))
+
+    // fail AFTER the sink committed the batch, BEFORE the engine commits
+    // offsets — the redelivery window a non-idempotent sink double-writes in
+    @volatile var failAt = -1L
+    def start() = mem.toDS().toDF("k", "v", "payload")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(batch, batchId)
+        if (batchId == failAt) {
+          failAt = -1L
+          throw new RuntimeException("injected crash after sink commit")
+        }
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      mem.addData((1L, 1L, "a"), (2L, 1L, "b"))
+      q1.processAllAvailable()
+      failAt = 1L
+      mem.addData((1L, 2L, "a2"), (3L, 1L, "c"))
+      intercept[Exception] { q1.processAllAvailable() } // the injected kill
+    } finally q1.stop()
+    assert(sink.lastCommitted().contains(1L),
+      "sink must have committed batch 1 before the crash")
+    assert(sink.mergesRun == 2)
+
+    // restart: the engine REPLAYS batch 1 (same id, same data) — the
+    // commit log must skip it; then the stream continues with batch 2
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // drains the replay of batch 1
+      assert(sink.mergesRun == 2, "replayed batch re-ran the merge")
+      mem.addData((2L, 2L, "b2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = sink.currentTable(spark)
+      .select("k", "v", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 2L, "a2"), (2L, 2L, "b2"), (3L, 1L, "c")),
+      s"merge result wrong or duplicated: ${rows.toSeq}")
+    // exactly-once: one row per key even though batch 1 was delivered twice
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(sink.mergesRun == 3) // batches 0, 1, 2 — each merged exactly once
+  }
+}

@@ -132,6 +132,19 @@ object BenchStream {
       ds => DocStreams.qualityFiltered(ds.toDF()))
     run("doc_curated", docs, "append")(
       ds => DocStreams.curated(ds.toDF()))
+    // media quarantine decode: the batch decoder unchanged over a stream
+    // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
+    // so every micro-batch exercises both the decode and the quarantine
+    // routing (corrupt rows MUST become ok=false rows, never a dead query)
+    val media = docs.map { d =>
+      val png = graft.ops.Multimodal.encodePng(
+        Option(d.text).getOrElse("").getBytes("UTF-8"))
+      if (d.doc_id % 10 == 0) png(0) = 0
+      (d.doc_id, png)
+    }
+    run("media_decode_stream", media, "append")(
+      ds => graft.ops.Multimodal.extractFeaturesSafe(
+        ds.toDF("media_id", "media")))
 
     // tmpfs is RAM — release the checkpoint bytes before exiting
     scala.reflect.io.Directory(new java.io.File(ckptRoot)).deleteRecursively()

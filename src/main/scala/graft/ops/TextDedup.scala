@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** MinHash signature length. 8 suits the demo corpus; production LSH
+    * (e.g. 128 hashes, 16 bands of 8) sharpens the s-curve so borderline
+    * Jaccard pairs stop leaking through — signature cost is linear in
+    * this, candidate volume is set by the band split below. Both are
+    * per-call knobs on the operators, not design constants.
+    */
   val NumHashes = 8
   val BandSize = 2          // → 4 bands of 2 → s-curve threshold j ≈ 0.55
 
@@ -323,6 +329,12 @@ object TextDedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** SimHash width. 16 bits keeps the demo corpus's bucket map readable;
+    * production SimHash (Charikar/Google near-dup) uses 64 bits split
+    * into ~4 Hamming bands — wider hashes cut false bucket collisions
+    * exponentially, at zero plan-shape change (the band join is the same
+    * hash-equi-join at any width).
+    */
   val SimhashBits = 16
 
   /** SimHash over the distinct word set: each word's md5 contributes ±1

@@ -138,6 +138,15 @@ object TextQueries {
     * lowest id. One window over the cluster key on top of
     * [[dedupClusters]]'s labels; ties break on doc_id so the keeper is
     * engine-stable.
+    *
+    * COST NOTE: as an isolated oracle key this recomputes the embedded
+    * [[dedupClusters]] pipeline inline (~95% of the key's runtime is the
+    * connected-components pass, not the keep-best window, which is one
+    * shuffle). In production the cluster assignment is a SHARED
+    * MATERIALIZED input — run CC once, persist/checkpoint the
+    * (doc_id, cluster) frame, and feed it to keep-best, keep-first, and
+    * any other per-cluster decision; do not copy this key verbatim into a
+    * pipeline that also runs `dedup_clusters`.
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")

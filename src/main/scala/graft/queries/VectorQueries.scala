@@ -182,7 +182,17 @@ object VectorQueries {
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Hyperplane count for the sign-LSH signature — the recall/latency
+    * dial: buckets hold ~2^-planes of the corpus, and two vectors at
+    * cosine angle θ collide with probability (1 − θ/π)^planes. 8 planes
+    * ≈ 256 buckets suits this 2k-vector demo corpus (~8 vectors/bucket);
+    * at production scale pick planes ≈ log2(n / target-bucket-size) —
+    * like [[NumCentroids]], a knob that grows with n, not a design
+    * constant.
+    */
   private val LshPlanes = 8
+
+  /** Embedding dimensionality of the testdata corpus (schema-fixed). */
   private val Dim = 64
 
   /** DuckDB ±1 hyperplane-j component list, mirroring
@@ -257,6 +267,14 @@ object VectorQueries {
        |WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Near-duplicate cosine threshold τ. 0.45 is tuned to THIS synthetic
+    * corpus (random embeddings with planted near-identical twins — the
+    * twins score ≫ 0.45, unrelated pairs ≪ 0.45, so the demo keys
+    * separate cleanly). Real text-embedding dedup (SemDeDup) runs τ in
+    * the 0.95–0.999 range on normalized model embeddings; τ shifts the
+    * precision/recall trade only — every plan shape here is
+    * τ-independent.
+    */
   val NeardupCos = 0.45
 
   /** Embedding near-duplicate pairs at scale

@@ -633,6 +633,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_k64" -> ((s, d) => semanticDedupK(s, d, ScaledCentroids)),
+    "ann_ivf_k64" -> ((s, d) => annIvfK(s, d, ScaledCentroids)),
     "sq_codes" -> sqCodes,
     "centroid_similarity" -> centroidSimilarity,
     "ann_bruteforce" -> annBruteforce,
@@ -650,6 +651,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "semantic_dedup" -> semanticDedupSql,
     "semantic_dedup_k64" -> semanticDedupSqlK(ScaledCentroids),
+    "ann_ivf_k64" -> annIvfSqlK(ScaledCentroids),
     "sq_codes" -> sqCodesSql,
     "centroid_similarity" -> centroidSimilaritySql,
     "ann_bruteforce" -> annBruteforceSql,

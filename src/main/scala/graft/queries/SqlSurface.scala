@@ -20,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes (100 TB): after the rewrites these are ordinary shuffled
   * hash/sort-merge joins on the correlation key (`o_orderkey` /
   * `l_partkey`), so they partition and scale exactly like the explicit
-  * join formulations elsewhere in this library; Q21's two subqueries both
-  * correlate on `l_orderkey`, so one exchange of lineitem serves the
-  * join, the EXISTS, and the NOT EXISTS under reused exchange.
+  * join formulations elsewhere in this library; Q21's orders join and its
+  * two subqueries all correlate on `l_orderkey`, so every lineitem branch
+  * shuffles on the SAME key — the semi, anti, and inner joins stack
+  * co-partitioned with no intermediate re-exchange (the branches carry
+  * different pushed filters, so they are distinct scans, not a literally
+  * reused exchange).
   */
 object SqlSurface {
 
@@ -67,8 +70,10 @@ object SqlSurface {
   /** TPC-H Q17 shape — yearly revenue lost if small-quantity orders of one
     * brand's parts were dropped: `l_quantity` below half the part's mean
     * quantity. The correlated scalar average is rewritten by Catalyst
-    * into a per-`l_partkey` aggregate joined back to the fact — one
-    * shuffle on the part key serves both sides. The threshold comparison
+    * into a per-`l_partkey` aggregate joined back to the fact — both
+    * sides shuffle on the same part key (map-side partial aggregation
+    * shrinks the aggregate branch before its exchange). The threshold
+    * comparison
     * is engine-stable: quantities are integral doubles, so the per-part
     * sums (and hence the averages) are EXACT in any summation order.
     */

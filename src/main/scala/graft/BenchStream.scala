@@ -63,15 +63,20 @@ object BenchStream {
         e.ts.getTime * 1000L, e.event_id))
     val pairs = events.map(e => (e.event_type, e.user_id.toString))
 
-    /** Feed `data` in `batches` chunks, processAllAvailable per chunk. */
-    def run[T: Encoder](name: String, data: Seq[T], mode: String)
+    /** Feed `data` in `batches` chunks, processAllAvailable per chunk.
+      * `sinkTo` swaps the noop sink for a foreachBatch writer (used to
+      * time real sinks like [[graft.streaming.IdempotentMergeSink]]).
+      */
+    def run[T: Encoder](name: String, data: Seq[T], mode: String,
+                        sinkTo: Option[(Dataset[org.apache.spark.sql.Row],
+                          Long) => Unit] = None)
                        (build: Dataset[T] => DataFrame): Unit = {
       if (!only.forall(_.contains(name))) return
       val mem = MemoryStream[T]
-      val q = build(mem.toDS()).writeStream.format("noop")
+      val w = build(mem.toDS()).writeStream
         .outputMode(mode)
         .option("checkpointLocation", s"$ckptRoot/$name")
-        .start()
+      val q = sinkTo.fold(w.format("noop"))(f => w.foreachBatch(f)).start()
       val chunk = math.max(1, (data.size + batches - 1) / batches)
       // per-chunk wall time is the actual canary: unbounded state growth
       // shows as batch_last pulling away from batch_median long before the
@@ -145,6 +150,20 @@ object BenchStream {
     run("media_decode_stream", media, "append")(
       ds => graft.ops.Multimodal.extractFeaturesSafe(
         ds.toDF("media_id", "media")))
+    // exactly-once CDC merge sink: full keep-latest MERGE + snapshot
+    // rewrite + commit-log marker per micro-batch, target on tmpfs (same
+    // rationale as the checkpoints — time the merge, not this host's
+    // fsync). Keyed by user_id, versioned by event_id: ~1.6k live keys
+    // under 10k changes, every batch rewrites the whole merged table —
+    // the worst case for the snapshot strategy, which is the honest
+    // number for the plain-filesystem fallback (a transactional format
+    // replaces the rewrite, not the merge or the log).
+    val cdcChanges = events.map(e => (e.user_id, e.event_id, e.value))
+    val cdcSink = new graft.streaming.IdempotentMergeSink(
+      s"$ckptRoot/cdc-target", "k", "v", Seq("payload"))
+    run("cdc_merge_sink", cdcChanges, "append",
+        sinkTo = Some(cdcSink))(
+      ds => ds.toDF("k", "v", "payload"))
 
     // tmpfs is RAM — release the checkpoint bytes before exiting
     scala.reflect.io.Directory(new java.io.File(ckptRoot)).deleteRecursively()

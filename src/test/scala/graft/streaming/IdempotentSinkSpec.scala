@@ -76,4 +76,50 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
     assert(sink.mergesRun == 3) // batches 0, 1, 2 — each merged exactly once
   }
+
+  test("incremental stream merge equals the one-shot batch MERGE") {
+    // the parity that makes the sink trustworthy: folding the change feed
+    // batch-by-batch through the sink must land on EXACTLY the table the
+    // oracle-certified batch upsert computes over the whole feed at once
+    // (keep-latest by version is associative when versions are unique)
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_idem_parity_ckpt").toString
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_idem_parity_target").toString
+    import org.apache.spark.sql.functions.col
+    val changes = graft.etl.Readers.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").as("k"), col("event_id").as("v"),
+        col("value").as("payload"))
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val sink = new IdempotentMergeSink(target, "k", "v", Seq("payload"))
+    val q = mem.toDS().toDF("k", "v", "payload")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink).start()
+    try {
+      changes.grouped(math.max(1, changes.size / 5)).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val incoming = changes.toDF("k", "v", "payload")
+    val oneShot = graft.ops.Quality.upsertLatest(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          incoming.schema),
+        incoming, "k",
+        versionOrder = Seq(col("v").desc), payload = Seq("v", "payload"))
+      .drop("action")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val streamed = sink.currentTable(spark)
+      .select("k", "v", "payload")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(streamed.length == oneShot.length && streamed.nonEmpty)
+    assert(streamed.toSeq == oneShot.toSeq,
+      s"incremental fold diverged from the one-shot MERGE " +
+        s"(${streamed.length} vs ${oneShot.length} rows)")
+  }
 }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * a per-target commit log keyed by batchId, checked before the merge,
   * marked after it.
   *
-  * Target layout (plain filesystem, self-describing):
+  * Target layout (any Hadoop-API filesystem — local, HDFS, S3A;
+  * self-describing):
   * {{{
   *   targetDir/snap-<batchId>/   — full merged snapshot written by batch
   *   targetDir/_commits/<batchId> — marker; created AFTER the snapshot
@@ -55,14 +56,27 @@ final class IdempotentMergeSink(
     */
   @transient @volatile var mergesRun: Long = 0L
 
-  private def commitsDir = new java.io.File(targetDir, "_commits")
-  private def marker(batchId: Long) = new java.io.File(commitsDir, batchId.toString)
-  private def snapDir(batchId: Long) = new java.io.File(targetDir, s"snap-$batchId")
+  // Hadoop FileSystem API, not java.io.File: the same sink then runs
+  // against HDFS/S3A/GCS targets on a real cluster — the commit log is
+  // a handful of zero-byte objects, well within object-store semantics
+  // (the marker create is the only operation that needs atomicity, which
+  // every supported FS gives for a single object create).
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(targetDir).getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  private def commitsDir = new org.apache.hadoop.fs.Path(targetDir, "_commits")
+  private def marker(batchId: Long) =
+    new org.apache.hadoop.fs.Path(commitsDir, batchId.toString)
+  private def snapDir(batchId: Long) =
+    new org.apache.hadoop.fs.Path(targetDir, s"snap-$batchId")
 
   /** Highest committed batchId, or None before the first commit. */
   def lastCommitted(): Option[Long] = {
-    val ids = Option(commitsDir.list()).getOrElse(Array.empty)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
+    val fs = hadoopFs
+    if (!fs.exists(commitsDir)) return None
+    val ids = fs.listStatus(commitsDir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
     if (ids.isEmpty) None else Some(ids.max)
   }
 
@@ -74,7 +88,8 @@ final class IdempotentMergeSink(
     }
 
   override def apply(batch: Dataset[Row], batchId: Long): Unit = {
-    if (marker(batchId).exists()) return // replayed delivery: committed, skip
+    val fs = hadoopFs
+    if (fs.exists(marker(batchId))) return // replayed delivery: committed, skip
     val spark = batch.sparkSession
     val incoming = batch.select((key +: versionCol +: payload).map(col): _*)
     val base = lastCommitted() match {
@@ -88,8 +103,11 @@ final class IdempotentMergeSink(
       .drop("action")
     merged.write.mode("overwrite").parquet(snapDir(batchId).toString)
     mergesRun += 1
-    commitsDir.mkdirs()
-    // the commit point: marker creation is the atomic "transaction done"
-    marker(batchId).createNewFile()
+    fs.mkdirs(commitsDir)
+    // the commit point: the single-object marker create is the atomic
+    // "transaction done" (overwrite=true: a crash after the snapshot but
+    // before the marker leaves a replay that redoes the merge and must be
+    // able to re-commit)
+    fs.create(marker(batchId), true).close()
   }
 }

@@ -42,12 +42,17 @@ import org.apache.spark.sql.functions._
   * the idempotence PROTOCOL — batchId log checked first, committed last —
   * is exactly what those formats' `txnAppId`/`txnVersion` implement. The
   * commit check is one filesystem stat; markers are O(1) bytes per batch.
+  *
+  * With `opCol` set, the feed is full CDC: the latest change per key
+  * decides, op `D` removes the key ([[graft.ops.Quality.mergeCdc]] — the
+  * `cdc_merge_delete` batch twin); without it, the feed is upsert-only.
   */
 final class IdempotentMergeSink(
     val targetDir: String,
     key: String,
     versionCol: String,
-    payload: Seq[String])
+    payload: Seq[String],
+    opCol: Option[String] = None)
   extends ((Dataset[Row], Long) => Unit) with Serializable {
 
   /** Merge executions actually performed (replays skipped by the commit
@@ -91,16 +96,25 @@ final class IdempotentMergeSink(
     val fs = hadoopFs
     if (fs.exists(marker(batchId))) return // replayed delivery: committed, skip
     val spark = batch.sparkSession
-    val incoming = batch.select((key +: versionCol +: payload).map(col): _*)
+    val incoming = batch.select(
+      (key +: versionCol +: (payload ++ opCol)).map(col): _*)
+    // the persisted snapshot never carries the op column — deletes apply,
+    // they don't store
+    val tableSchema = incoming.drop(opCol.toSeq: _*).schema
     val base = lastCommitted() match {
       case Some(id) => spark.read.parquet(snapDir(id).toString)
       case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], incoming.schema)
+        spark.sparkContext.emptyRDD[Row], tableSchema)
     }
-    val merged = Quality.upsertLatest(
+    val merged = (opCol match {
+      case Some(op) => Quality.mergeCdc(
+        base, incoming, key,
+        versionOrder = Seq(col(versionCol).desc),
+        payload = versionCol +: payload, opCol = op)
+      case None => Quality.upsertLatest(
         base, incoming, key,
         versionOrder = Seq(col(versionCol).desc), payload = versionCol +: payload)
-      .drop("action")
+    }).drop("action")
     merged.write.mode("overwrite").parquet(snapDir(batchId).toString)
     mergesRun += 1
     fs.mkdirs(commitsDir)

@@ -77,6 +77,38 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(sink.mergesRun == 3) // batches 0, 1, 2 — each merged exactly once
   }
 
+  test("CDC mode: deletes apply across micro-batches, re-insert revives") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_idem_cdc_ckpt").toString
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_idem_cdc_target").toString
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val sink = new IdempotentMergeSink(target, "k", "v", Seq("payload"),
+      opCol = Some("op"))
+    val q = mem.toDS().toDF("k", "v", "payload", "op")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink).start()
+    try {
+      mem.addData((1L, 1L, "a", "U"), (2L, 1L, "b", "U"))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, "x", "D"), (3L, 1L, "c", "U")) // delete key 1
+      q.processAllAvailable()
+      assert(sink.currentTable(spark).filter($"k" === 1L).count() == 0,
+        "delete did not remove the key from the snapshot")
+      mem.addData((1L, 3L, "a3", "U")) // revive after delete
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sink.currentTable(spark)
+      .select("k", "v", "payload").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 3L, "a3"), (2L, 1L, "b"), (3L, 1L, "c")),
+      s"CDC merge wrong: ${rows.toSeq}")
+    // the snapshot never stores the op column
+    assert(!sink.currentTable(spark).columns.contains("op"))
+  }
+
   test("incremental stream merge equals the one-shot batch MERGE") {
     // the parity that makes the sink trustworthy: folding the change feed
     // batch-by-batch through the sink must land on EXACTLY the table the

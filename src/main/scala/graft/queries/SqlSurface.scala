@@ -3,7 +3,8 @@ package graft.queries
 import graft.etl.Readers
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Correlated-subquery SQL surface: TPC-H Q4/Q17/Q21-shaped queries issued
+/** Correlated-subquery SQL surface: TPC-H Q2/Q4/Q11/Q15/Q17/Q20/Q21/Q22-
+  * shaped queries issued
   * through `spark.sql` over temp views of the testdata tables — the one
   * operator class the DataFrame DSL never exercises, because EXISTS /
   * NOT EXISTS / correlated scalar subqueries only exist in the SQL parser
@@ -34,7 +35,8 @@ object SqlSurface {
     * scans, so re-registration never re-lists files).
     */
   private def registerViews(spark: SparkSession, dir: String): Unit =
-    Seq("orders", "lineitem", "part", "supplier").foreach { t =>
+    Seq("orders", "lineitem", "part", "supplier", "customer", "nation",
+      "region").foreach { t =>
       Readers.table(spark, dir, t).createOrReplaceTempView(t)
     }
 
@@ -137,15 +139,241 @@ object SqlSurface {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q2 shape — the cheapest EUROPE supply of each size-25 part,
+    * with the supplier's nation. The correlated scalar MIN (correlation
+    * key `p_partkey`, subquery re-joining supplier→nation→region) is
+    * decorrelated into a per-part min-aggregate joined back on the part
+    * key; the region filter pushes below that aggregate, so the min is
+    * computed over the already-restricted supply rows. No summation
+    * anywhere — MIN of stored 2-decimal prices and the equality compare
+    * are bit-exact in any engine, and ties return every tying supplier
+    * (a filter, not a pick), so the result is a deterministic set with
+    * no LIMIT cut. The testdata has no `partsupp`; lineitem rows stand
+    * in as the supply-price relation, which preserves the plan shape
+    * (fact correlated to a filtered dimension-join aggregate) exactly.
+    */
+  def q2MinSupply(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT p_partkey, p_name, s_name, n_name,
+        |  l_extendedprice AS supply_price
+        |FROM part, lineitem, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size = 25
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_name""".stripMargin)
+  }
+
+  val q2MinSupplySql: String =
+    """SELECT p_partkey, p_name, s_name, n_name,
+      |  l_extendedprice AS supply_price
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_size = 25
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** TPC-H Q11 shape — parts whose shipped quantity from a 3-nation
+    * supplier group exceeds a fraction of the group's total: an
+    * UNcorrelated scalar subquery in HAVING. Spark executes the
+    * threshold branch once as a ScalarSubquery (its own tiny
+    * aggregation job) and feeds the literal into the HAVING filter —
+    * the main aggregate is never re-scanned. The quantity measure keeps
+    * the threshold comparison engine-exact (integral doubles sum
+    * exactly in any order, and fraction × exact-sum is one identical
+    * multiply on both sides); the price sum is display-only, rounded
+    * under the library-wide 2-decimal contract. The threshold is a
+    * FRACTION of the group total, so selectivity — and the result's
+    * meaning — survives any data-scale change.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_partkey, sum(l_quantity) AS total_qty,
+        |  round(sum(l_extendedprice), 2) AS total_value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_1','NATION_2','NATION_3')
+        |GROUP BY l_partkey
+        |HAVING sum(l_quantity) > (
+        |  SELECT 0.001D * sum(l_quantity)
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name IN ('NATION_1','NATION_2','NATION_3'))
+        |ORDER BY total_qty DESC, l_partkey""".stripMargin)
+  }
+
+  val q11ImportantPartsSql: String =
+    """SELECT l_partkey, sum(l_quantity) AS total_qty,
+      |  round(sum(l_extendedprice), 2) AS total_value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1','NATION_2','NATION_3')
+      |GROUP BY l_partkey
+      |HAVING sum(l_quantity) > (
+      |  SELECT 0.001::DOUBLE * sum(l_quantity)
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name IN ('NATION_1','NATION_2','NATION_3'))
+      |ORDER BY total_qty DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q15 shape — the top supplier(s) by quantity shipped in
+    * 1997Q1, via a named aggregated view referenced twice (once as the
+    * join input, once under max()). Spark plans the second reference as
+    * a ScalarSubquery over its own copy of the aggregate — two scans of
+    * the quarter's lineitem slice, both reduced map-side before their
+    * exchanges; the date filter pushes into both parquet scans, so at
+    * 100 TB each branch reads only the quarter partition. Quantity (not
+    * price) keeps the `total_qty = max` equality exact across engines,
+    * and equality-with-max returns ALL tying suppliers — a
+    * deterministic set, unlike the rank-1 cut of a window formulation.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_qty
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_qty = (SELECT max(total_qty) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_qty
+      |FROM supplier, revenue
+      |WHERE s_suppkey = l_suppkey
+      |  AND total_qty = (SELECT max(total_qty) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape — suppliers in a nation group who moved real
+    * volume (>50 units of one part in 1997) of red parts: a NESTED IN —
+    * the outer IN's subquery itself contains an IN over part. Catalyst
+    * stacks two left-semi joins: part's key-list semi-joins into the
+    * lineitem aggregate's build side, and the aggregated supplier list
+    * semi-joins into supplier. Both correlation keys are the tables'
+    * join keys, so each semi is an ordinary hash-equi join; the
+    * quantity HAVING is exact (integral doubles). `s_acctbal` passes
+    * through unaggregated — stored bits, no arithmetic contract needed.
+    */
+  def q20VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_4','NATION_5','NATION_6')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(l_quantity) > 50.0D)
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  val q20VolumeSuppliersSql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_4','NATION_5','NATION_6')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(l_quantity) > 50.0::DOUBLE)
+      |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q22 shape — per-nation count and balance of above-average-
+    * balance customers who have gone dormant (no order since 1999):
+    * an uncorrelated scalar AVG threshold plus a correlated NOT EXISTS
+    * over a date-restricted orders slice, planned as one ScalarSubquery
+    * feed plus a left-anti join on `o_custkey` with the date filter
+    * pushed below the anti build side. The classic query's phone-prefix
+    * `substring` has no testdata counterpart; nation stands in as the
+    * grouping dimension, which keeps every planner feature (scalar
+    * threshold, anti join, post-join aggregate) intact. The avg
+    * threshold compare is safe across engines despite double summation:
+    * account balances carry 2 decimals, and the avg has ~12 significant
+    * digits — no stored balance can land inside the two engines'
+    * ulp-wide disagreement band.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT n_name, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, nation
+        |WHERE c_nationkey = n_nationkey
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0D)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val q22DormantCustomersSql: String =
+    """SELECT n_name, count(*) AS numcust,
+      |  round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer, nation
+      |WHERE c_nationkey = n_nationkey
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0.0::DOUBLE)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4OrderPriority,
     "q17_small_qty" -> q17SmallQty,
-    "q21_wait_suppliers" -> q21WaitSuppliers
+    "q21_wait_suppliers" -> q21WaitSuppliers,
+    "q2_min_supply" -> q2MinSupply,
+    "q11_important_parts" -> q11ImportantParts,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q20_volume_suppliers" -> q20VolumeSuppliers,
+    "q22_dormant_customers" -> q22DormantCustomers
   )
 
   val oracle: Map[String, String] = Map(
     "q4_order_priority" -> q4OrderPrioritySql,
     "q17_small_qty" -> q17SmallQtySql,
-    "q21_wait_suppliers" -> q21WaitSuppliersSql
+    "q21_wait_suppliers" -> q21WaitSuppliersSql,
+    "q2_min_supply" -> q2MinSupplySql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q20_volume_suppliers" -> q20VolumeSuppliersSql,
+    "q22_dormant_customers" -> q22DormantCustomersSql
   )
 }

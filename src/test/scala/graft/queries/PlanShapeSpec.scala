@@ -152,7 +152,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // semi/anti/outer joins on the correlation key — a
     // BroadcastNestedLoopJoin or CartesianProduct anywhere means the
     // correlation was lost and the plan is all-pairs at scale
-    for (q <- Seq("q4_order_priority", "q17_small_qty", "q21_wait_suppliers")) {
+    for (q <- Seq("q4_order_priority", "q17_small_qty", "q21_wait_suppliers",
+      "q2_min_supply", "q11_important_parts", "q15_top_supplier",
+      "q20_volume_suppliers", "q22_dormant_customers")) {
       val plan = executedPlan(q)
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q subquery degraded to a nested loop:\n$plan")
@@ -163,5 +165,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val q21 = executedPlan("q21_wait_suppliers")
     assert(q21.contains("LeftSemi"), s"q21 EXISTS is not a semi join:\n$q21")
     assert(q21.contains("LeftAnti"), s"q21 NOT EXISTS is not an anti join:\n$q21")
+    // Q20's nested IN must stack TWO semi joins (supplier←agg, agg←part);
+    // a single semi means Catalyst collapsed the part filter into a scan
+    // of something non-equi (or worse, a BNLJ already caught above)
+    val q20 = executedPlan("q20_volume_suppliers")
+    assert("LeftSemi".r.findAllIn(q20).size >= 2,
+      s"q20 nested IN is not two stacked semi joins:\n$q20")
+    // Q22's NOT EXISTS over the date-restricted orders slice is an anti
+    // join, and its uncorrelated avg threshold arrives as a ScalarSubquery
+    // feed, not a join
+    val q22 = executedPlan("q22_dormant_customers")
+    assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS is not an anti join:\n$q22")
+    // Q2's correlated scalar MIN decorrelates into a per-part aggregate
+    // joined back on the correlation key — the plan must carry a min(...)
+    // aggregate, not a per-row re-scan
+    val q2 = executedPlan("q2_min_supply")
+    assert(q2.contains("min("), s"q2 correlated MIN did not decorrelate:\n$q2")
   }
 }

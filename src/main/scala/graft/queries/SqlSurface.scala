@@ -317,7 +317,11 @@ object SqlSurface {
     * an uncorrelated scalar AVG threshold plus a correlated NOT EXISTS
     * over a date-restricted orders slice, planned as one ScalarSubquery
     * feed plus a left-anti join on `o_custkey` with the date filter
-    * pushed below the anti build side. The classic query's phone-prefix
+    * pushed below the anti build side. The threshold goes all the way
+    * down: the executed plan shows
+    * `PushedFilters: [GreaterThan(c_acctbal, ScalarSubquery…)]` on the
+    * customer parquet scan — the subquery result prunes row groups via
+    * column statistics before a single customer row is materialized. The classic query's phone-prefix
     * `substring` has no testdata counterpart; nation stands in as the
     * grouping dimension, which keeps every planner feature (scalar
     * threshold, anti join, post-join aggregate) intact. The avg

@@ -359,6 +359,84 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4's recursion support) — an
+    * org-chart-style hierarchy walk over the implicit binary tree on
+    * customer keys (parent = `k DIV 2`): per-depth node count and id
+    * checksum. Each recursion step is one hash-equi join of the current
+    * frontier against customer on the derived parent key, and because
+    * every node has exactly one parent the frontier rows are DISJOINT
+    * across levels — total work is linear in |customer| with log2(n)
+    * iterations (11 at sf0.01, ~31 at billions of keys), the same
+    * frontier argument as `graph_khop`'s bounded BFS. This is the
+    * terminating way to use recursion here: UNION ALL recursion over the
+    * cyclic trade graph would enumerate PATHS (combinatorial on a dense
+    * bipartite graph), so reachability stays with `graph_khop`'s
+    * iterative form and recursion gets the acyclic hierarchy it's built
+    * for. Key 0 is excluded (0 DIV 2 = 0 would self-loop); key 1 roots
+    * the tree; keys ≥ 2 strictly decrease toward it.
+    */
+  def recursiveTreeDepth(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, chain.depth + 1
+        |  FROM customer c JOIN chain ON (c.c_custkey DIV 2) = chain.node
+        |  WHERE c.c_custkey >= 2)
+        |SELECT depth, count(*) AS n_nodes,
+        |  CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveTreeDepthSql: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, chain.depth + 1
+      |  FROM customer c JOIN chain ON (c.c_custkey // 2) = chain.node
+      |  WHERE c.c_custkey >= 2)
+      |SELECT depth, count(*) AS n_nodes,
+      |  CAST(sum(node) AS BIGINT) AS node_sum
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — each customer's
+    * top-3 orders by price. The DataFrame twin of this semantics is
+    * `topk_per_group` (window rank); this key certifies the SQL-surface
+    * route through `LateralJoin` planning instead — and the executed
+    * plan shows Catalyst decorrelates it into exactly the shape the
+    * DataFrame twin hand-builds: a `row_number` window over
+    * `(o_custkey, price DESC)` with `WindowGroupLimit` pruning (partial
+    * BEFORE the sort/exchange, so each map task keeps only its local
+    * top-3 per customer), hash-joined back to customer. No per-customer
+    * re-execution survives the rewrite, which is what makes the lateral
+    * formulation safe at 100 TB. Ties at the cut are broken by
+    * `o_orderkey`, so the kept set is engine-stable; prices pass
+    * through unaggregated (stored bits, no rounding contract needed).
+    */
+  def lateralTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val lateralTopkOrdersSql: String =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4OrderPriority,
     "q17_small_qty" -> q17SmallQty,
@@ -367,7 +445,9 @@ object SqlSurface {
     "q11_important_parts" -> q11ImportantParts,
     "q15_top_supplier" -> q15TopSupplier,
     "q20_volume_suppliers" -> q20VolumeSuppliers,
-    "q22_dormant_customers" -> q22DormantCustomers
+    "q22_dormant_customers" -> q22DormantCustomers,
+    "recursive_tree_depth" -> recursiveTreeDepth,
+    "lateral_topk_orders" -> lateralTopkOrders
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,6 +458,8 @@ object SqlSurface {
     "q11_important_parts" -> q11ImportantPartsSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q20_volume_suppliers" -> q20VolumeSuppliersSql,
-    "q22_dormant_customers" -> q22DormantCustomersSql
+    "q22_dormant_customers" -> q22DormantCustomersSql,
+    "recursive_tree_depth" -> recursiveTreeDepthSql,
+    "lateral_topk_orders" -> lateralTopkOrdersSql
   )
 }

@@ -182,4 +182,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val q2 = executedPlan("q2_min_supply")
     assert(q2.contains("min("), s"q2 correlated MIN did not decorrelate:\n$q2")
   }
+
+  test("recursive CTE and LATERAL LIMIT plan as loop-join / pruned window") {
+    for (q <- Seq("recursive_tree_depth", "lateral_topk_orders")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+    }
+    // recursion executes as UnionLoop with a hash-equi frontier join per
+    // step — linear total work, not per-row re-evaluation
+    val rec = executedPlan("recursive_tree_depth")
+    assert(rec.contains("UnionLoop"), s"recursion lost its loop plan:\n$rec")
+    // the LATERAL LIMIT must decorrelate into a WindowGroupLimit-pruned
+    // row_number (map-side top-k), the same machinery as topk_per_group —
+    // per-customer subquery re-execution would be quadratic at scale
+    val lat = executedPlan("lateral_topk_orders")
+    assert(lat.contains("WindowGroupLimit"),
+      s"lateral top-k lost its group-limit pruning:\n$lat")
+  }
 }

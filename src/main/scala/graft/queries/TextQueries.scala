@@ -335,6 +335,16 @@ object TextQueries {
     * checkpoint-backed, so caching the frame pins only its tiny label
     * table, not the pipeline. Same memoization + dead-session eviction
     * discipline as [[graft.etl.Readers.table]].
+    *
+    * Known trade of `localCheckpoint` backing: if an executor holding
+    * the label-table blocks dies, consumers fail with a lost-block error
+    * and the cache does NOT rebuild itself — call
+    * [[invalidateSharedClusters]] (or use reliable `checkpoint` to a
+    * checkpoint dir) in long-lived sessions where executor loss is
+    * expected. Benchmark accounting is honest either way:
+    * `dedup_clusters` always reports the full pipeline cost;
+    * `dedup_keep_best` reports the marginal cost GIVEN shared
+    * assignment, which is the production contract being modeled.
     */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -344,6 +354,14 @@ object TextQueries {
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     clusterCache.computeIfAbsent((spark, dir),
       kv => dedupClusters(kv._1, kv._2))
+  }
+
+  /** Drop the memoized cluster frame (all dirs) for `spark` — recovery
+    * hook for lost `localCheckpoint` blocks after executor loss.
+    */
+  def invalidateSharedClusters(spark: SparkSession): Unit = {
+    val it = clusterCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
 
   val dedupClustersSql: String = {

@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   * is exactly what those formats' `txnAppId`/`txnVersion` implement. The
   * commit check is one filesystem stat; markers are O(1) bytes per batch.
   *
+  * Storage is bounded: after each commit the sink prunes snapshots (and
+  * their markers) older than `retain` batches behind the new commit —
+  * best-effort and AFTER the commit point, so a prune failure or crash
+  * mid-prune never affects correctness, only defers cleanup to the next
+  * batch. `retain` (default 1) keeps a grace window for readers that
+  * resolved [[lastCommitted]] just before the commit; marker pruning
+  * never perturbs replay-skip because redelivery only ever re-presents
+  * the HIGHEST committed batchId (offsets commit per batch), whose
+  * marker is always kept. Steady-state footprint: `1 + retain`
+  * snapshots, `1 + retain` markers — constant in stream lifetime.
+  *
   * With `opCol` set, the feed is full CDC: the latest change per key
   * decides, op `D` removes the key ([[graft.ops.Quality.mergeCdc]] — the
   * `cdc_merge_delete` batch twin); without it, the feed is upsert-only.
@@ -52,7 +63,8 @@ final class IdempotentMergeSink(
     key: String,
     versionCol: String,
     payload: Seq[String],
-    opCol: Option[String] = None)
+    opCol: Option[String] = None,
+    retain: Int = 1)
   extends ((Dataset[Row], Long) => Unit) with Serializable {
 
   /** Merge executions actually performed (replays skipped by the commit
@@ -85,7 +97,11 @@ final class IdempotentMergeSink(
     if (ids.isEmpty) None else Some(ids.max)
   }
 
-  /** The current merged table (empty-with-schema before any commit). */
+  /** The current merged table. Before the FIRST commit this is a
+    * schemaless empty frame (the sink cannot know the table schema until
+    * it has seen a batch) — callers that select columns must wait for a
+    * commit, or carry the schema themselves.
+    */
   def currentTable(spark: org.apache.spark.sql.SparkSession): DataFrame =
     lastCommitted() match {
       case Some(id) => spark.read.parquet(snapDir(id).toString)
@@ -123,5 +139,29 @@ final class IdempotentMergeSink(
     // before the marker leaves a replay that redoes the merge and must be
     // able to re-commit)
     fs.create(marker(batchId), true).close()
+    prune(fs, batchId)
   }
+
+  /** Delete snapshots and markers more than `retain` batches behind the
+    * just-committed `current`. Runs AFTER the commit point and swallows
+    * filesystem errors: a crash or failure here leaves extra snapshots
+    * that the NEXT successful batch removes — correctness never depends
+    * on cleanup having happened.
+    */
+  private def prune(fs: org.apache.hadoop.fs.FileSystem, current: Long): Unit =
+    try {
+      val keepFrom = current - retain
+      fs.listStatus(new org.apache.hadoop.fs.Path(targetDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("snap-"))
+          scala.util.Try(n.stripPrefix("snap-").toLong).toOption
+            .filter(_ < keepFrom)
+            .foreach(_ => fs.delete(st.getPath, true))
+      }
+      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption
+          .filter(_ < keepFrom)
+          .foreach(_ => fs.delete(st.getPath, false))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

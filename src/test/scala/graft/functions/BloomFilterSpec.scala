@@ -64,6 +64,20 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(hits >= 100 && hits < 120) // all members + few FPs
   }
 
+  test("stale-format buffers fail loudly, never return false negatives") {
+    // the h1 derivation is part of the bit layout: a buffer tagged with a
+    // different version (e.g. persisted before the avalanche-mix change,
+    // whose byte 0 was numHashes' zero top byte) must be rejected at the
+    // probe, not silently probed at wrong positions
+    val buf = graft.functions.BloomFilterOps.newBuffer(1024, 5)
+    graft.functions.BloomFilterOps.put(buf, 42L)
+    val stale = buf.clone(); stale(0) = 0
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BloomFilterOps.mightContain(stale, 42L)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("the probe is codegen-native: no CodegenFallback in the filter") {
     val dim = spark.range(0, 500).select(($"id" * 3).as("dk"))
     val pruned = RuntimeFilter.bloomPrunedSemiJoin(

@@ -153,5 +153,21 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(streamed.toSeq == oneShot.toSeq,
       s"incremental fold diverged from the one-shot MERGE " +
         s"(${streamed.length} vs ${oneShot.length} rows)")
+
+    // storage is bounded: after 5+ committed batches only the newest
+    // 1 + retain (default retain=1 → 2) snapshots and markers survive
+    // pruning — without it the target grows as table-size × batch-count
+    val targetLs = new java.io.File(target).listFiles().map(_.getName)
+    val snaps = targetLs.filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toLong).sorted
+    // Hadoop's checksumming local FS shadows each marker with a .crc file
+    val markers = new java.io.File(target, "_commits").listFiles()
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted
+    assert(snaps.length <= 2,
+      s"snapshots not pruned: ${snaps.mkString(",")}")
+    assert(markers.length <= 2,
+      s"markers not pruned: ${markers.mkString(",")}")
+    assert(snaps.max == markers.max,
+      "newest snapshot and marker must agree after pruning")
   }
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based hardening for the hand-written native expressions —
+  * the bit-twiddling O(n) implementations whose oracle checks certify
+  * one dataset, not the algorithm. Each property pits the shipped
+  * implementation against an independent naive reference (or a
+  * metamorphic law) over randomized inputs, including supplementary-
+  * plane code points where the implementation iterates code points.
+  * Pure-JVM: no SparkSession, so hundreds of cases run in milliseconds.
+  */
+class ExpressionPropertiesSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, cases: Int = 200): Unit = {
+    // fixed seed: the gate must be deterministic — widen coverage by
+    // raising `cases`, not by re-rolling seeds across runs
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases)
+        .withInitialSeed(org.scalacheck.rng.Seed(0x5eed5eedL)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // small alphabet → frequent char collisions (JW matches, CDC
+  // boundaries); the emoji and the astral letter force surrogate pairs
+  private val smallAlpha: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', 'д', 'é')).map(_.mkString)
+  private val astral: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "😀", "𝒜"))
+      .map(_.mkString)
+
+  private def naiveRolling(cps: Array[Int]): Long =
+    cps.foldLeft(0L)((a, c) =>
+      (a * RollingHashImpl.Base + c) % RollingHashImpl.Mod)
+
+  test("rolling_hash equals the naive polynomial fold (incl. astral)") {
+    check(Prop.forAll(Gen.oneOf(smallAlpha, astral)) { s =>
+      RollingHashImpl.compute(s) == naiveRolling(s.codePoints().toArray)
+    })
+  }
+
+  test("winnow fingerprints equal the naive per-window minimum set") {
+    val gen = for {
+      s <- Gen.oneOf(smallAlpha, astral)
+      k <- Gen.choose(1, 5)
+      w <- Gen.choose(1, 6)
+    } yield (s, k, w)
+    check(Prop.forAllNoShrink(gen) { case (s, k, w) =>
+      val got = WinnowImpl.compute(s, k, w).toLongArray().toSet
+      val cps = s.codePoints().toArray
+      val m = cps.length - k + 1
+      val expected =
+        if (m <= 0) Set.empty[Long]
+        else {
+          // naive O(m·w): hash every k-gram independently, min per window
+          val h = Array.tabulate(m)(i => naiveRolling(cps.slice(i, i + k)))
+          val effW = math.min(w, m)
+          (0 to m - effW).map(i => h.slice(i, i + effW).min).toSet
+        }
+      got == expected
+    })
+  }
+
+  test("cdc_chunks: reconstruction, no empty chunks, naive boundary parity") {
+    val gen = for {
+      s <- Gen.oneOf(smallAlpha, astral)
+      k <- Gen.choose(1, 4)
+      bits <- Gen.choose(1, 4) // low bits → boundaries actually fire
+    } yield (s, k, bits)
+    check(Prop.forAllNoShrink(gen) { case (s, k, bits) =>
+      val chunks = CdcChunksImpl.compute(s, k, bits).toArray[UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val cps = s.codePoints().toArray
+      val mask = (1L << bits) - 1
+      // independent boundary recomputation: window ENDING at i is
+      // cps[i-k..i-1]; boundary iff its hash & mask == 0, for i in [k, n-1]
+      val bounds = (k until cps.length)
+        .filter(i => (naiveRolling(cps.slice(i - k, i)) & mask) == 0L)
+      val edges = 0 +: bounds :+ cps.length
+      val expected =
+        if (cps.isEmpty) Seq.empty[String]
+        else edges.sliding(2).collect { case Seq(a, b) =>
+          new String(cps, a, b - a)
+        }.toSeq
+      chunks.mkString == s && chunks.forall(_.nonEmpty) &&
+        chunks.toSeq == expected
+    })
+  }
+
+  test("jaro_winkler: symmetry, identity, range") {
+    val pair = for (a <- smallAlpha; b <- smallAlpha) yield (a, b)
+    check(Prop.forAll(pair) { case (a, b) =>
+      val ab = JaroWinklerImpl.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val ba = JaroWinklerImpl.similarity(
+        UTF8String.fromString(b), UTF8String.fromString(a))
+      val aa = JaroWinklerImpl.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(a))
+      ab == ba && ab >= 0.0 && ab <= 1.0 &&
+        (a.isEmpty || aa == 1.0) && (a.isEmpty == (aa == 0.0))
+    })
+  }
+
+  test("jaro_winkler: disjoint alphabets score zero") {
+    val pair = for {
+      a <- Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      b <- Gen.nonEmptyListOf(Gen.oneOf('x', 'y', 'z')).map(_.mkString)
+    } yield (a, b)
+    check(Prop.forAll(pair) { case (a, b) =>
+      JaroWinklerImpl.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b)) == 0.0
+    })
+  }
+
+  test("bloom filter: no false negatives at any shape") {
+    val gen = for {
+      keys <- Gen.listOf(Gen.long)
+      bits <- Gen.choose(64L, 4096L)
+      hashes <- Gen.choose(1, 8)
+    } yield (keys, bits, hashes)
+    check(Prop.forAllNoShrink(gen) { case (keys, bits, hashes) =>
+      val buf = BloomFilterOps.newBuffer(bits, hashes)
+      keys.foreach(BloomFilterOps.put(buf, _))
+      keys.forall(BloomFilterOps.mightContain(buf, _))
+    })
+  }
+}

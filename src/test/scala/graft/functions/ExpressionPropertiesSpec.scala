@@ -114,6 +114,75 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  private def kllRankError(est: Double, q: Double, data: Array[Double])
+  : Double = {
+    val n = data.length.toDouble
+    val lt = data.count(_ < est)
+    val le = data.count(_ <= est)
+    val target = q * n
+    if (target < lt) (lt - target) / n
+    else if (target > le) (target - le) / n
+    else 0.0
+  }
+
+  test("kll: rank envelope holds across input distributions and orders") {
+    // the fixed-dataset specs certify two streams; this certifies the
+    // LAW over adversarial shapes — sorted, reversed, constant-heavy,
+    // few-distinct — where a buggy compaction parity would bias ranks
+    val gen = for {
+      n <- Gen.choose(1000, 8000)
+      shape <- Gen.oneOf("uniform", "sorted", "reversed", "fewDistinct",
+        "constant")
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, shape, seed)
+    check(Prop.forAllNoShrink(gen) { case (n, shape, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(n)(rnd.nextDouble() * 1e6)
+      val data = shape match {
+        case "uniform" => base
+        case "sorted" => base.sorted
+        case "reversed" => base.sorted.reverse
+        case "fewDistinct" => base.map(v => (v % 7).floor)
+        case "constant" => Array.fill(n)(42.0)
+      }
+      val st = new Kll.KllState(200)
+      data.foreach(Kll.insert(st, _))
+      st.totalWeight == n.toLong &&
+        Seq(0.01, 0.1, 0.5, 0.9, 0.99).forall { q =>
+          kllRankError(Kll.quantile(st, q), q, data) <= 0.02
+        }
+    }, cases = 40)
+  }
+
+  test("kll: serialize/deserialize mid-stream is transparent to the rest") {
+    // the streaming state store round-trips this format every batch: a
+    // sketch that continues after a round trip must behave EXACTLY like
+    // one that never serialized (both paths are deterministic)
+    val gen = for {
+      nBefore <- Gen.choose(0, 4000)
+      nAfter <- Gen.choose(1, 4000)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (nBefore, nAfter, seed)
+    check(Prop.forAllNoShrink(gen) { case (nBefore, nAfter, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val before = Array.fill(nBefore)(rnd.nextDouble())
+      val after = Array.fill(nAfter)(rnd.nextDouble())
+      val direct = new Kll.KllState(64)
+      before.foreach(Kll.insert(direct, _))
+      val tripped = Kll.deserialize(Kll.serialize({
+        val s = new Kll.KllState(64)
+        before.foreach(Kll.insert(s, _))
+        s
+      }))
+      after.foreach { v =>
+        Kll.insert(direct, v); Kll.insert(tripped, v)
+      }
+      Seq(0.1, 0.5, 0.9).forall(q =>
+        Kll.quantile(direct, q) == Kll.quantile(tripped, q)) &&
+        direct.totalWeight == tripped.totalWeight
+    }, cases = 40)
+  }
+
   test("bloom filter: no false negatives at any shape") {
     val gen = for {
       keys <- Gen.listOf(Gen.long)

@@ -76,10 +76,18 @@ object BloomFilterOps {
     */
   val FormatVersion: Byte = 2
 
+  /** Two comparisons per call — deliberately cheap enough to leave in
+    * the per-row probe path (it is dwarfed by the `numHashes` random
+    * byte reads that follow) rather than engineering a validate-once
+    * state for the codegen'd expression. The length guard turns a
+    * truncated/empty BINARY (corrupt persisted filter, `X''` from SQL)
+    * into the same loud message instead of a raw index error.
+    */
   def checkFormat(buf: Array[Byte]): Unit =
-    require(buf(0) == FormatVersion,
-      s"bloom buffer format ${buf(0)} != $FormatVersion — the bit layout " +
-        "changed; rebuild the filter with graft_bloom_agg")
+    require(buf.length >= headerBytes && buf(0) == FormatVersion,
+      s"bloom buffer invalid (${buf.length} bytes, format " +
+        s"${if (buf.isEmpty) "?" else buf(0).toString} != $FormatVersion) — " +
+        "the bit layout changed; rebuild the filter with graft_bloom_agg")
 
   def bufferSize(numBits: Long): Int =
     headerBytes + (((numBits + 7) / 8)).toInt

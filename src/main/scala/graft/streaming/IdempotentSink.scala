@@ -67,6 +67,10 @@ final class IdempotentMergeSink(
     retain: Int = 1)
   extends ((Dataset[Row], Long) => Unit) with Serializable {
 
+  // a negative retain would make prune's keepFrom exceed the batch just
+  // committed and delete it — silent total data loss, not a config knob
+  require(retain >= 0, s"retain must be >= 0, got $retain")
+
   /** Merge executions actually performed (replays skipped by the commit
     * log don't count) — observability for the replay spec and for
     * monitoring duplicate-delivery rates in production.

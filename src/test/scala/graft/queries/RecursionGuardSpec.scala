@@ -1,7 +1,10 @@
 package graft.queries
 
 import graft.TestSpark
+import org.scalatest.concurrent.TimeLimits.failAfter
+import org.scalatest.concurrent.Signaler
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Minutes, Span}
 
 /** Guards the foot-gun the `recursive_tree_depth` scaladoc warns about:
   * UNION ALL recursion over CYCLIC data (the trade graph, a ring, any
@@ -16,18 +19,26 @@ class RecursionGuardSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("cyclic recursion fails loudly at the recursion level limit") {
+    // failAfter pins BOTH halves of the contract: if a Spark upgrade
+    // regressed the limit to silent looping, collect() would never
+    // return and an unbounded intercept would wedge the suite instead
+    // of reporting the regression
+    implicit val signaler: Signaler =
+      (t: Thread) => t.interrupt()
     spark.range(3).selectExpr("id", "(id + 1) % 3 AS nxt")
       .createOrReplaceTempView("ring_guard")
-    val e = intercept[Exception] {
-      spark.sql(
-        """WITH RECURSIVE walk AS (
-          |  SELECT id, nxt FROM ring_guard WHERE id = 0
-          |  UNION ALL
-          |  SELECT r.id, r.nxt FROM ring_guard r JOIN walk w ON r.id = w.nxt)
-          |SELECT count(*) AS n FROM walk""".stripMargin).collect()
+    failAfter(Span(2, Minutes)) {
+      val e = intercept[Exception] {
+        spark.sql(
+          """WITH RECURSIVE walk AS (
+            |  SELECT id, nxt FROM ring_guard WHERE id = 0
+            |  UNION ALL
+            |  SELECT r.id, r.nxt FROM ring_guard r JOIN walk w ON r.id = w.nxt)
+            |SELECT count(*) AS n FROM walk""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("RECURSION_LEVEL_LIMIT_EXCEEDED"),
+        s"expected the recursion limit error, got: ${e.getMessage.take(200)}")
     }
-    assert(e.getMessage.contains("RECURSION_LEVEL_LIMIT_EXCEEDED"),
-      s"expected the recursion limit error, got: ${e.getMessage.take(200)}")
   }
 
   test("the certified tree walk sits far below the default limit") {

@@ -163,11 +163,14 @@ class IdempotentSinkSpec extends AnyFunSuite {
     // Hadoop's checksumming local FS shadows each marker with a .crc file
     val markers = new java.io.File(target, "_commits").listFiles()
       .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted
-    assert(snaps.length <= 2,
-      s"snapshots not pruned: ${snaps.mkString(",")}")
-    assert(markers.length <= 2,
-      s"markers not pruned: ${markers.mkString(",")}")
-    assert(snaps.max == markers.max,
-      "newest snapshot and marker must agree after pruning")
+    // EXACT set, not an upper bound: over-pruning (deleting the retain=1
+    // grace snapshot readers may still hold) must fail too
+    val newest = markers.max
+    assert(snaps.toSeq == Seq(newest - 1, newest),
+      s"expected exactly snapshots ${newest - 1},$newest — got " +
+        snaps.mkString(","))
+    assert(markers.toSeq == Seq(newest - 1, newest),
+      s"expected exactly markers ${newest - 1},$newest — got " +
+        markers.mkString(","))
   }
 }

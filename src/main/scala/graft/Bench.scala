@@ -32,11 +32,25 @@ object Bench {
       System.err.println(f"[bench] cal $sec%.2fs")
       sec
     }
+    // In-pass contention probes (round-9 lesson): the pass-bracketing
+    // calibrations run BETWEEN passes, so a CPU-steal burst landing mid-pass
+    // inflates a handful of queries while both brackets read clean — r9's
+    // driver run was 22% slower than the builder's on identical code with
+    // every bracket green, and per-key max/min spreads up to 2.9x said the
+    // bursts were real but unattributable. A probe every ProbeEvery queries
+    // splits each pass into segments whose contention state is KNOWN; dirty
+    // segments are excluded from the published per-query min/max (with a
+    // fall-back to all samples when every segment was dirty), and the
+    // ledger in BENCH_DETAIL.json attributes any builder/driver delta.
+    val ProbeEvery = 25
     // a failed query must not masquerade as a fast one: its timing is
     // recorded as -1 and its name lands in the "failed" list
-    def runAll(pass: String): (Map[String, Double], Seq[String]) = {
+    def runAll(pass: String, probed: Boolean)
+        : (Map[String, Double], Seq[String], Vector[Double]) = {
       val failed = scala.collection.mutable.ListBuffer[String]()
-      val times = suite.map { case (name, fn) =>
+      val probes = Vector.newBuilder[Double]
+      val times = suite.zipWithIndex.map { case ((name, fn), i) =>
+        if (probed && i > 0 && i % ProbeEvery == 0) probes += calibrate()
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every column (a count() lets
         // Catalyst prune the whole projection and under-reports the work).
@@ -53,10 +67,10 @@ object Bench {
         System.err.println(f"[bench] $pass $name $sec%.2fs")
         name -> (if (ok) sec else -1.0)
       }.toMap
-      (times, failed.toSeq)
+      (times, failed.toSeq, probes.result())
     }
 
-    runAll("warmup") // warmup
+    runAll("warmup", probed = false) // warmup
     calibrate() // the yardstick query needs its own codegen warm-up: a
                 // cold first cal reads ~3x hot and would falsely mark
                 // pass 1 contended, costing a full re-run pass
@@ -83,25 +97,40 @@ object Bench {
     val MaxPasses = 6
     def calThreshold(calMin: Double): Double = math.max(0.2, 1.5 * calMin)
     final case class Pass(times: Map[String, Double], failed: Seq[String],
-                          calBefore: Double, calAfter: Double) {
+                          calBefore: Double, calAfter: Double,
+                          probes: Vector[Double]) {
       def cleanAt(thr: Double): Boolean = calBefore <= thr && calAfter <= thr
+      // the segment of query index i is bounded below by the probe (or
+      // pass-opening cal) that ran before it and above by the next probe
+      // (or pass-closing cal); the segment's contention state is the worse
+      // of its two bounds — same bracketing logic as the pass gate, finer
+      def segClean(i: Int, thr: Double): Boolean = {
+        val s = i / ProbeEvery
+        val lo = if (s == 0) calBefore else probes(s - 1)
+        val hi = if (s >= probes.length) calAfter else probes(s)
+        lo <= thr && hi <= thr
+      }
     }
     val cals = scala.collection.mutable.ListBuffer[Double]()
     val passes = scala.collection.mutable.ListBuffer[Pass]()
+    // the calibration floor the threshold is relative to: every cal ever
+    // observed, in-pass probes included (same workload, so comparable)
+    def calFloor: Double =
+      (cals ++ passes.flatMap(_.probes)).min
     var calPrev = calibrate()
     cals += calPrev
     while (passes.length < MaxPasses &&
-        passes.count(_.cleanAt(calThreshold(cals.min))) < WantedClean) {
-      val (t, f) = runAll(s"p${passes.length + 1}")
+        passes.count(_.cleanAt(calThreshold(calFloor))) < WantedClean) {
+      val (t, f, pr) = runAll(s"p${passes.length + 1}", probed = true)
       val calAfter = calibrate() // brackets this pass AND opens the next
       cals += calAfter
-      passes += Pass(t, f, calPrev, calAfter)
+      passes += Pass(t, f, calPrev, calAfter, pr)
       calPrev = calAfter
     }
     // publish only cal-clean passes (judged against the final floor); if
     // the host never went quiet, fall back to all passes (labeled —
     // cal/cal_max expose the contention)
-    val thr = calThreshold(cals.min)
+    val thr = calThreshold(calFloor)
     val used = if (passes.exists(_.cleanAt(thr))) passes.filter(_.cleanAt(thr)).toList
                else passes.toList
     System.err.println(
@@ -109,12 +138,23 @@ object Bench {
     // min = the host's healthy speed; max = the worst burst the run saw.
     // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
     // mins are an upper bound on engine cost, not a measurement of it.
-    val cal = cals.min
-    val calMax = cals.max
+    val cal = calFloor
+    val calMax = (cals ++ passes.flatMap(_.probes)).max
     val failed = passes.flatMap(_.failed).distinct
-    val perQuery = suite.map { case (name, _) =>
-      val vs = used.map(_.times(name))
-      name -> (if (vs.exists(_ < 0)) (-1.0, -1.0) else (vs.min, vs.max))
+    // Per-query samples keep only CLEAN-segment measurements from the used
+    // passes (a used pass has clean brackets but can still hide an in-pass
+    // burst; a dirty segment's samples are an upper bound, not a
+    // measurement). If contention ate every sample of a query, fall back
+    // to all its used-pass samples and list it in the ledger.
+    val contendedKeys = scala.collection.mutable.SortedSet[String]()
+    var contendedSamples = 0
+    val perQuery = suite.zipWithIndex.map { case ((name, _), i) =>
+      val all = used.map(_.times(name))
+      val clean = used.collect { case p if p.segClean(i, thr) => p.times(name) }
+      val dirty = all.length - clean.length
+      if (dirty > 0) { contendedKeys += name; contendedSamples += dirty }
+      val vs = if (clean.nonEmpty) clean else all
+      name -> (if (all.exists(_ < 0)) (-1.0, -1.0) else (vs.min, vs.max))
     }
     // The harness keeps only the LAST ~2000 chars of output and parses the
     // JSON line it finds there. Round 6 proved the per-query map no longer
@@ -137,10 +177,20 @@ object Bench {
       else ",\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     val passMeta = passes.map(p =>
-      s"""{"cal_before":${f3(p.calBefore)},"cal_after":${f3(p.calAfter)},"clean":${p.cleanAt(thr)}}""")
+      s"""{"cal_before":${f3(p.calBefore)},"cal_after":${f3(p.calAfter)},"clean":${p.cleanAt(thr)},"probes":${p.probes.map(f3).mkString("[", ",", "]")}}""")
       .mkString("[", ",", "]")
+    // The contention ledger: which published numbers had samples excluded
+    // by a dirty in-pass segment (count + keys), so a cross-environment
+    // total delta (r9: builder 73.5s vs driver 90.1s, both bracket-clean)
+    // is attributable instead of reading as a plan change. warm_cache_keys
+    // flags keys whose number is BY DESIGN a warm-cache marginal cost
+    // (session-shared input frame): tools/benchdiff.py annotates them so a
+    // cross-round diff against a pre-memoization round isn't read as an
+    // engine speedup.
+    val ledger =
+      s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best"]"""
     val detailDoc =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},$ledger,"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, (detailDoc + "\n").getBytes("UTF-8"))

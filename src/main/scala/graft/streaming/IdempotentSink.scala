@@ -57,6 +57,21 @@ import org.apache.spark.sql.functions._
   * With `opCol` set, the feed is full CDC: the latest change per key
   * decides, op `D` removes the key ([[graft.ops.Quality.mergeCdc]] — the
   * `cdc_merge_delete` batch twin); without it, the feed is upsert-only.
+  *
+  * ==Checkpoint-reset hazard==
+  * The commit log is keyed by `batchId`, and batchIds are only meaningful
+  * within ONE stream lineage (one checkpoint location). If a stream's
+  * checkpoint is deleted — or a fresh query with a fresh checkpoint is
+  * pointed at an EXISTING target dir — batchIds restart at 0 while the
+  * log still holds the old high ids: new batches would merge against the
+  * stale snapshot and commit to ids that [[lastCommitted]] never selects,
+  * silently losing them. [[apply]] therefore REFUSES (throws) any
+  * batchId below the current [[lastCommitted]] whose marker is absent:
+  * the engine only ever redelivers the highest committed batch (offsets
+  * commit per batch), so a lower unmarked id can only mean a reset
+  * checkpoint or a foreign target dir. Recovery is explicit: point the
+  * restarted stream at a fresh target dir, or keep checkpoint and target
+  * together.
   */
 final class IdempotentMergeSink(
     val targetDir: String,
@@ -115,6 +130,17 @@ final class IdempotentMergeSink(
   override def apply(batch: Dataset[Row], batchId: Long): Unit = {
     val fs = hadoopFs
     if (fs.exists(marker(batchId))) return // replayed delivery: committed, skip
+    // Unmarked batchId BELOW the high-water mark: impossible within one
+    // stream lineage (redelivery only re-presents the highest committed
+    // batch), so this is a reset checkpoint or a foreign target dir —
+    // merging would silently lose every post-reset batch (see scaladoc).
+    lastCommitted().filter(_ > batchId).foreach { hwm =>
+      throw new IllegalStateException(
+        s"IdempotentMergeSink at $targetDir has committed up to batchId=$hwm " +
+        s"but received uncommitted batchId=$batchId: the stream's checkpoint " +
+        "was reset (or a fresh query reuses an existing target dir). " +
+        "Use a fresh target dir, or keep checkpoint and target together.")
+    }
     val spark = batch.sparkSession
     val incoming = batch.select(
       (key +: versionCol +: (payload ++ opCol)).map(col): _*)
@@ -167,5 +193,20 @@ final class IdempotentMergeSink(
           .filter(_ < keepFrom)
           .foreach(_ => fs.delete(st.getPath, false))
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+      ()
+    } catch {
+      // best-effort by design, but NOT silent: a chronic failure (e.g.
+      // permissions on the target dir) would leak a snapshot per batch,
+      // unboundedly violating the documented bounded-storage contract —
+      // the warn makes that observable while correctness stays unaffected
+      case scala.util.control.NonFatal(e) =>
+        IdempotentMergeSink.log.warn(
+          s"prune failed for $targetDir at batch $current (cleanup deferred " +
+          s"to the next batch; storage grows until it succeeds): $e")
+    }
+}
+
+object IdempotentMergeSink {
+  private[streaming] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[IdempotentMergeSink])
 }

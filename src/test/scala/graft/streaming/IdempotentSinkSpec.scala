@@ -109,6 +109,38 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(!sink.currentTable(spark).columns.contains("op"))
   }
 
+  test("checkpoint reset against an existing target fails loudly, not silently") {
+    // THE data-loss hazard of a batchId-keyed commit log: delete the
+    // stream's checkpoint (or point a fresh query at an old target) and
+    // batchIds restart at 0 while the log still holds the old high ids.
+    // Without the guard the post-reset batches merge against the stale
+    // snapshot and commit to ids lastCommitted() never selects — silent
+    // loss. The sink must refuse an UNMARKED batchId below the high-water
+    // mark (a marked one is the legitimate replay-skip, preserved here).
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_idem_reset_target").toString
+    val sink = new IdempotentMergeSink(target, "k", "v", Seq("payload"))
+    def batch(rows: (Long, Long, String)*) = rows.toDF("k", "v", "payload")
+    // drive the sink directly: apply() is the whole foreachBatch contract
+    (0L to 3L).foreach(id => sink(batch((id, id, s"p$id")), id))
+    assert(sink.lastCommitted().contains(3L))
+    assert(sink.mergesRun == 4)
+
+    // replay of the high-water batch (the only id the engine redelivers
+    // within one lineage) still skips silently — guard must not break it
+    sink(batch((3L, 3L, "p3")), 3L)
+    assert(sink.mergesRun == 4, "marked replay must stay a no-op")
+
+    // the reset: a fresh checkpoint restarts at batchId 0, whose marker
+    // retain=1 pruning already removed — must throw, not merge-and-lose
+    val e = intercept[IllegalStateException] { sink(batch((9L, 9L, "x")), 0L) }
+    assert(e.getMessage.contains("checkpoint"),
+      s"error must name the checkpoint-reset cause: ${e.getMessage}")
+    // and the table is untouched by the refused batch
+    assert(sink.lastCommitted().contains(3L))
+    assert(sink.currentTable(spark).filter($"k" === 9L).count() == 0)
+  }
+
   test("incremental stream merge equals the one-shot batch MERGE") {
     // the parity that makes the sink trustworthy: folding the change feed
     // batch-by-batch through the sink must land on EXACTLY the table the

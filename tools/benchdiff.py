@@ -37,6 +37,21 @@ def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
               + ", ".join(f"{k}={nm[k]:.2f}s" for k in added))
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
+    # keys whose number is by design a warm-cache marginal cost (session-
+    # shared input frame, e.g. dedup_keep_best since r9): a diff against a
+    # pre-memoization round shows a large "improvement" that is a
+    # semantics change, not an engine speedup — annotate, don't celebrate
+    warm = set(old.get("warm_cache_keys", [])) | set(new.get("warm_cache_keys", []))
+    contended = set(new.get("contended_keys", []))
+
+    def tags(k: str) -> str:
+        t = []
+        if k in warm:
+            t.append("warm-cache key: marginal cost, not engine speed")
+        if k in contended:
+            t.append("had contended samples in new run")
+        return f"  [{'; '.join(t)}]" if t else ""
+
     regs, imps = [], []
     for k in sorted(set(om) & set(nm)):
         o, n = om[k], nm[k]
@@ -45,9 +60,13 @@ def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
         elif o > n * ratio and o - n > abs_s:
             imps.append((o - n, k, o, n))
     for delta, k, o, n in sorted(regs, reverse=True):
-        print(f"REGRESSION {k}: {o:.2f}s -> {n:.2f}s (+{delta:.2f})")
+        print(f"REGRESSION {k}: {o:.2f}s -> {n:.2f}s (+{delta:.2f}){tags(k)}")
     for delta, k, o, n in sorted(imps, reverse=True):
-        print(f"improved   {k}: {o:.2f}s -> {n:.2f}s (-{delta:.2f})")
+        print(f"improved   {k}: {o:.2f}s -> {n:.2f}s (-{delta:.2f}){tags(k)}")
+    if new.get("contended_samples"):
+        print(f"new-run contention ledger: {new['contended_samples']} samples "
+              f"in dirty in-pass segments across {len(contended)} keys "
+              f"(probe_every={new.get('probe_every')})")
     print(f"regressions: {len(regs)}, improvements: {len(imps)}, "
           f"compared: {len(set(om) & set(nm))}")
     return 1 if regs else 0

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking: total-order `row_number`/`ntile` without an
+  * unpartitioned Window.
+  *
+  * An `ntile(k) OVER (ORDER BY ...)` (or global `row_number`) plans as a
+  * single-partition sort — ALL rows through one task, the canonical
+  * 100 TB scale-killer. The same total order distributes mechanically
+  * (the swap `abcClassification` documents at
+  * `queries/StatsQueries.scala:358-361`):
+  *
+  *  1. Split the leading order key into P contiguous ranges. The split
+  *     values come from ONE `percentile_approx` aggregate (a Greenwald–
+  *     Khanna sketch — one distributed pass, O(accuracy·log n) state) and
+  *     range membership is a map-side `size(filter(bounds, _ < key))`
+  *     against the broadcast 1-row bounds array. Deterministic by
+  *     construction — unlike `repartitionByRange`, whose SAMPLED split
+  *     points can differ between two evaluations of the same plan and
+  *     mis-align the offsets unless the frame is first materialized.
+  *     Rows tied on a split value all land in the LOWER range (strict
+  *     `<`), so ranges stay contiguous in the total order even across
+  *     ties; the remaining order columns only ever decide order WITHIN a
+  *     range.
+  *  2. Per-range counts → prefix offsets. The offsets frame is ONE ROW
+  *     PER RANGE — metadata-sized at any data scale (a 1000-executor job
+  *     is a few thousand rows), so its prefix-sum window is bounded by
+  *     cluster size, never data size.
+  *  3. Per-range `row_number` (a Window PARTITIONED by the range id —
+  *     every range sorts locally, all in parallel) plus the broadcast
+  *     offset = the exact global 0-based rank.
+  *
+  * Everything stays declarative — no checkpoint, no collect, construction
+  * is job-free — at the cost of the bounds sketch running once per
+  * consuming pass (Catalyst/AQE reuse the identical aggregate subtree
+  * where possible; it is one narrow-column pass regardless).
+  *
+  * Contract: order columns must be ASCENDING (enforced), the leading one
+  * numeric and high-cardinality — a heavily tied leading key degrades to
+  * fewer effective ranges (the same failure mode `repartitionByRange` has
+  * on tied sample points). Pass a tiebreaker (e.g. the primary key) to
+  * make the order total, which makes ranks deterministic.
+  */
+object Ranking {
+
+  /** `df` plus `outCol` = exact 0-based global rank by `order`
+    * (ascending composite). No single-task stage at any width.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+                          outCol: String): DataFrame =
+    withRankAndCount(df, order, outCol, None)
+
+  /** `df` plus `outCol` = `ntile(buckets)` in the total order given by
+    * `order` — bit-identical to the SQL window function (first `n mod k`
+    * buckets get the extra row), computed distributed.
+    */
+  def withNtile(df: DataFrame, order: Seq[Column], buckets: Int,
+                outCol: String): DataFrame = {
+    require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
+    val rn = "__graft_rn"
+    val n = "__graft_n"
+    val withRank = withRankAndCount(df, order, rn, Some(n))
+    // SQL ntile: b = n/k rows per bucket, the first r = n%k buckets take
+    // one extra. For 0-based rank p: the first r*(b+1) ranks map onto the
+    // wide buckets, the rest onto width-b buckets. Long-exact arithmetic
+    // via double division + cast (truncation = floor for non-negatives;
+    // exact far past any row count that fits a cluster).
+    val k = lit(buckets.toLong)
+    val b = (col(n).cast("double") / k).cast("long")
+    val r = col(n) % k
+    val wide = r * (b + lit(1L))
+    val p = col(rn)
+    val q = when(p < wide, (p.cast("double") / (b + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + ((p - wide).cast("double") / b).cast("long") + lit(1L))
+    withRank.withColumn(outCol, q.cast("int")).drop(rn, n)
+  }
+
+  private def withRankAndCount(df: DataFrame, order: Seq[Column],
+                               outCol: String,
+                               countCol: Option[String]): DataFrame = {
+    require(order.nonEmpty, "global rank needs an order")
+    order.foreach(c => require(
+      !org.apache.spark.sql.GraftColumnBridge.isDescending(c),
+      "Ranking distributes ASCENDING total orders; flip the sign/negate " +
+        "the key instead of passing .desc"))
+    val spark = df.sparkSession
+    val ranges = spark.sessionState.conf.numShufflePartitions
+    val pid = "__graft_pid"
+    val cnt = "__graft_cnt"
+    val off = "__graft_off"
+    val head = order.head.cast("double")
+    // deterministic split points: the (P-1) inner quantiles of the leading
+    // key from one GK sketch — a 1-row frame broadcast onto the data
+    // low sketch accuracy on purpose: split points only steer BALANCE
+    // (each range lands within ~n/accuracy rows of even), never
+    // correctness — rank arithmetic is exact for any bounds. A tight GK
+    // sketch would pay O(row) insert cost for precision nothing uses.
+    val fracs = (1 until ranges).map(_.toDouble / ranges)
+    val bounds = df.agg(
+      percentile_approx(head, typedLit(fracs), lit(1000)).as("__graft_bounds"))
+    // range id = how many split points lie strictly below the key: ties on
+    // a split value collapse into the lower range (contiguity over ties);
+    // an all-null bounds array (empty input) or null key maps to range 0
+    val data = df.crossJoin(broadcast(bounds))
+      .withColumn(pid, coalesce(
+        size(filter(col("__graft_bounds"), b => b.isNotNull && b < head)),
+        lit(0)))
+      .drop("__graft_bounds")
+    // one row per range; the prefix-sum window is bounded by the RANGE
+    // count (cluster metadata), not the data
+    val offsets0 = data.groupBy(pid).agg(count(lit(1)).as(cnt))
+      .withColumn(off, coalesce(
+        sum(col(cnt)).over(Window.orderBy(pid)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = countCol match {
+      case Some(nm) => offsets0
+        .withColumn(nm, sum(col(cnt)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(pid, off, nm)
+      case None => offsets0.select(pid, off)
+    }
+    // per-range row_number: a Window PARTITIONED by the range id — every
+    // range sorts locally, all ranges in parallel
+    val w = Window.partitionBy(pid).orderBy(order: _*)
+    data.join(broadcast(offsets), pid)
+      .withColumn(outCol, col(off) + row_number().over(w).cast("long") - lit(1L))
+      .drop(pid, off)
+  }
+}

@@ -868,26 +868,36 @@ object AnalyticsExt {
       |  FROM orders)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** Equi-DEPTH binning (quantile buckets via ntile): complements the
-    * equi-width histogram — four buckets with equal populations, each
-    * summarized by its value range.
+  /** Equi-DEPTH binning (quantile buckets, SQL-`ntile` semantics):
+    * complements the equi-width histogram — four buckets with equal
+    * populations, each summarized by its value range.
     *
-    * Scale note: an unpartitioned ntile window funnels through one task —
-    * fine for the oracle-checked exact form here; at corpus scale compute
-    * approximate quantile BOUNDS first (percentile_approx, distributed)
-    * and assign bins by range comparison, which stays map-only.
+    * The naive form — `ntile(4)` over an unpartitioned window — funnels
+    * the whole fact table through ONE task (a single-partition global
+    * sort). This computes the bit-identical bucket assignment distributed
+    * via [[graft.ops.Ranking.withNtile]]: range-partition on the order
+    * key, per-range `row_number` (a window partitioned by the range id —
+    * parallel), broadcast prefix-count offsets → exact global rank →
+    * ntile arithmetic. No stage sees more than one range partition's rows;
+    * the only unpartitioned window is the offsets prefix sum, one row per
+    * PARTITION (cluster metadata, not data).
+    *
+    * Cost shape (BenchOne, warm): FLAT across sf0.001→0.01→0.1
+    * (1.20/1.08/1.16s) — the ~5-stage pipeline's scheduling floor, data
+    * cost invisible at these SFs. The retired single-task ntile read
+    * 0.21s at sf0.1 only because 1.5M rows sort trivially in one task —
+    * the exact shape that stops existing at 100×.
     */
-  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Readers.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("q", ntile(4).over(w))
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.withNtile(
+        Readers.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 4, "q")
       .groupBy("q")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("q")
-  }
 
   val histogramQuantileSql: String =
     """SELECT q, count(*) AS n,

@@ -11,6 +11,18 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** True iff the column was built with `.desc`/`.desc_nulls_*` — i.e. its
+    * node is a descending SortOrder. Spark 4 defers sort-order wrapping to
+    * an internal ColumnNode, so callers validating "ascending only"
+    * contracts (ops/Ranking) can't see it through `expression` before
+    * analysis.
+    */
+  def isDescending(c: Column): Boolean = c.node match {
+    case s: internal.SortOrder =>
+      s.sortDirection == internal.SortOrder.Descending
+    case _ => false
+  }
+
   /** Build a DataFrame over a custom logical plan (e.g. graft's
     * DedupKeepFirst node) in the active classic session.
     */

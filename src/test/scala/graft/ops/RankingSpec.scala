@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Ranking]] bit-equal to the single-task window functions it
+  * replaces, across the arithmetic edge cases SQL ntile is defined by
+  * (ragged n % k, n < k, heavy ties on the leading key), plus the
+  * determinism the distributed form must add (two evaluations of the
+  * same plan agree — the reason split points come from a sketch, not
+  * `repartitionByRange` sampling).
+  */
+class RankingSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic data with deliberate structure: ~30% tie mass on a few
+  // values (split-point ties must stay contiguous), unique tiebreaker id
+  private def mk(n: Int) = {
+    val rnd = new scala.util.Random(42 + n)
+    (0 until n).map { i =>
+      val v = if (rnd.nextDouble() < 0.3) (rnd.nextInt(3) * 100).toDouble
+              else rnd.nextDouble() * 1000
+      (i.toLong, v)
+    }.toDF("id", "v").repartition(7)
+  }
+
+  test("withNtile matches the SQL window ntile on ragged and tiny sizes") {
+    for (n <- Seq(1, 3, 7, 40, 1000); k <- Seq(1, 3, 4, 7, 50)) {
+      val df = mk(n)
+      val got = Ranking
+        .withNtile(df, Seq(col("v"), col("id")), k, "q")
+        .select("id", "q").as[(Long, Int)].collect().toMap
+      val want = df
+        .withColumn("q", ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "q").as[(Long, Int)].collect().toMap
+      assert(got == want, s"ntile($k) diverged at n=$n")
+    }
+  }
+
+  test("withGlobalRowNumber matches the unpartitioned row_number") {
+    val df = mk(500)
+    val got = Ranking
+      .withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long") - 1L)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("all-ties leading key still ranks exactly (degenerate single range)") {
+    // every split point equals the key: strict < sends everything to
+    // range 0 — degraded parallelism, never a wrong rank
+    val df = (0L until 100L).map(i => (i, 5.0)).toDF("id", "v").repartition(5)
+    val got = Ranking
+      .withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == (0L until 100L).map(i => i -> i).toMap)
+  }
+
+  test("two actions on one ranked plan agree (deterministic split points)") {
+    // the hazard that rules out raw repartitionByRange + spark_partition_id:
+    // its SAMPLED bounds may differ between evaluations of the same plan,
+    // silently mis-aligning offsets. Sketch-derived bounds are a pure
+    // function of the data, so re-evaluation is safe by construction.
+    val ranked = Ranking.withNtile(mk(800), Seq(col("v"), col("id")), 4, "q")
+    val a = ranked.groupBy("q").count().as[(Int, Long)].collect().sortBy(_._1)
+    val b = ranked.groupBy("q").count().as[(Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._2).sum == 800L)
+  }
+
+  test("descending order columns are refused (contract, not silent wrong)") {
+    val e = intercept[IllegalArgumentException] {
+      Ranking.withGlobalRowNumber(mk(10), Seq(col("v").desc), "rn")
+    }
+    assert(e.getMessage.contains("ASCENDING"))
+  }
+}

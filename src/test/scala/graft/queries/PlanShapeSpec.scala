@@ -145,6 +145,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"event-level window lost its day partitioning:\n$plan")
   }
 
+  test("histogram_quantile: no unpartitioned window over the fact table") {
+    // r9 weak flag: equi-depth binning via ntile(4) OVER (ORDER BY ...)
+    // funneled the whole orders table through one sort task. The
+    // distributed form (ops/Ranking) allows an unpartitioned window ONLY
+    // over aggregated metadata (the one-row-per-range offsets frame — its
+    // child aggregates first); the fact-grain window must be partitioned
+    // (by the range id), and the per-range row_number must actually be
+    // there
+    val plan = physicalPlan("histogram_quantile")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"histogram_quantile lost its windows:\n$plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"unpartitioned window over raw fact rows (no rollup below):\n$plan")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"per-range row_number lost its range-id partitioning:\n$plan")
+  }
+
   test("correlated subqueries plan as existence equi-joins, never BNLJ") {
     // the whole point of the SqlSurface keys: Catalyst's
     // RewritePredicateSubquery / RewriteCorrelatedScalarSubquery must turn

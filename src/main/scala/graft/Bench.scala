@@ -188,7 +188,7 @@ object Bench {
     // cross-round diff against a pre-memoization round isn't read as an
     // engine speedup.
     val ledger =
-      s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best"]"""
+      s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best","ann_ivf_pruned"]"""
     val detailDoc =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},$ledger,"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {

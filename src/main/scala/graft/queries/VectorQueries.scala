@@ -158,6 +158,58 @@ object VectorQueries {
        |WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF search against the PERSISTED index ([[graft.ops.IvfIndex]]):
+    * same answer as [[annIvf]] (same k, same nprobe=1, same oracle), but
+    * the candidate side reads a parquet table physically partitioned by
+    * `centroid_id` — and the probe JOIN on that partition column, with the
+    * query side selectively filtered, plans a `dynamicpruning` subquery on
+    * the index scan: ONLY the probed cells' directories are read. This is
+    * the 100 TB ANN layout as an executed artifact, not prose: index once
+    * (the write is the one full shuffle), then every probe is
+    * query-side-tiny join + a scan of nprobe cells out of k.
+    *
+    * The index rows carry the precomputed norm (`_n`) so probes never
+    * touch the raw corpus. The query vectors are read back from the index
+    * itself (they're corpus members; the vec_id row-group filter handles
+    * the lookup) — a production query set arrives as its own tiny frame.
+    *
+    * Plan pin: PlanShapeSpec asserts `dynamicpruning` inside the index
+    * scan's `PartitionFilters`; IvfIndexSpec asserts probe == [[annIvf]]
+    * row-for-row and that a static cell filter prunes too.
+    *
+    * EAGER BY NATURE: the first construction in a session writes the
+    * index (memoized after — the shared-artifact accounting contract of
+    * `sharedClusters`; `warm_cache_keys` flags the key in bench detail).
+    */
+  def annIvfPruned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val path = graft.ops.IvfIndex.ensure(spark,
+      s"${graft.ops.Bucketing.scratchRoot()}/ivf/${tag}_k$NumCentroids",
+      Vectors.assignToCentroids(emb, "vec_id", centroids)
+        .withColumn("_n", Vectors.norm(col("embedding"))))
+    // partition-column type inference reads centroid_id back as INT; the
+    // join stays on the raw partition column (a cast on the join key
+    // would hide it from partition pruning) and the cast to the oracle's
+    // BIGINT happens in the final projection only
+    val index = spark.read.parquet(path)
+    val queries = index.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("_n").as("_qn"), col("centroid_id"))
+    val hits = index.select(col("vec_id"), col("embedding"), col("_n"),
+        col("centroid_id"))
+      .join(queries, Seq("centroid_id"))
+    Vectors.rankCandidates(hits, IvfK)
+      .select(col("query_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("rank"), col("vec_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  // same answer as ann_ivf — the layout must not change results
+  val annIvfPrunedSql: String = annIvfSqlK(NumCentroids)
+
   /** Near-dup by embedding cosine: each vector's nearest other vector.
     * Brute force here (N² scored pairs) — the IVF/LSH bucketing above is
     * the 100 TB path; this is the exact baseline it approximates.
@@ -639,6 +691,7 @@ object VectorQueries {
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe2" -> annIvfProbe2,
+    "ann_ivf_pruned" -> annIvfPruned,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
     "embedding_neardup_lsh" -> embeddingNeardupLsh,
@@ -657,6 +710,7 @@ object VectorQueries {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_ivf" -> annIvfSql,
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,
+    "ann_ivf_pruned" -> annIvfPrunedSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_probe" -> annLshProbeSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,

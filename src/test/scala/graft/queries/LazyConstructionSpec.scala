@@ -32,6 +32,7 @@ class LazyConstructionSpec extends AnyFunSuite {
     "entity_resolve", // clustering stage is dedup_clusters
     "similarity_scores", // reference-parity ≤8-row driver dict
     "bucketed_join", // writes the bucketed tables it demonstrates
+    "ann_ivf_pruned", // writes the centroid-partitioned IVF index (memoized)
     "jsonl_roundtrip", // writes the JSONL files it quarantine-reads
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's

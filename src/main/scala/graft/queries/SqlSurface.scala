@@ -3,14 +3,16 @@ package graft.queries
 import graft.etl.Readers
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Correlated-subquery SQL surface: TPC-H Q2/Q4/Q11/Q15/Q17/Q20/Q21/Q22-
-  * shaped queries issued
+/** Correlated-subquery + classic-planner SQL surface: TPC-H
+  * Q2/Q4/Q11/Q13/Q15/Q17/Q19/Q20/Q21/Q22-shaped queries issued
   * through `spark.sql` over temp views of the testdata tables — the one
   * operator class the DataFrame DSL never exercises, because EXISTS /
   * NOT EXISTS / correlated scalar subqueries only exist in the SQL parser
   * and are planned by Catalyst's subquery rewrites
   * (`RewritePredicateSubquery` → existence semi/anti joins,
-  * `RewriteCorrelatedScalarSubquery` → aggregate + join).
+  * `RewriteCorrelatedScalarSubquery` → aggregate + join). Q13 (outer-join
+  * aggregate histogram) and Q19 (disjunctive join factored to one
+  * equi-join) round out the classic planner behaviors.
   *
   * The testdata lacks `l_commitdate`/`l_receiptdate`, so the classic
   * "late delivery" predicate is re-expressed as `l_returnflag = 'R'`
@@ -364,6 +366,84 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q13 shape — order-count distribution over ALL customers,
+    * including the zero-order ones: customer LEFT OUTER JOIN orders with
+    * a predicate ON THE JOIN (not WHERE — a WHERE filter would turn the
+    * outer join inner and silently drop the zero-order bucket, the
+    * classic Q13 trap), then a two-level aggregation. Planner behaviors
+    * this exercises that no other key does: an outer join carrying an
+    * extra non-equi join-side predicate, and an aggregate ON TOP of an
+    * outer join's null-extended side (`count(o_orderkey)` counts only
+    * matches, so null-extension becomes c_count = 0).
+    *
+    * Scale: the join shuffles both sides on the customer key; the first
+    * aggregate is co-partitioned with the join output (no extra
+    * exchange); the second groups ~50 distinct counts — tiny.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority = '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  val q13CustomerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |        AND o_orderpriority = '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 shape — revenue from an OR of three brand/size/quantity
+    * conjunct groups, each repeating the `p_partkey = l_partkey`
+    * equi-condition. The planner behavior this pins: Catalyst must
+    * FACTOR the common equi-join key out of the disjunction and plan ONE
+    * hash join with the OR as a residual condition — naively this is a
+    * cartesian product with a disjunctive filter (all-pairs at scale),
+    * and three separate scan-join-union passes would read the fact table
+    * three times. Catalyst also derives single-side disjunctive filters
+    * from the OR (a brand/size OR onto the part scan, a quantity OR onto
+    * the lineitem scan), so both inputs shrink before the join.
+    * PlanShapeSpec pins one join, zero nested loops, and the pushed OR.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT round(sum(l_extendedprice * (1.0D - l_discount)), 2) AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |       AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1.0D AND l_quantity <= 11.0D)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |       AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10.0D AND l_quantity <= 20.0D)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |       AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20.0D AND l_quantity <= 30.0D)""".stripMargin)
+  }
+
+  val q19DiscountedRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2) AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |       AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1.0::DOUBLE AND l_quantity <= 11.0::DOUBLE)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |       AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10.0::DOUBLE AND l_quantity <= 20.0::DOUBLE)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |       AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20.0::DOUBLE AND l_quantity <= 30.0::DOUBLE)""".stripMargin
+
   /** Recursive CTE (`WITH RECURSIVE`, Spark 4's recursion support) — an
     * org-chart-style hierarchy walk over the implicit binary tree on
     * customer keys (parent = `k DIV 2`): per-depth node count and id
@@ -451,6 +531,8 @@ object SqlSurface {
     "q15_top_supplier" -> q15TopSupplier,
     "q20_volume_suppliers" -> q20VolumeSuppliers,
     "q22_dormant_customers" -> q22DormantCustomers,
+    "q13_customer_distribution" -> q13CustomerDistribution,
+    "q19_discounted_revenue" -> q19DiscountedRevenue,
     "recursive_tree_depth" -> recursiveTreeDepth,
     "lateral_topk_orders" -> lateralTopkOrders
   )
@@ -464,6 +546,8 @@ object SqlSurface {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q20_volume_suppliers" -> q20VolumeSuppliersSql,
     "q22_dormant_customers" -> q22DormantCustomersSql,
+    "q13_customer_distribution" -> q13CustomerDistributionSql,
+    "q19_discounted_revenue" -> q19DiscountedRevenueSql,
     "recursive_tree_depth" -> recursiveTreeDepthSql,
     "lateral_topk_orders" -> lateralTopkOrdersSql
   )

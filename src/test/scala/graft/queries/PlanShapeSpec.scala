@@ -145,6 +145,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"event-level window lost its day partitioning:\n$plan")
   }
 
+  test("q19: the disjunctive join stays ONE equi-join with pushed OR filters") {
+    // Q19's whole planner point: the OR-of-ANDs repeats the
+    // p_partkey = l_partkey equi-condition, and Catalyst must factor it
+    // out — ONE hash join with the disjunction as residual. Degradations
+    // to pin against: a cartesian/BNLJ with a disjunctive filter
+    // (all-pairs at scale), or three scan-join passes (reads the fact
+    // table three times)
+    val plan = physicalPlan("q19_discounted_revenue")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.length == 1,
+      s"q19 must plan exactly one join, got ${joins.length}:\n$plan")
+    assert(!joins.head.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] &&
+      !joins.head.isInstanceOf[
+        org.apache.spark.sql.execution.joins.CartesianProductExec],
+      s"q19 degraded to a nested loop:\n$plan")
+    // and the per-side disjunctions were derived onto BOTH scans, so each
+    // input shrinks before the join
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(s => s.dataFilters.exists(_.toString.contains("OR")) &&
+      s.dataFilters.mkString.contains("l_quantity")),
+      s"lineitem scan lost its derived quantity disjunction:\n$plan")
+    assert(scans.exists(s => s.dataFilters.exists(_.toString.contains("OR")) &&
+      s.dataFilters.mkString.contains("p_brand")),
+      s"part scan lost its derived brand/size disjunction:\n$plan")
+  }
+
+  test("q13: outer join keeps zero-order customers; join-side filter pushes") {
+    // the Q13 trap is a WHERE filter that silently turns the LEFT JOIN
+    // inner — pin that the executed join is still LeftOuter AND the
+    // result actually carries the zero-order bucket (c_count = 0)
+    val plan = executedPlan("q13_customer_distribution")
+    assert(plan.contains("LeftOuter"),
+      s"q13 lost its outer join (zero-order customers dropped):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val rows = graft.SparkEntry.queries("q13_customer_distribution")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).contains(0L),
+      "no c_count = 0 bucket: the outer join's null-extension was lost")
+  }
+
   test("histogram_quantile: no unpartitioned window over the fact table") {
     // r9 weak flag: equi-depth binning via ntile(4) OVER (ORDER BY ...)
     // funneled the whole orders table through one sort task. The

@@ -33,6 +33,7 @@ object BenchStream {
   case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String,
                 value: Double, event_id: Long)
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class Emb(vec_id: Long, embedding: Array[Float], ts: java.sql.Timestamp)
 
   def main(args: Array[String]): Unit = {
     val batches = if (args.nonEmpty) args(0).toInt else 8
@@ -137,6 +138,20 @@ object BenchStream {
       ds => DocStreams.qualityFiltered(ds.toDF()))
     run("doc_curated", docs, "append")(
       ds => DocStreams.curated(ds.toDF()))
+    // embedding LSH dedup: signature computation (8 native-dot
+    // hyperplane projections per row) + the per-bucket dedup state store
+    // — the vector twin of doc_curated's fingerprint dedup. Watermark
+    // wide open so every arrival hits live state (worst case for the
+    // store; eviction only shrinks it)
+    val embs = graft.etl.Readers.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, e) =>
+        Emb(id, e, new java.sql.Timestamp(1704067200000L + id * 1000L))
+      }.toSeq
+    run("embedding_dedup_stream", embs, "append")(
+      ds => graft.streaming.EmbeddingStreams.dedupBySignature(
+        ds.toDF(), watermark = "24 hours"))
     // media quarantine decode: the batch decoder unchanged over a stream
     // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
     // so every micro-batch exercises both the decode and the quarantine

@@ -104,10 +104,20 @@ object Bpe {
       .limit(maxWords)).localCheckpoint(false)
     var all = withSyms(counts.select(col("w"), lit(1L).as("c")))
       .localCheckpoint(false)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val (rule, mergedTrain) = round(vocab)
-      // the rule LEARNED on the training vocab applies to ALL words
-      all = applyRule(all, rule).localCheckpoint(false)
+      // the rule LEARNED on the training vocab applies to ALL words.
+      // Checkpoint cadence is per-chain, measured (NOTES_r10): `all` is
+      // single-referenced per round, so a cadence-5 checkpoint saves 8
+      // stage materializations of the distinct-words table per 10 rounds
+      // and costs only deeper (≤5) nested-fold codegen — 2.9 → 2.6s warm
+      // at sf0.1. Cadence 1 on vocab stands: round() reads it twice
+      // (pairs + merge), and both the r9 everywhere-experiment and the
+      // r10 vocab-only retry measured the uncheckpointed double
+      // reference SLOWER (3.7s / 2.9s); zero `all` checkpoints also
+      // loses (3.1s — 10 nested folds of optimizer/codegen depth).
+      all = applyRule(all, rule)
+      if (r % 5 == 0 || r == rounds) all = all.localCheckpoint(false)
       vocab = mergedTrain.localCheckpoint(false)
     }
     all.select(col("w"), size(col("syms")).as("n_tokens"))

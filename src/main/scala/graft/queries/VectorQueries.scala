@@ -470,6 +470,156 @@ object VectorQueries {
        |ORDER BY vec_id, sub""".stripMargin
   }
 
+  val PqRerank = 10
+
+  /** IVF-PQ — the production ANN index composition, end-to-end: IVF
+    * restricts each query to its centroid cell, PQ codes stand in for
+    * the raw vectors during candidate scoring (asymmetric distance:
+    * query full-precision, candidates reconstructed from their m
+    * codebook entries), and only the top-[[PqRerank]] shortlist touches
+    * raw embeddings for the exact cosine re-rank. This is the memory
+    * story that makes billion-vector search fit RAM: the scan-resident
+    * index is (centroid_id, m codes, norm) per vector — here
+    * 4 codes + 1 norm ≈ 12 bytes vs 256 bytes of floats — and the raw
+    * corpus is only random-accessed for k·queries rows.
+    *
+    * Plan shape: assignment + codes reuse the certified `ann_ivf` /
+    * `pq_codes` subtrees; the codeword table (m·k rows) broadcasts BY
+    * DEFINITION of PQ; reconstruction is one hash-aggregate per
+    * candidate (collect m sub-slices, sub-ordered — deterministic);
+    * the ADC score is ONE sequential-fold dot against the
+    * reconstruction (bit-identical in both engines, no
+    * order-of-summation hazard); shortlist and re-rank are per-query
+    * windows the optimizer prunes with WindowGroupLimit.
+    *
+    * Ranking contract matches the family: scores rounded to 6, ties by
+    * vec_id; approx cosine normalizes by the TRUE stored norm (an
+    * IVF-PQ index stores it for exactly this).
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // cache: queries and candidates both embed the assignment subtree
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .withColumn("_n", Vectors.norm(col("embedding")))
+      .cache()
+    val subDim = Dim / PqSubspaces
+    val codes = Vectors.pqAssign(Readers.fanOut(emb), "vec_id",
+        PqSubspaces, PqCodebook, Dim)
+      .select("vec_id", "sub", "code")
+    val codewords = emb.filter(col("vec_id") < PqCodebook)
+      .select(col("vec_id").as("code"),
+        posexplode(array((0 until PqSubspaces).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*))
+          .as(Seq("sub", "cv")))
+    // decode: concat the m codewords in sub order — the PQ reconstruction
+    val recon = codes.join(broadcast(codewords), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cv")))),
+        x => x.getField("cv"))).as("recon"))
+    val queries = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("_n").as("_qn"), col("centroid_id"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = queries
+      .join(assigned.select(col("vec_id"), col("centroid_id"), col("_n")),
+        Seq("centroid_id"))
+      .join(recon, Seq("vec_id"))
+      .withColumn("approx_cos", round(Vectors.safeDiv(
+        Vectors.dot(col("q_emb"), col("recon")),
+        col("_qn") * col("_n")), 6))
+      .withColumn("_arn", row_number().over(wApprox))
+      .filter(col("_arn") <= PqRerank)
+    // exact re-rank touches raw embeddings for the shortlist ONLY
+    val hits = shortlist
+      .select("query_id", "q_emb", "_qn", "vec_id", "approx_cos")
+      .join(emb.withColumn("_n", Vectors.norm(col("embedding"))), Seq("vec_id"))
+    Vectors.rankCandidates(hits, IvfK)
+      .select("query_id", "rank", "vec_id", "cos", "approx_cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    val subDim = Dim / PqSubspaces
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |),
+       |subs AS (SELECT unnest(range($PqSubspaces)) AS sub),
+       |parts AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(embedding, sub * $subDim + 1,
+       |      sub * $subDim + $subDim)::DOUBLE[] AS sv
+       |  FROM embeddings, subs
+       |),
+       |cents AS (
+       |  SELECT vec_id AS code, sub,
+       |    list_slice(embedding, sub * $subDim + 1,
+       |      sub * $subDim + $subDim)::DOUBLE[] AS cv
+       |  FROM embeddings, subs WHERE vec_id < $PqCodebook
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT p.vec_id, p.sub, c.code,
+       |      row_number() OVER (PARTITION BY p.vec_id, p.sub
+       |        ORDER BY round(list_dot_product(p.sv, p.sv)
+       |          - 2.0::DOUBLE * list_dot_product(p.sv, c.cv)
+       |          + list_dot_product(c.cv, c.cv), 6), c.code) AS rn
+       |    FROM parts p JOIN cents c USING (sub))
+       |  WHERE rn = 1
+       |),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cv ORDER BY codes.sub)) AS recon
+       |  FROM codes JOIN cents ON cents.sub = codes.sub
+       |    AND cents.code = codes.code
+       |  GROUP BY codes.vec_id
+       |),
+       |shortlist AS (
+       |  SELECT query_id, vec_id, q_emb, qn, approx_cos FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+       |      q.embedding AS q_emb,
+       |      sqrt(list_dot_product(q.embedding::DOUBLE[],
+       |        q.embedding::DOUBLE[])) AS qn,
+       |      round(list_dot_product(q.embedding::DOUBLE[], r.recon) /
+       |        (sqrt(list_dot_product(q.embedding::DOUBLE[],
+       |           q.embedding::DOUBLE[])) *
+       |         sqrt(list_dot_product(x.embedding::DOUBLE[],
+       |           x.embedding::DOUBLE[]))), 6) AS approx_cos,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.embedding::DOUBLE[], r.recon) /
+       |          (sqrt(list_dot_product(q.embedding::DOUBLE[],
+       |             q.embedding::DOUBLE[])) *
+       |           sqrt(list_dot_product(x.embedding::DOUBLE[],
+       |             x.embedding::DOUBLE[]))), 6) DESC, x.vec_id) AS arn
+       |    FROM assigned q
+       |    JOIN assigned x ON q.centroid_id = x.centroid_id
+       |    JOIN recon r ON r.vec_id = x.vec_id
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE arn <= $PqRerank
+       |)
+       |SELECT query_id, rank, vec_id, cos, approx_cos FROM (
+       |  SELECT s.query_id, s.vec_id, s.approx_cos,
+       |    round(list_dot_product(s.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+       |      (s.qn * sqrt(list_dot_product(e.embedding::DOUBLE[],
+       |         e.embedding::DOUBLE[]))), 6) AS cos,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY round(list_dot_product(s.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+       |        (s.qn * sqrt(list_dot_product(e.embedding::DOUBLE[],
+       |           e.embedding::DOUBLE[]))), 6) DESC, s.vec_id) AS rank
+       |  FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id)
+       |WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Per-label centroid (element-wise mean, components rounded to 6 so
     * downstream dot products run on identical inputs in both engines) and
     * the pairwise cosine similarity between centroids — the
@@ -692,6 +842,7 @@ object VectorQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_nprobe2" -> annIvfProbe2,
     "ann_ivf_pruned" -> annIvfPruned,
+    "ann_ivfpq" -> annIvfPq,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_probe" -> annLshProbe,
     "embedding_neardup_lsh" -> embeddingNeardupLsh,
@@ -711,6 +862,7 @@ object VectorQueries {
     "ann_ivf" -> annIvfSql,
     "ann_ivf_nprobe2" -> annIvfProbe2Sql,
     "ann_ivf_pruned" -> annIvfPrunedSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_probe" -> annLshProbeSql,
     "embedding_neardup_lsh" -> embeddingNeardupLshSql,

@@ -548,8 +548,273 @@ object Analytics {
       |GROUP BY p_brand, p_type_prefix
       |ORDER BY supplier_cnt DESC, p_brand, p_type_prefix""".stripMargin
 
+  /** TPC-H Q6-style forecast revenue: the pure scan-side query — a year
+    * of shipments in a narrow discount band under a quantity cap, one
+    * global sum. Plan shape: ALL three predicates push into the parquet
+    * scan (`PushedFilters` carries the shipdate range, discount band and
+    * quantity cap, so row groups outside the year prune on statistics),
+    * the projection reads only the four referenced columns, and the only
+    * exchange is the single-row partial→final aggregate. At 100 TB this
+    * is the query whose cost is decided entirely by scan pruning — there
+    * is nothing to join and nothing to spill.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE
+      |  AND l_quantity < 24.0::DOUBLE""".stripMargin
+
+  /** TPC-H Q8-style national market share: of the PROMO-part volume sold
+    * to EUROPE-region customers over two years, what fraction came from
+    * NATION_3 suppliers, per order year. The two-level aggregate (a
+    * conditional sum over the same rows as the total) is ONE aggregate
+    * with two accumulators — never two passes. Plan: part shrinks to the
+    * PROMO keys and broadcasts, supplier carries its nation name in as a
+    * broadcast, the region→nation→customer chain folds into a broadcast
+    * customer key set, and the single shuffle is lineitem ⋈ orders on the
+    * order key (the date filter pushed into the orders scan first).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val eur = Readers.table(spark, dir, "region")
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val natC = Readers.table(spark, dir, "nation")
+      .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Readers.table(spark, dir, "customer")
+      .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Readers.table(spark, dir, "supplier")
+      .join(broadcast(Readers.table(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val promo = Readers.table(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val ord = Readers.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val li = Readers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+    li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))) / sum(col("volume")), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  round(sum(CASE WHEN n1.n_name = 'NATION_3'
+      |                 THEN l_extendedprice * (1.0::DOUBLE - l_discount)
+      |                 ELSE 0.0::DOUBLE END)
+      |        / sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 4)
+      |    AS mkt_share
+      |FROM lineitem, orders, customer, supplier, part,
+      |     nation n1, nation n2, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+      |  AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9-style product-line profit by nation and year. The testdata
+    * has no partsupp table, so supply cost is re-expressed off the part
+    * dimension (`p_retailprice * l_quantity` in place of
+    * `ps_supplycost * l_quantity` — same expression shape, same join
+    * arity minus the partsupp branch). The LIKE predicate on part name
+    * prunes the part side BEFORE its broadcast; the one shuffle is
+    * lineitem ⋈ orders on the order key; profit is computed row-wise
+    * inside the scan projection so the aggregate sees one double.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Readers.table(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Readers.table(spark, dir, "supplier")
+      .join(broadcast(Readers.table(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = Readers.table(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val li = Readers.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)
+      |            - p_retailprice * l_quantity), 2) AS sum_profit
+      |FROM lineitem, orders, part, supplier, nation
+      |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q10-style returned-item ranking: top-20 customers by revenue
+    * lost to returns in one quarter. Plan shape: both filters push into
+    * their scans, lineitem ⋈ orders shuffles on the order key, the
+    * aggregate reduces to customer grain BEFORE the customer join (the
+    * joined left side is thousands of rows, so at 100 TB the
+    * customer-dimension join shuffles two SMALL-by-construction sides on
+    * the customer key — never broadcast-sized fact state), nation rides
+    * in as a broadcast, and the 20-row cut is a TakeOrdered over ROUNDED
+    * revenue with the customer key as tiebreak (round-then-rank keeps
+    * the kept set engine-stable, as in Q3).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Readers.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Readers.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+    val cust = Readers.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Readers.table(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, revenue,
+      |  round(c_acctbal, 2) AS c_acctbal, n_name
+      |FROM (
+      |  SELECT o_custkey,
+      |    round(sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 2)
+      |      AS revenue
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1
+      |), customer, nation
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q12-style priority line counts (the testdata has no
+    * `l_shipmode`, so the line-status flag stands in as the grouping
+    * dimension — the certified shape is the conditional two-accumulator
+    * aggregate after the fact-fact join). Counts are integral, so the
+    * cross-engine compare is exact in any summation order. Plan: the
+    * ship-year filter pushes into the lineitem scan, the join shuffles
+    * once on the order key, and both CASE counts fold into one partial
+    * aggregate map-side.
+    */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Seq("1-URGENT", "2-HIGH")
+    val ord = Readers.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val li = Readers.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin(urgent: _*), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(urgent: _*), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12PriorityLinesSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q14-style promo effect: the percentage of one month's revenue
+    * that came from PROMO-type parts — the classic conditional-sum ratio.
+    * Plan: the month filter pushes into the lineitem scan (one month of
+    * a fact table prunes to a sliver on row-group statistics), part
+    * broadcasts carrying only the key and type, and the ratio's two sums
+    * are a single two-accumulator aggregate — one pass, one exchange,
+    * one output row.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val part = Readers.table(spark, dir, "part")
+      .select("p_partkey", "p_type")
+    val li = Readers.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(lit(0.0))) / sum(col("volume")), 4)
+        .as("promo_revenue"))
+  }
+
+  val q14PromoEffectSql: String =
+    """SELECT round(100.0::DOUBLE *
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1.0::DOUBLE - l_discount)
+      |        ELSE 0.0::DOUBLE END)
+      |    / sum(l_extendedprice * (1.0::DOUBLE - l_discount)), 4)
+      |  AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q12_priority_lines" -> q12PriorityLines,
+    "q14_promo_effect" -> q14PromoEffect,
     "join_bloom_prune" -> joinBloomPrune,
     "q7_nation_volume" -> q7NationVolume,
     "q16_supplier_diversity" -> q16SupplierDiversity,
@@ -572,6 +837,12 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" -> aggPricingSummarySql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q12_priority_lines" -> q12PriorityLinesSql,
+    "q14_promo_effect" -> q14PromoEffectSql,
     "join_bloom_prune" -> joinBloomPruneSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q16_supplier_diversity" -> q16SupplierDiversitySql,

@@ -270,4 +270,64 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(lat.contains("WindowGroupLimit"),
       s"lateral top-k lost its group-limit pruning:\n$lat")
   }
+
+  test("q6/q14: scan-decided aggregates — predicates at the scan, no stray joins") {
+    // Q6 is the pure scan query: its entire cost is decided by parquet
+    // pruning, so every predicate must appear in PushedFilters and the
+    // plan must contain no join at all
+    val q6Plan = physicalPlan("q6_forecast_revenue")
+    // the rendered plan truncates long PushedFilters lists — read the
+    // full list off the scan node's metadata instead
+    val q6Scans = q6Plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(q6Scans.size == 1, s"q6 expected one scan:\n$q6Plan")
+    val q6Pushed = q6Scans.head.metadata("PushedFilters")
+    for (pushed <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(q6Pushed.contains(pushed),
+        s"q6 predicate not pushed ($pushed): $q6Pushed")
+    val q6 = q6Plan.toString
+    assert(!q6.contains("Join"), s"q6 grew a join:\n$q6")
+    // Q14's conditional-sum ratio is ONE aggregate over ONE broadcast
+    // join — a second join or a shuffle of the month slice means the
+    // CASE split was planned as two passes
+    val q14 = executedPlan("q14_promo_effect")
+    assert("BroadcastHashJoin".r.findAllIn(q14).size == 1,
+      s"q14 is not exactly one broadcast join:\n$q14")
+    assert(q14.contains("GreaterThanOrEqual(l_shipdate,1996-03-01"),
+      s"q14 month filter not pushed:\n$q14")
+    assert(!q14.contains("SortMergeJoin") && !q14.contains("CartesianProduct"),
+      s"q14 shuffled or crossed:\n$q14")
+  }
+
+  test("q8/q9/q10/q12: dimension-broadcast join trees, no nested loops") {
+    for (q <- Seq("q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q12_priority_lines")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q degraded to a nested loop/cartesian:\n$plan")
+    }
+    // Q8: the selective dimension predicates prune at the scans, before
+    // any broadcast — PROMO on part, the two-year window on orders
+    val q8 = executedPlan("q8_market_share")
+    assert(q8.contains("EqualTo(p_type,PROMO)"),
+      s"q8 PROMO filter not pushed into the part scan:\n$q8")
+    assert(q8.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"),
+      s"q8 date window not pushed into the orders scan:\n$q8")
+    // Q9: the LIKE prunes the part side before its broadcast (Parquet
+    // pushes the contains as a StringContains filter)
+    val q9 = executedPlan("q9_product_profit")
+    assert(q9.contains("StringContains(p_name,red)"),
+      s"q9 LIKE not pushed into the part scan:\n$q9")
+    // Q10: the 20-row cut is a TakeOrdered heap over the rounded
+    // revenue — never a global sort of the aggregate
+    val q10 = executedPlan("q10_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"),
+      s"q10 lost its top-k heap:\n$q10")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"q10 return-flag filter not pushed into the lineitem scan:\n$q10")
+  }
 }

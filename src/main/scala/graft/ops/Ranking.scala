@@ -51,7 +51,38 @@ object Ranking {
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           outCol: String): DataFrame =
-    withRankAndCount(df, order, outCol, None)
+    withRankAndCount(df, order, outCol, None, None)
+
+  /** As [[withGlobalRowNumber]], but range-splitting on an explicit
+    * numeric `rangeKey` instead of the leading order column — for total
+    * orders whose leading key is DESCENDING or non-numeric (a string).
+    *
+    * Contract: `rangeKey` must be monotone NON-DECREASING along the total
+    * order (ties allowed — tied rows land in the lower range together, so
+    * contiguity survives). Only BALANCE depends on how finely the proxy
+    * resolves the order; rank arithmetic stays exact for any proxy. E.g.
+    * for `(n DESC, word ASC)` pass `-n + stringPrefixFraction(word)`:
+    * distinct counts differ by ≥ 1 so the fraction never reorders them,
+    * and within a tied count the word prefix spreads the rows across
+    * ranges — which is what defuses a Zipf tail of count-1 words all
+    * sharing one range.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+                          outCol: String, rangeKey: Column): DataFrame =
+    withRankAndCount(df, order, outCol, None, Some(rangeKey))
+
+  /** A [0, 1) fraction that is monotone non-decreasing in the string's
+    * binary (code-point) order, from the first four characters — 21 bits
+    * per code point, so the first differing character always dominates
+    * the remainder. A range-split proxy, never an order substitute:
+    * strings sharing a 4-char prefix collapse to the same value.
+    */
+  def stringPrefixFraction(s: Column): Column = {
+    def cp(i: Int): Column =
+      coalesce(ascii(substring(s, i, 1)), lit(0)).cast("double")
+    val w = math.pow(2.0, 21)
+    (((cp(4) / w + cp(3)) / w + cp(2)) / w + cp(1)) / w
+  }
 
   /** `df` plus `outCol` = `ntile(buckets)` in the total order given by
     * `order` — bit-identical to the SQL window function (first `n mod k`
@@ -62,7 +93,7 @@ object Ranking {
     require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
     val rn = "__graft_rn"
     val n = "__graft_n"
-    val withRank = withRankAndCount(df, order, rn, Some(n))
+    val withRank = withRankAndCount(df, order, rn, Some(n), None)
     // SQL ntile: b = n/k rows per bucket, the first r = n%k buckets take
     // one extra. For 0-based rank p: the first r*(b+1) ranks map onto the
     // wide buckets, the rest onto width-b buckets. Long-exact arithmetic
@@ -80,18 +111,21 @@ object Ranking {
 
   private def withRankAndCount(df: DataFrame, order: Seq[Column],
                                outCol: String,
-                               countCol: Option[String]): DataFrame = {
+                               countCol: Option[String],
+                               rangeKey: Option[Column]): DataFrame = {
     require(order.nonEmpty, "global rank needs an order")
-    order.foreach(c => require(
+    // with an explicit range proxy the order may mix directions — the
+    // proxy carries the monotonicity contract instead of the leading key
+    if (rangeKey.isEmpty) order.foreach(c => require(
       !org.apache.spark.sql.GraftColumnBridge.isDescending(c),
       "Ranking distributes ASCENDING total orders; flip the sign/negate " +
-        "the key instead of passing .desc"))
+        "the key instead of passing .desc, or pass an explicit rangeKey"))
     val spark = df.sparkSession
     val ranges = spark.sessionState.conf.numShufflePartitions
     val pid = "__graft_pid"
     val cnt = "__graft_cnt"
     val off = "__graft_off"
-    val head = order.head.cast("double")
+    val head = rangeKey.getOrElse(order.head).cast("double")
     // deterministic split points: the (P-1) inner quantiles of the leading
     // key from one GK sketch — a 1-row frame broadcast onto the data
     // low sketch accuracy on purpose: split points only steer BALANCE
@@ -112,6 +146,11 @@ object Ranking {
     // one row per range; the prefix-sum window is bounded by the RANGE
     // count (cluster metadata), not the data
     val offsets0 = data.groupBy(pid).agg(count(lit(1)).as(cnt))
+      // no-op by the pid invariant (pid = size-of-filtered-bounds ≤
+      // ranges-1), present to make the cardinality STRUCTURAL: Catalyst
+      // gets maxRows for the frame and PlanLint's bounded-input proof
+      // certifies the prefix-sum window below as cluster-metadata-sized
+      .limit(ranges)
       .withColumn(off, coalesce(
         sum(col(cnt)).over(Window.orderBy(pid)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

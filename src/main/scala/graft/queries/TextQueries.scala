@@ -662,14 +662,29 @@ object TextQueries {
   /** Vocabulary build: corpus word counts with frequency-ranked ids — the
     * tokenizer-prep step of a training pipeline. One explode + one
     * aggregate + one ranked id assignment.
+    *
+    * The id is a GLOBAL `row_number` over `(n DESC, word)` — which, as a
+    * plain window, funnels the entire vocabulary through one task. A
+    * web-scale corpus has hundreds of millions of distinct tokens, so
+    * this is computed distributed via [[graft.ops.Ranking]] instead: the
+    * range-split proxy `-n + prefixFraction(word)` keeps the descending
+    * count order (distinct counts differ by ≥ 1, so the sub-1 fraction
+    * never reorders them) while the word-prefix fraction spreads the
+    * Zipf tail — the huge tied block of count-1 words that would
+    * otherwise all land in a single range — across ranges.
     */
   def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("word"))
-    Readers.fanOut(Readers.table(spark, dir, "documents").select("text"))
+    val counts = Readers
+      .fanOut(Readers.table(spark, dir, "documents").select("text"))
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("word_id", row_number().over(w).cast("long"))
+    val proxy = -col("n").cast("double") +
+      graft.ops.Ranking.stringPrefixFraction(col("word"))
+    graft.ops.Ranking
+      .withGlobalRowNumber(counts, Seq(col("n").desc, col("word")),
+        "__rank0", proxy)
+      .withColumn("word_id", (col("__rank0") + lit(1L)).cast("long"))
+      .drop("__rank0")
       .orderBy("word_id")
   }
 

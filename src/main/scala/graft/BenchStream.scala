@@ -152,6 +152,17 @@ object BenchStream {
     run("embedding_dedup_stream", embs, "append")(
       ds => graft.streaming.EmbeddingStreams.dedupBySignature(
         ds.toDF(), watermark = "24 hours"))
+    // streaming IVF maintenance: per micro-batch the cost is the k-row
+    // broadcast centroid assignment + one partitioned parquet write
+    // (dynamic overwrite of the batch's own delta partitions). Delta on
+    // tmpfs — time the assignment+append, not this host's fsync
+    val ivfCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    run("ivf_append_sink", embs, "append",
+        sinkTo = Some((df, id) => graft.streaming.IvfAppendSink
+          .appendBatch(s"$ckptRoot/ivf-index", ivfCentroids)(df, id)))(
+      ds => ds.toDF())
     // media quarantine decode: the batch decoder unchanged over a stream
     // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
     // so every micro-batch exercises both the decode and the quarantine

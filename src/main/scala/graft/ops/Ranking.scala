@@ -109,10 +109,77 @@ object Ranking {
     withRank.withColumn(outCol, q.cast("int")).drop(rn, n)
   }
 
-  private def withRankAndCount(df: DataFrame, order: Seq[Column],
-                               outCol: String,
-                               countCol: Option[String],
-                               rangeKey: Option[Column]): DataFrame = {
+  /** `df` plus `out` = the running (prefix) sum of `value` in the total
+    * order `order`, INCLUSIVE of the current row — `sum(value) OVER
+    * (ORDER BY … ROWS UNBOUNDED PRECEDING)`, distributed: per-range local
+    * running sums in parallel windows plus a broadcast per-range-total
+    * exclusive prefix. Exact in the value's own type (a long input
+    * cumsums as long). Same rangeKey contract as [[withGlobalRowNumber]].
+    */
+  def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                     out: String,
+                     rangeKey: Option[Column] = None): DataFrame = {
+    val (data, w) = rangedPrefix(df, order, value, rangeKey)
+    val perRange = data.groupBy(col(pidCol)).agg(sum(col(valCol)).as(totCol))
+      .limit(rangesOf(df))
+    val offsets = perRange.withColumn(offCol,
+        sum(col(totCol)).over(Window.orderBy(pidCol)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(pidCol, offCol)
+    val local = sum(col(valCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    data.join(broadcast(offsets), pidCol)
+      .withColumn(out,
+        when(col(offCol).isNull, local).otherwise(col(offCol) + local))
+      .drop(pidCol, offCol, valCol)
+  }
+
+  /** `df` plus `out` = the running minimum of `value` over all STRICTLY
+    * PRECEDING rows of the total order (`min(value) OVER (ORDER BY … ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` — null on the global
+    * first row), distributed the same way. The exclusive frame is the
+    * skyline/Pareto shape: "the best among everything before me".
+    */
+  def withRunningMinExclusive(df: DataFrame, order: Seq[Column],
+                              value: Column, out: String,
+                              rangeKey: Option[Column] = None): DataFrame = {
+    val (data, w) = rangedPrefix(df, order, value, rangeKey)
+    val perRange = data.groupBy(col(pidCol)).agg(min(col(valCol)).as(totCol))
+      .limit(rangesOf(df))
+    val offsets = perRange.withColumn(offCol,
+        min(col(totCol)).over(Window.orderBy(pidCol)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(pidCol, offCol)
+    val local = min(col(valCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    data.join(broadcast(offsets), pidCol)
+      .withColumn(out,
+        when(col(offCol).isNull, local).when(local.isNull, col(offCol))
+          .otherwise(least(col(offCol), local)))
+      .drop(pidCol, offCol, valCol)
+  }
+
+  private val pidCol = "__graft_pid"
+  private val valCol = "__graft_val"
+  private val totCol = "__graft_tot"
+  private val offCol = "__graft_off"
+
+  private def rangesOf(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Shared running-aggregate scaffolding: `df` with the named value
+    * column and the contiguous range id, plus the per-range window spec.
+    */
+  private def rangedPrefix(df: DataFrame, order: Seq[Column], value: Column,
+                           rangeKey: Option[Column])
+  : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
+    checkOrder(order, rangeKey)
+    val head = rangeKey.getOrElse(order.head).cast("double")
+    val data = assignRanges(df.withColumn(valCol, value), head)
+    (data, Window.partitionBy(pidCol).orderBy(order: _*))
+  }
+
+  private def checkOrder(order: Seq[Column], rangeKey: Option[Column]): Unit = {
     require(order.nonEmpty, "global rank needs an order")
     // with an explicit range proxy the order may mix directions — the
     // proxy carries the monotonicity contract instead of the leading key
@@ -120,29 +187,40 @@ object Ranking {
       !org.apache.spark.sql.GraftColumnBridge.isDescending(c),
       "Ranking distributes ASCENDING total orders; flip the sign/negate " +
         "the key instead of passing .desc, or pass an explicit rangeKey"))
-    val spark = df.sparkSession
-    val ranges = spark.sessionState.conf.numShufflePartitions
-    val pid = "__graft_pid"
-    val cnt = "__graft_cnt"
-    val off = "__graft_off"
-    val head = rangeKey.getOrElse(order.head).cast("double")
-    // deterministic split points: the (P-1) inner quantiles of the leading
-    // key from one GK sketch — a 1-row frame broadcast onto the data
-    // low sketch accuracy on purpose: split points only steer BALANCE
-    // (each range lands within ~n/accuracy rows of even), never
-    // correctness — rank arithmetic is exact for any bounds. A tight GK
-    // sketch would pay O(row) insert cost for precision nothing uses.
+  }
+
+  /** `df` plus the contiguous range id derived from the numeric `head`
+    * proxy: deterministic split points from ONE GK sketch (low accuracy
+    * on purpose — split points only steer BALANCE, each range lands
+    * within ~n/accuracy rows of even; a tight sketch would pay O(row)
+    * insert cost for precision nothing uses), then range id = how many
+    * split points lie strictly below the key. Ties on a split value
+    * collapse into the LOWER range (contiguity over ties); an all-null
+    * bounds array (empty input) or null key maps to range 0.
+    */
+  private def assignRanges(df: DataFrame, head: Column): DataFrame = {
+    val ranges = rangesOf(df)
     val fracs = (1 until ranges).map(_.toDouble / ranges)
     val bounds = df.agg(
       percentile_approx(head, typedLit(fracs), lit(1000)).as("__graft_bounds"))
-    // range id = how many split points lie strictly below the key: ties on
-    // a split value collapse into the lower range (contiguity over ties);
-    // an all-null bounds array (empty input) or null key maps to range 0
-    val data = df.crossJoin(broadcast(bounds))
-      .withColumn(pid, coalesce(
+    df.crossJoin(broadcast(bounds))
+      .withColumn(pidCol, coalesce(
         size(filter(col("__graft_bounds"), b => b.isNotNull && b < head)),
         lit(0)))
       .drop("__graft_bounds")
+  }
+
+  private def withRankAndCount(df: DataFrame, order: Seq[Column],
+                               outCol: String,
+                               countCol: Option[String],
+                               rangeKey: Option[Column]): DataFrame = {
+    checkOrder(order, rangeKey)
+    val ranges = rangesOf(df)
+    val pid = pidCol
+    val cnt = "__graft_cnt"
+    val off = offCol
+    val head = rangeKey.getOrElse(order.head).cast("double")
+    val data = assignRanges(df, head)
     // one row per range; the prefix-sum window is bounded by the RANGE
     // count (cluster metadata), not the data
     val offsets0 = data.groupBy(pid).agg(count(lit(1)).as(cnt))

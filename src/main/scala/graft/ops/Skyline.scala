@@ -21,12 +21,11 @@ import org.apache.spark.sql.functions._
   *      AND y equals its own x-group min (nothing equally cheap is
   *      strictly better).
   *
-  * Step 2's window has no partition key — a single-reducer sort of the
-  * DISTINCT-x table, not of the data. At 100 TB the distinct-x table is
-  * the dimension-sized residue of a fact-sized input; if even that
-  * overflows one task, range-partition x and prefix-scan per range with
-  * the previous range's min carried over (the classic two-pass cumulative
-  * shape) — the row-level join below is unchanged.
+  * Step 2 runs DISTRIBUTED via [[Ranking.withRunningMinExclusive]]:
+  * range-partition x, per-range exclusive running min in parallel
+  * windows, previous ranges' minima carried in as a broadcast prefix —
+  * so even a distinct-x table that outgrows one task (a fact-sized x
+  * domain) never funnels through a single sort.
   */
 object Skyline {
 
@@ -36,10 +35,9 @@ object Skyline {
     */
   def paretoFrontier(df: DataFrame, x: Column, y: Column): DataFrame = {
     val byX = df.groupBy(x.as("__x")).agg(min(y).as("__gmin"))
-    val cheaper = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = byX
-      .withColumn("__cheaper_min", min(col("__gmin")).over(cheaper))
+    val frontier = Ranking
+      .withRunningMinExclusive(byX, Seq(col("__x")), col("__gmin"),
+        "__cheaper_min")
       // survives iff better than everything strictly cheaper…
       .filter(col("__cheaper_min").isNull ||
         col("__gmin") < col("__cheaper_min"))

@@ -352,23 +352,26 @@ object StatsQueries {
     * first 80%, B to 95%, C the tail. Revenue travels as INTEGER CENTS
     * end-to-end and the class boundaries are integer cross-products
     * (`cum·100 ≤ total·80`), so the classification never rides a float
-    * boundary that could flip between engines. The cumulative window is
-    * a global sort bounded by the part DIMENSION (pre-aggregated — never
-    * the lineitem fact); ties pinned by part key. At extreme dimension
-    * cardinality the same computation distributes as repartitionByRange
-    * on (cents desc) + per-range prefix sums with broadcast range
-    * offsets — a mechanical swap that preserves every output bit.
+    * boundary that could flip between engines. The cumulative sum is
+    * computed over the pre-aggregated part DIMENSION (never the lineitem
+    * fact), ties pinned by part key, and runs DISTRIBUTED via
+    * [[graft.ops.Ranking.withRunningSum]] — per-range local prefix sums
+    * in parallel windows plus a broadcast per-range-total exclusive
+    * prefix, bit-identical to the single-window form at any dimension
+    * cardinality (the swap formerly documented here as prose).
     */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     val cents = Readers.table(spark, dir, "lineitem")
       .select(col("l_partkey"),
         round(col("l_extendedprice") * 100.0).cast("long").as("c"))
       .groupBy("l_partkey").agg(sum("c").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cents.agg(sum("cents").as("total"))
-    cents
-      .withColumn("cum", sum(col("cents")).over(w))
+    graft.ops.Ranking.withRunningSum(cents,
+        Seq(col("cents").desc, col("l_partkey")), col("cents"), "cum",
+        // ties on a cents value share a range (ties-to-lower keeps the
+        // order contiguous); no fraction slot needed — revenue sums in
+        // integer cents are nearly unique, so ranges stay balanced
+        rangeKey = Some(-col("cents").cast("double")))
       .crossJoin(broadcast(tot))
       .select(col("l_partkey"), col("cents"), col("total"),
         when(col("cum") * 100L <= col("total") * 80L, "A")

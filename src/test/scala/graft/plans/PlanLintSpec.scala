@@ -130,10 +130,6 @@ class PlanLintSpec extends AnyFunSuite {
     * below, so immunity expires with the fix.
     */
   private val allow: Map[String, Map[String, String]] = Map(
-    "abc_classification" -> Map(PlanLint.UnpartitionedWindow ->
-      ("cumulative-share window over the PART DIMENSION (post-aggregate, " +
-        "one row per part); the mechanical distributed swap is documented " +
-        "at StatsQueries.scala")),
     "ann_bruteforce" -> Map(PlanLint.NestedLoopJoin ->
       ("the query batch rides as the broadcast side; per-candidate work " +
         "is O(|batch|) by the operator's contract — brute force IS the " +
@@ -152,8 +148,6 @@ class PlanLintSpec extends AnyFunSuite {
     "lateness_audit" -> Map(PlanLint.UnpartitionedWindow ->
       ("hierarchical high-water-mark: the global window reads the per-day " +
         "maxima — one row per day in the audited range, not per event")),
-    "pareto_front" -> Map(PlanLint.UnpartitionedWindow ->
-      "skyline over the distinct-x aggregate — one row per distinct x value"),
     "rolling_active_sketch" -> Map(PlanLint.NestedLoopJoin ->
       ("trailing-week range join over the per-day sketch table — one row " +
         "per day; the unbounded side is the 7-day report spine")),

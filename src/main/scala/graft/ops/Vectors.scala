@@ -393,9 +393,17 @@ object Vectors {
                   iterations: Int,
                   vecCol: String = "embedding",
                   centroidId: String = "centroid_id",
-                  centroidVec: String = "c_emb"): DataFrame = {
+                  centroidVec: String = "c_emb",
+                  maxCentroids: Int = Int.MaxValue): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    var cents = init
+    // per-round centroid cardinality never grows (a left join of cents
+    // against a groupBy on its own key), but that invariant is invisible
+    // to a plan walk; callers that know k pass maxCentroids so each
+    // round's frame carries a structural no-op limit — the assignment
+    // cross join's broadcast side then PROVES bounded (PlanLint)
+    def capped(df: DataFrame): DataFrame =
+      if (maxCentroids == Int.MaxValue) df else df.limit(maxCentroids)
+    var cents = capped(init)
     for (_ <- 1 to iterations) {
       val assigned = nearestCentroid(
         vectors.select(col(idCol), col(vecCol)), idCol, cents,
@@ -409,10 +417,11 @@ object Vectors {
         .agg(transform(
           array_sort(collect_list(struct(col("_pos"), col("_m")))),
           x => x.getField("_m")).as("_new"))
-      cents = cents.select(col(centroidId), col(centroidVec).as("_prev"))
-        .join(means, Seq(centroidId), "left")
-        .select(col(centroidId),
-          coalesce(col("_new"), col("_prev")).as(centroidVec))
+      cents = capped(
+        cents.select(col(centroidId), col(centroidVec).as("_prev"))
+          .join(means, Seq(centroidId), "left")
+          .select(col(centroidId),
+            coalesce(col("_new"), col("_prev")).as(centroidVec)))
     }
     cents
   }

@@ -103,7 +103,9 @@ object SearchQueries {
     val bm = Search.bm25TopK(Readers.table(spark, dir, "documents"),
         "doc_id", "text", Bm25Terms, Bm25K)
       .select(col("doc_id"), col("rank").as("bm_rank"))
-    val q = emb.filter(col("vec_id") === 0L)
+    // limit(1) is a no-op (vec_id unique) that makes the 1-row bound
+    // structural for the brute-force cross join's lint proof
+    val q = emb.filter(col("vec_id") === 0L).limit(1)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val vec = Vectors.bruteForceTopK(q, emb.select("vec_id", "embedding"),
         Bm25K)

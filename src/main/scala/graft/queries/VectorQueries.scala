@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  // Query-batch and centroid-seed frames are filters on the UNIQUE
+  // vec_id key, so `filter(vec_id < N)` yields at most N rows; the
+  // `.limit(N)` that follows each such filter is a no-op by that
+  // invariant, present to make the bound STRUCTURAL — PlanLint's
+  // cardinality prover then certifies the broadcast sides of the ANN
+  // cross joins as constant-bounded instead of taking it on allowlist.
   private val NumQueries = 5      // query set: vec_id < 5
   private val TopK = 10
 
@@ -36,7 +42,7 @@ object VectorQueries {
 
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < NumQueries)
+    val queries = emb.filter(col("vec_id") < NumQueries).limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     Vectors.bruteForceTopK(queries, emb.select("vec_id", "embedding"), TopK)
       .orderBy("query_id", "rank")
@@ -63,14 +69,14 @@ object VectorQueries {
 
   def annIvfK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < k)
+    val centroids = emb.filter(col("vec_id") < k).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: both self-join sides embed this assignment subtree
     // (embeddings × centroids argmax) — uncached, Spark computes it twice
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .withColumn("_n", Vectors.norm(col("embedding")))
       .cache()
-    val queries = assigned.filter(col("vec_id") < NumQueries)
+    val queries = assigned.filter(col("vec_id") < NumQueries).limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"), col("_n").as("_qn"))
     val hits = queries.join(assigned.select(
@@ -110,7 +116,7 @@ object VectorQueries {
     */
   def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
+    val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: both self-join sides embed this assignment subtree
     // (embeddings × centroids argmax) — uncached, Spark computes it twice
@@ -119,7 +125,7 @@ object VectorQueries {
       .cache()
     // query-side: the 2 nearest centroids per query (shared probe operator)
     val qProbes = Vectors.centroidProbes(
-        emb.filter(col("vec_id") < NumQueries), "vec_id", centroids, nprobe = 2)
+        emb.filter(col("vec_id") < NumQueries).limit(NumQueries), "vec_id", centroids, nprobe = 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         Vectors.norm(col("embedding")).as("_qn"), col("centroid_id"))
     val hits = qProbes.join(
@@ -183,7 +189,7 @@ object VectorQueries {
     */
   def annIvfPruned(spark: SparkSession, dir: String): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
+    val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val path = graft.ops.IvfIndex.ensure(spark,
@@ -195,6 +201,13 @@ object VectorQueries {
     // would hide it from partition pruning) and the cast to the oracle's
     // BIGINT happens in the final projection only
     val index = spark.read.parquet(path)
+    // deliberately NO structural limit here (unlike the other query-batch
+    // sites): this frame is the DPP probe side, and the PartitionPruning
+    // rule refuses to plan the pruning subquery through a Limit — the
+    // annotation would silently cost the scan its cell pruning
+    // (IvfIndexSpec's runtime partition metrics would catch it). The
+    // probe join is equi-keyed on centroid_id, so no nested-loop proof
+    // is needed on this path.
     val queries = index.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("_n").as("_qn"), col("centroid_id"))
@@ -297,7 +310,7 @@ object VectorQueries {
     val sigs = Readers.fanOut(emb)
       .withColumn("sig", Vectors.lshSignature(col("embedding"), LshPlanes, Dim))
       .withColumn("_n", Vectors.norm(col("embedding")))
-    val qs = sigs.filter(col("vec_id") < NumQueries)
+    val qs = sigs.filter(col("vec_id") < NumQueries).limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("_n").as("_qn"), col("sig"))
     Vectors.rankCandidates(
@@ -499,7 +512,7 @@ object VectorQueries {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
+    val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: queries and candidates both embed the assignment subtree
     val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
@@ -520,7 +533,7 @@ object VectorQueries {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("cv")))),
         x => x.getField("cv"))).as("recon"))
-    val queries = assigned.filter(col("vec_id") < NumQueries)
+    val queries = assigned.filter(col("vec_id") < NumQueries).limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("_n").as("_qn"), col("centroid_id"))
     val wApprox = Window.partitionBy("query_id")
@@ -705,10 +718,11 @@ object VectorQueries {
     */
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val init = emb.filter(col("vec_id") < NumCentroids)
+    val init = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").cast("array<double>").as("c_emb"))
-    val cents = Vectors.kmeansLloyd(emb, "vec_id", init, KmeansIters)
+    val cents = Vectors.kmeansLloyd(emb, "vec_id", init, KmeansIters,
+      maxCentroids = NumCentroids)
     Vectors.nearestCentroid(emb, "vec_id", cents)
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"),
@@ -786,7 +800,7 @@ object VectorQueries {
   def semanticDedupK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Readers.table(spark, dir, "embeddings")
       .select("vec_id", "embedding")
-    val centroids = emb.filter(col("vec_id") < k)
+    val centroids = emb.filter(col("vec_id") < k).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     // cache: both self-join sides embed this assignment subtree
     // (embeddings × centroids argmax) — uncached, Spark computes it twice

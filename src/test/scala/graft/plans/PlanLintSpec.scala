@@ -130,21 +130,9 @@ class PlanLintSpec extends AnyFunSuite {
     * below, so immunity expires with the fix.
     */
   private val allow: Map[String, Map[String, String]] = Map(
-    "ann_bruteforce" -> Map(PlanLint.NestedLoopJoin ->
-      ("the query batch rides as the broadcast side; per-candidate work " +
-        "is O(|batch|) by the operator's contract — brute force IS the " +
-        "labeled exact baseline the approximate keys verify against")),
-    "ann_ivf_nprobe2" -> Map(PlanLint.NestedLoopJoin ->
-      "centroid table: k rows by construction of the k-means seed"),
-    "ann_recall" -> Map(PlanLint.NestedLoopJoin ->
-      "compares brute force against IVF — inherits both query-batch sides"),
     "embedding_neardup" -> Map(PlanLint.NestedLoopJoin ->
       ("the labeled EXACT all-pairs baseline (survey mandate); the scale " +
         "path is embedding_neardup_lsh, which lints clean")),
-    "hybrid_search_rrf" -> Map(PlanLint.NestedLoopJoin ->
-      "fuses two top-k result lists; both sides are ≤ k by the search contract"),
-    "kmeans_refine" -> Map(PlanLint.NestedLoopJoin ->
-      "centroid refinement: every pass joins against the k-row centroid table"),
     "lateness_audit" -> Map(PlanLint.UnpartitionedWindow ->
       ("hierarchical high-water-mark: the global window reads the per-day " +
         "maxima — one row per day in the audited range, not per event")),

@@ -56,4 +56,51 @@ object IvfIndex {
     val it = built.keySet.iterator()
     while (it.hasNext) if (it.next()._1 eq spark) it.remove()
   }
+
+  /** Where [[graft.streaming.IvfAppendSink]] lands streamed appends for
+    * the base at `path` (`batch_id=<b>/centroid_id=<c>/…`).
+    */
+  def deltaPath(path: String): String = s"${path}_delta"
+
+  /** LSM compaction: absorb the streamed delta into the base — one scan
+    * of base ∪ delta rewritten as a fresh `centroid_id`-partitioned base,
+    * then the delta is dropped. Run it when a cell outgrows its target
+    * size or delta batch-directory count makes probes list-bound; per
+    * cell it is the same "rewrite the partition" cost a z-order
+    * re-layout pays, embarrassingly parallel across cells.
+    *
+    * The swap is directory renames (atomic per rename on one
+    * filesystem): base → `_old`, fresh → base, then delete `_old` and
+    * the delta. A crash between the two renames leaves `<path>_old` +
+    * `<path>_compact` and no base — recovery is "rename `_old` back",
+    * and the delta is still intact either way, so data is never lost. A
+    * transactional table format replaces this dance with an atomic
+    * pointer swing; the SCAN/REWRITE cost — the part that matters at
+    * 100 TB — is identical.
+    *
+    * No-op (returns false) when nothing has been appended.
+    */
+  def compact(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val delta = new Path(deltaPath(path))
+    if (!fs.exists(delta)) return false
+    val base = spark.read.parquet(path)
+    val merged = base.union(
+      spark.read.parquet(delta.toString)
+        .select(base.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*))
+    val tmp = new Path(s"${path}_compact")
+    fs.delete(tmp, true)
+    merged.write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(tmp.toString)
+    val old = new Path(s"${path}_old")
+    fs.delete(old, true)
+    fs.rename(new Path(path), old)
+    fs.rename(tmp, new Path(path))
+    fs.delete(old, true)
+    fs.delete(delta, true)
+    true
+  }
 }

@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   * Frozen centroids mean cell assignment never drifts mid-stream (a
   * batch and a replay of that batch agree by construction). Cells grow
   * as data arrives; when one outgrows the target size — or delta file
-  * count makes probes list-bound — a periodic BATCH job re-clusters and
-  * rebuilds base, absorbing the delta (the classic LSM compaction; at
-  * 100 TB that is a scheduled maintenance pass, not a streaming
+  * count makes probes list-bound — [[graft.ops.IvfIndex.compact]]
+  * absorbs the delta back into the partitioned base (the classic LSM
+  * compaction; at 100 TB a scheduled maintenance pass, not a streaming
   * concern).
   */
 object IvfAppendSink {
@@ -68,5 +68,9 @@ object IvfAppendSink {
     base.union(delta)
   }
 
-  def deltaPath(indexPath: String): String = s"${indexPath}_delta"
+  /** Delta layout convention — owned by [[graft.ops.IvfIndex]], which
+    * also provides the compaction that absorbs it back into base.
+    */
+  def deltaPath(indexPath: String): String =
+    graft.ops.IvfIndex.deltaPath(indexPath)
 }

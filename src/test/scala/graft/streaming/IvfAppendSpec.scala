@@ -105,5 +105,20 @@ class IvfAppendSpec extends AnyFunSuite {
       assert(read <= 2L * nBatches,
         s"union scan read $read partitions — cell pruning lost in the union:\n$s")
     }
+
+    // 4) compaction absorbs the delta: same content, single partitioned
+    //    base again, delta gone — and a second compact is a no-op
+    assert(graft.ops.IvfIndex.compact(spark, path))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      IvfAppendSink.deltaPath(path))), "compact left the delta behind")
+    val compacted = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(compacted == want,
+      "compaction changed the index content")
+    assert(!graft.ops.IvfIndex.compact(spark, path),
+      "compact with no delta must be a no-op")
   }
 }

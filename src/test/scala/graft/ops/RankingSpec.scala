@@ -81,4 +81,80 @@ class RankingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ASCENDING"))
   }
+
+  test("an explicit rangeKey proxy lifts the ascending restriction exactly") {
+    // (v DESC, id) ranked via the proxy -v: the distributed ranks must
+    // match the single-window descending row_number bit-for-bit, ties and
+    // all (tied v collapse into one range; order inside comes from id)
+    val df = mk(600)
+    val got = Ranking
+      .withGlobalRowNumber(df, Seq(col("v").desc, col("id")), "rn",
+        rangeKey = -col("v"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("v").desc, col("id"))).cast("long") - 1L)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withRunningSum matches the inclusive window prefix sum, long-exact") {
+    // long values: the distributed cumsum must stay in LongType (no
+    // double round-trip) and agree at every row, including the all-ties
+    // degenerate range
+    val df = mk(700).withColumn("c", (col("v") * 100).cast("long"))
+    val got = Ranking
+      .withRunningSum(df, Seq(col("v"), col("id")), col("c"), "cum")
+    assert(got.schema("cum").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val gotMap = got.select("id", "cum").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotMap == want)
+    // descending via proxy — the abc_classification shape
+    val gotDesc = Ranking
+      .withRunningSum(df, Seq(col("v").desc, col("id")), col("c"), "cum",
+        rangeKey = Some(-col("v")))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val wantDesc = df.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("v").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotDesc == wantDesc)
+  }
+
+  test("withRunningMinExclusive matches the strictly-preceding window min") {
+    val df = mk(700)
+    val got = Ranking
+      .withRunningMinExclusive(df, Seq(col("v"), col("id")), col("v"), "m")
+      .select("id", "m").as[(Long, Option[Double])].collect().toMap
+    val want = df.withColumn("m",
+        min(col("v")).over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("id", "m").as[(Long, Option[Double])].collect().toMap
+    assert(got == want)
+    // the global first row (and only it) has no predecessor
+    assert(got.values.count(_.isEmpty) == 1)
+  }
+
+  test("stringPrefixFraction is monotone non-decreasing in binary string order") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.listOfN(2,
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(32.toChar, 1000.toChar)).map(_.mkString)))
+    val prop = Prop.forAllNoShrink(gen) { case List(a, b) =>
+      val Seq(fa, fb) = Seq(a, b).toDF("s")
+        .select(Ranking.stringPrefixFraction(col("s")))
+        .as[Double].collect().toSeq
+      // consistency with Spark's binary string comparison, allowing
+      // ties (prefix collapse) — never an inversion
+      if (a < b) fa <= fb else if (b < a) fb <= fa else fa == fb
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60)
+        .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

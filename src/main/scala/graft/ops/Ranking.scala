@@ -89,11 +89,12 @@ object Ranking {
     * buckets get the extra row), computed distributed.
     */
   def withNtile(df: DataFrame, order: Seq[Column], buckets: Int,
-                outCol: String): DataFrame = {
+                outCol: String,
+                rangeKey: Option[Column] = None): DataFrame = {
     require(buckets >= 1, s"ntile needs >= 1 bucket, got $buckets")
     val rn = "__graft_rn"
     val n = "__graft_n"
-    val withRank = withRankAndCount(df, order, rn, Some(n), None)
+    val withRank = withRankAndCount(df, order, rn, Some(n), rangeKey)
     // SQL ntile: b = n/k rows per bucket, the first r = n%k buckets take
     // one extra. For 0-based rank p: the first r*(b+1) ranks map onto the
     // wide buckets, the rest onto width-b buckets. Long-exact arithmetic

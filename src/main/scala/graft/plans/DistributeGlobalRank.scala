@@ -1,0 +1,164 @@
+package graft.plans
+
+import graft.ops.Ranking
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{coalesce, lit, nanvl}
+import org.apache.spark.sql.types._
+
+/** Optimizer-level auto-distribution of global ranks: an unpartitioned
+  * `row_number()`/`ntile(k)` window over an UNBOUNDED input — the single
+  * most common accidental scale-killer in analyst SQL (Spark itself only
+  * warns: "No Partition Defined … can cause serious performance
+  * degradation") — is rewritten during optimization into the distributed
+  * [[graft.ops.Ranking]] form: GK-sketch range split, per-range parallel
+  * windows, broadcast prefix offsets. Bit-identical output (RankingSpec
+  * pins parity across ragged sizes, ties, and descending/proxy orders),
+  * no single-task sort at any data size. Registered by
+  * [[GraftExtensions]]; disable with `spark.graft.distributeGlobalRank=
+  * false`.
+  *
+  * The rule runs LATE IN THE OPTIMIZER, not the analyzer, and the timing
+  * is load-bearing: DataFrame pipelines analyze incrementally, so at
+  * analysis time a `.withColumn(rank).filter(rank <= k)` chain presents
+  * the window WITHOUT its filter and an analysis-time rewrite would
+  * destroy the top-k idiom before it even forms (measured 3× on the RRF
+  * fusion query before the move). By the optimizer's user-provided
+  * batch, the full tree is present and `InferWindowGroupLimit` /
+  * `LimitPushDownThroughWindow` have already claimed the top-k shapes.
+  *
+  * The rule REFUSES anything it cannot prove it preserves — each guard is
+  * a correctness or performance story, not a limitation note:
+  *
+  *   - a window whose child is already a `WindowGroupLimit`, and a rank
+  *     consumed by any remaining `Filter` in the tree, stay untouched:
+  *     the top-k heap is strictly better than a full distributed rank
+  *     (checked conservatively against every filter);
+  *   - a child with a known `maxRows` bound (a limit — including the one
+  *     `LimitPushDownThroughWindow` inserts — or a global aggregate)
+  *     stays untouched: a bounded single-task sort is cheaper than the
+  *     5-stage distributed pipeline;
+  *   - only `row_number`/`ntile` rewrite — `rank`/`dense_rank` tie
+  *     semantics are not what [[Ranking]] computes;
+  *   - the leading sort key must admit a numeric range proxy (numeric /
+  *     timestamp cast, string via [[Ranking.stringPrefixFraction]]);
+  *     direction, null placement, and NaN placement are all encoded into
+  *     the proxy (split points only steer balance, so a lossy proxy can
+  *     degrade parallelism but never a rank);
+  *   - a multi-function window node stays untouched (the other window
+  *     functions would still need the single-task sort anyway).
+  *
+  * The replacement subtree is built with the SAME DataFrame-level
+  * machinery users call directly ([[Ranking.withGlobalRowNumber]] /
+  * [[Ranking.withNtile]]), run through its own full optimization (the
+  * outer optimizer's main batches are already past, so the splice brings
+  * its pushdown/pruning with it), then spliced with the original output
+  * attribute ids. The spliced subtree cannot re-trigger the rule: its
+  * per-range window is partitioned, its offsets windows sit above a
+  * structural `limit` (bounded `maxRows`), so the fixed point is reached
+  * in one application.
+  */
+object DistributeGlobalRank extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.distributeGlobalRank"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
+    if (!plan.resolved) return plan
+    // every attribute any Filter consumes, anywhere in the tree: a rank
+    // among them is (or may be) a top-k idiom the main batches have not
+    // finished claiming — skip. Conservative by design: over-guarding
+    // skips an optimization, under-guarding would destroy one.
+    val filterRefs = AttributeSet(
+      plan.collect { case Filter(cond, _) => cond.references.toSeq }.flatten)
+    plan.transformUp {
+      case w: Window
+        if w.windowExpressions.forall(a => !filterRefs.contains(a.toAttribute)) =>
+        rewrite(w).getOrElse(w)
+    }
+  }
+
+  private def rewrite(w: Window): Option[LogicalPlan] = {
+    if (w.partitionSpec.nonEmpty || w.orderSpec.isEmpty) return None
+    if (!w.child.resolved || w.child.maxRows.isDefined) return None
+    if (w.child.isInstanceOf[WindowGroupLimit]) return None
+    if (w.windowExpressions.size != 1) return None
+    val (name, exprId, func) = w.windowExpressions.head match {
+      case a @ Alias(WindowExpression(f, spec), n)
+          if spec.partitionSpec.isEmpty && spec.orderSpec == w.orderSpec =>
+        (n, a.exprId, f)
+      case _ => return None
+    }
+    val ntileK = func match {
+      case RowNumber() => None
+      case NTile(Literal(k: Int, IntegerType)) => Some(k)
+      case _ => return None
+    }
+    val proxy = proxyFor(w.orderSpec.head).getOrElse(return None)
+    val spark = SparkSession.active
+    val childDf = GraftColumnBridge.ofRows(spark, w.child)
+    val orderCols = w.orderSpec.map(sortCol)
+    val tmp = "__graft_auto_rank"
+    val ranked = ntileK match {
+      case Some(k) =>
+        Ranking.withNtile(childDf, orderCols, k, tmp, Some(proxy))
+      case None =>
+        Ranking.withGlobalRowNumber(childDf, orderCols, tmp, proxy)
+    }
+    // fully optimize the replacement in its own QueryExecution: the
+    // outer optimizer's pushdown/pruning batches are already past, so
+    // the splice must arrive pre-optimized (output ids are stable across
+    // optimization — only the tree under them changes)
+    val analyzed = ranked.queryExecution.optimizedPlan
+    val tmpAttr = analyzed.output.find(_.name == tmp).getOrElse(return None)
+    val childAttrs = analyzed.output.filterNot(_.exprId == tmpAttr.exprId)
+    if (childAttrs.size != w.child.output.size) return None
+    // original ids survive Ranking's projections except where the
+    // analyzer's self-join deduplication re-aliased — restore them so
+    // everything upstream of the old Window still resolves
+    val restored = w.child.output.zip(childAttrs).map { case (orig, got) =>
+      if (orig.exprId == got.exprId) got
+      else Alias(got, orig.name)(exprId = orig.exprId)
+    }
+    val rankExpr: Expression = ntileK match {
+      case Some(_) => tmpAttr // withNtile is already the 1-based int
+      case None => Cast(Add(tmpAttr, Literal(1L)), IntegerType)
+    }
+    logInfo(s"distributing unpartitioned ${func.prettyName} over " +
+      s"${w.orderSpec.map(_.sql).mkString(", ")}")
+    Some(Project(restored :+ Alias(rankExpr, name)(exprId = exprId), analyzed))
+  }
+
+  /** The numeric range-split proxy for the leading sort key: monotone
+    * non-decreasing along the sort order, with null and NaN placement
+    * folded in as ±MaxValue fills (nulls-first means smallest-proxy;
+    * NaN sorts greatest in Spark, so last ascending / first descending).
+    */
+  private def proxyFor(so: SortOrder): Option[Column] = {
+    val base: Column = so.child.dataType match {
+      case _: NumericType | TimestampType | TimestampNTZType =>
+        GraftColumnBridge.column(so.child).cast("double")
+      case StringType =>
+        Ranking.stringPrefixFraction(GraftColumnBridge.column(so.child))
+      case _ => return None
+    }
+    val signed = if (so.direction == Descending) -base else base
+    val nanFill =
+      if (so.direction == Descending) Double.MinValue else Double.MaxValue
+    val nullFill =
+      if (so.nullOrdering == NullsFirst) Double.MinValue else Double.MaxValue
+    Some(coalesce(nanvl(signed, lit(nanFill)), lit(nullFill)))
+  }
+
+  private def sortCol(so: SortOrder): Column = {
+    val c = GraftColumnBridge.column(so.child)
+    (so.direction, so.nullOrdering) match {
+      case (Ascending, NullsFirst) => c.asc_nulls_first
+      case (Ascending, NullsLast) => c.asc_nulls_last
+      case (Descending, NullsFirst) => c.desc_nulls_first
+      case (Descending, NullsLast) => c.desc_nulls_last
+    }
+  }
+}

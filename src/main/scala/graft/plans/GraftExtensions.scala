@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveDedupKeepFirst)
+    // late optimizer, NOT analyzer: incremental DataFrame analysis would
+    // present rank windows without their top-k filters and the rewrite
+    // would fire on shapes it must leave alone (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => DistributeGlobalRank)
 
     ext.injectFunction((
       FunctionIdentifier("float_array_dot"),

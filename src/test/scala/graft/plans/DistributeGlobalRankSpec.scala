@@ -1,0 +1,150 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DistributeGlobalRank]] certification: naive global-rank SQL is
+  * rewritten to the distributed Ranking form with identical results
+  * (including null, NaN, descending, and string-keyed orders), while
+  * every guarded shape — top-k rank filters, bounded inputs, tie-aware
+  * rank functions — keeps its original (better or required) plan.
+  */
+class DistributeGlobalRankSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deliberately messy: ~10% nulls, a NaN, heavy ties, negative values.
+    * Written to parquet and read back: a LocalRelation knows its own
+    * maxRows, so the (optimizer-time) rule would correctly refuse it as
+    * bounded — a file scan is the honest "unbounded input" fixture.
+    */
+  private lazy val messy: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val v: java.lang.Double =
+        if (i == 13) Double.NaN
+        else if (rnd.nextDouble() < 0.1) null
+        else if (rnd.nextDouble() < 0.3) (rnd.nextInt(3) * 10).toDouble - 10
+        else rnd.nextDouble() * 100 - 50
+      val s = rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+      (i.toLong, v, s)
+    }
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_messy"
+    rows.toDF("id", "v", "s").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView("messy")
+    df
+  }
+
+  private def withRule[T](enabled: Boolean)(f: => T): T = {
+    val key = DistributeGlobalRank.ConfKey
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, enabled.toString)
+    try f
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** An unpartitioned Window COMPUTING A RANK — the shape the rule
+    * removes. Ranking's internal offsets prefix-sum is also an
+    * unpartitioned window, but over sum and a bounded input, so the
+    * rank-function restriction keeps the check honest on both sides.
+    */
+  private def hasSingleTaskRankWindow(df: DataFrame): Boolean =
+    PlanLint.initialPlan(df).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty && w.windowExpression.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber => true
+          case _: org.apache.spark.sql.catalyst.expressions.NTile => true
+          case _ => false
+        })
+      case _ => false
+    }
+
+  test("naive global row_number rewrites: same answer, no single-task window") {
+    messy
+    for (order <- Seq(
+        "v, id", "v DESC, id", "v ASC NULLS LAST, id",
+        "s, id", "s DESC, id")) {
+      val sql = s"SELECT id, row_number() OVER (ORDER BY $order) AS rn FROM messy"
+      val auto = withRule(true) {
+        val df = spark.sql(sql)
+        assert(!hasSingleTaskRankWindow(df),
+          s"rule did not fire for ORDER BY $order:\n${df.queryExecution.executedPlan}")
+        df.as[(Long, Int)].collect().toMap
+      }
+      val naive = withRule(false) {
+        val df = spark.sql(sql)
+        assert(hasSingleTaskRankWindow(df), "conf off must restore the naive plan")
+        df.as[(Long, Int)].collect().toMap
+      }
+      assert(auto == naive, s"rank diverged for ORDER BY $order")
+    }
+  }
+
+  test("naive global ntile rewrites with identical buckets") {
+    messy
+    val sql = "SELECT id, ntile(7) OVER (ORDER BY v, id) AS q FROM messy"
+    val auto = withRule(true) {
+      val df = spark.sql(sql)
+      assert(!hasSingleTaskRankWindow(df))
+      df.as[(Long, Int)].collect().toMap
+    }
+    val naive = withRule(false)(spark.sql(sql).as[(Long, Int)].collect().toMap)
+    assert(auto == naive)
+  }
+
+  test("a rank consumed by a filter keeps Spark's top-k plan") {
+    // over a file scan, Filter(rn <= k) + global row_number is the
+    // WindowGroupLimit idiom — the guard must leave it to Spark
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("dgr_orders")
+    val sql = """SELECT o_orderkey, rn FROM (
+                |  SELECT o_orderkey, row_number()
+                |    OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+                |  FROM dgr_orders) WHERE rn <= 5""".stripMargin
+    val plan = PlanLint.initialPlan(withRule(true)(spark.sql(sql))).toString
+    // Spark rewrites global-rank ≤ k into a TakeOrdered heap under the
+    // window (LimitPushDownThroughWindow); partitioned variants get
+    // WindowGroupLimit — either way the heap idiom must survive
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("WindowGroupLimit"),
+      s"rewrite stole the top-k heap:\n$plan")
+    assert(!plan.contains("__graft"), s"guarded window was rewritten:\n$plan")
+    // same guard on a local relation, where Spark picks an even better
+    // top-k shape (TakeOrdered + re-rank): still no rewrite markers
+    messy
+    val localPlan = PlanLint.initialPlan(withRule(true)(spark.sql(
+      """SELECT id, rn FROM (
+        |  SELECT id, row_number() OVER (ORDER BY v, id) AS rn
+        |  FROM messy) WHERE rn <= 5""".stripMargin))).toString
+    assert(!localPlan.contains("__graft"),
+      s"guarded window was rewritten:\n$localPlan")
+  }
+
+  test("bounded inputs and tie-aware rank functions stay untouched") {
+    messy
+    // LIMIT bounds maxRows — a bounded single-task sort beats the pipeline
+    val bounded = withRule(true)(spark.sql(
+      "SELECT id, row_number() OVER (ORDER BY v, id) AS rn FROM " +
+        "(SELECT * FROM messy LIMIT 50)"))
+    assert(hasSingleTaskRankWindow(bounded))
+    // rank() has tie semantics Ranking does not compute — never rewritten
+    val ranked = withRule(true)(spark.sql(
+      "SELECT id, rank() OVER (ORDER BY v, id) AS r FROM messy"))
+    val rankedPlan = PlanLint.initialPlan(ranked).toString
+    assert(rankedPlan.contains("Window") && !rankedPlan.contains("__graft"),
+      s"rank() window was touched:\n$rankedPlan")
+  }
+
+  test("the rewritten subtree composes: aggregate on top of an auto-distributed rank") {
+    messy
+    val sql = """SELECT CAST(count(*) AS BIGINT) AS n, max(rn) AS mx FROM (
+                |  SELECT row_number() OVER (ORDER BY v DESC, id DESC) AS rn
+                |  FROM messy)""".stripMargin
+    val auto = withRule(true)(spark.sql(sql).as[(Long, Int)].collect().head)
+    assert(auto === ((400L, 400)))
+  }
+}

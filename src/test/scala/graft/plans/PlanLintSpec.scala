@@ -59,8 +59,20 @@ class PlanLintSpec extends AnyFunSuite {
   test("unpartitioned-window fires on a fact-table window, not on a bounded input") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("o_orderkey")
-    assert(rules(orders.withColumn("rn", row_number().over(w)))
+    // a non-rank global window (running sum over the fact table): the
+    // linter's target, and a shape DistributeGlobalRank does not touch
+    assert(rules(orders.withColumn("cum", sum("o_totalprice").over(w)))
       === Set(PlanLint.UnpartitionedWindow))
+    // the RANK variant of the same mistake no longer even reaches the
+    // linter — DistributeGlobalRank rewrites it during analysis, so the
+    // lint comes back clean on the FIXED plan (and dirty again with the
+    // rule disabled: the two layers certify each other)
+    assert(rules(orders.withColumn("rn", row_number().over(w))).isEmpty)
+    val key = DistributeGlobalRank.ConfKey
+    spark.conf.set(key, "false")
+    try assert(rules(orders.withColumn("rn", row_number().over(w)))
+      === Set(PlanLint.UnpartitionedWindow))
+    finally spark.conf.unset(key)
     // ranking the rows of a top-k is single-task by nature AND bounded
     val top = orders.orderBy(col("o_totalprice").desc).limit(10)
     assert(rules(top.withColumn("rn",

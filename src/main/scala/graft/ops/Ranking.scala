@@ -95,19 +95,39 @@ object Ranking {
     val rn = "__graft_rn"
     val n = "__graft_n"
     val withRank = withRankAndCount(df, order, rn, Some(n), rangeKey)
-    // SQL ntile: b = n/k rows per bucket, the first r = n%k buckets take
-    // one extra. For 0-based rank p: the first r*(b+1) ranks map onto the
-    // wide buckets, the rest onto width-b buckets. Long-exact arithmetic
-    // via double division + cast (truncation = floor for non-negatives;
-    // exact far past any row count that fits a cluster).
+    withRank
+      .withColumn(outCol, ntileFromRank(col(rn), col(n), buckets).cast("int"))
+      .drop(rn, n)
+  }
+
+  /** `df` plus `rankCol` = the exact 0-based global rank (and optionally
+    * `countCol` = the total row count on every row) — the building block
+    * [[withGlobalRowNumber]]/[[withNtile]] wrap, public so a caller
+    * computing SEVERAL rank functions over one total order (the
+    * [[graft.plans.DistributeGlobalRank]] multi-function window) pays
+    * for the distributed rank once and derives the rest arithmetically.
+    */
+  def withGlobalRankAndCount(df: DataFrame, order: Seq[Column],
+                             rankCol: String, countCol: Option[String],
+                             rangeKey: Option[Column] = None): DataFrame =
+    withRankAndCount(df, order, rankCol, countCol, rangeKey)
+
+  /** SQL `ntile(buckets)` from the 0-based rank and the total count:
+    * b = n/k rows per bucket, the first r = n%k buckets take one extra;
+    * for 0-based rank p the first r·(b+1) ranks map onto the wide
+    * buckets, the rest onto width-b buckets. Long-exact arithmetic via
+    * double division + cast (truncation = floor for non-negatives; exact
+    * far past any row count that fits a cluster). Returns the 1-based
+    * bucket as a long.
+    */
+  def ntileFromRank(rank0: Column, n: Column, buckets: Int): Column = {
     val k = lit(buckets.toLong)
-    val b = (col(n).cast("double") / k).cast("long")
-    val r = col(n) % k
+    val b = (n.cast("double") / k).cast("long")
+    val r = n % k
     val wide = r * (b + lit(1L))
-    val p = col(rn)
-    val q = when(p < wide, (p.cast("double") / (b + lit(1L))).cast("long") + lit(1L))
-      .otherwise(r + ((p - wide).cast("double") / b).cast("long") + lit(1L))
-    withRank.withColumn(outCol, q.cast("int")).drop(rn, n)
+    when(rank0 < wide,
+      (rank0.cast("double") / (b + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + ((rank0 - wide).cast("double") / b).cast("long") + lit(1L))
   }
 
   /** `df` plus `out` = the running (prefix) sum of `value` in the total

@@ -84,36 +84,49 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     if (w.partitionSpec.nonEmpty || w.orderSpec.isEmpty) return None
     if (!w.child.resolved || w.child.maxRows.isDefined) return None
     if (w.child.isInstanceOf[WindowGroupLimit]) return None
-    if (w.windowExpressions.size != 1) return None
-    val (name, exprId, func) = w.windowExpressions.head match {
+    if (w.windowExpressions.isEmpty) return None
+    // every function in the node must be a pure rank (row_number /
+    // literal ntile) over THIS node's order — they then all derive from
+    // ONE distributed rank pass; any other function keeps the node
+    val funcs: Seq[(String, ExprId, Option[Int])] = w.windowExpressions.map {
       case a @ Alias(WindowExpression(f, spec), n)
           if spec.partitionSpec.isEmpty && spec.orderSpec == w.orderSpec =>
-        (n, a.exprId, f)
-      case _ => return None
-    }
-    val ntileK = func match {
-      case RowNumber() => None
-      case NTile(Literal(k: Int, IntegerType)) => Some(k)
+        f match {
+          case RowNumber() => (n, a.exprId, None)
+          case NTile(Literal(k: Int, IntegerType)) => (n, a.exprId, Some(k))
+          case _ => return None
+        }
       case _ => return None
     }
     val proxy = proxyFor(w.orderSpec.head).getOrElse(return None)
     val spark = SparkSession.active
     val childDf = GraftColumnBridge.ofRows(spark, w.child)
     val orderCols = w.orderSpec.map(sortCol)
-    val tmp = "__graft_auto_rank"
-    val ranked = ntileK match {
-      case Some(k) =>
-        Ranking.withNtile(childDf, orderCols, k, tmp, Some(proxy))
-      case None =>
-        Ranking.withGlobalRowNumber(childDf, orderCols, tmp, proxy)
+    val tmpRank = "__graft_auto_rank"
+    val tmpN = "__graft_auto_n"
+    val needN = funcs.exists(_._3.isDefined)
+    var ranked = Ranking.withGlobalRankAndCount(childDf, orderCols, tmpRank,
+      if (needN) Some(tmpN) else None, Some(proxy))
+    val outNames = funcs.indices.map(i => s"__graft_auto_out_$i")
+    funcs.zip(outNames).foreach { case ((_, _, ntileK), nm) =>
+      val c = ntileK match {
+        case Some(k) => Ranking
+          .ntileFromRank(org.apache.spark.sql.functions.col(tmpRank),
+            org.apache.spark.sql.functions.col(tmpN), k).cast("int")
+        case None =>
+          (org.apache.spark.sql.functions.col(tmpRank) + lit(1L)).cast("int")
+      }
+      ranked = ranked.withColumn(nm, c)
     }
+    ranked = ranked.drop(tmpRank +: (if (needN) Seq(tmpN) else Nil): _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so
     // the splice must arrive pre-optimized (output ids are stable across
     // optimization — only the tree under them changes)
     val analyzed = ranked.queryExecution.optimizedPlan
-    val tmpAttr = analyzed.output.find(_.name == tmp).getOrElse(return None)
-    val childAttrs = analyzed.output.filterNot(_.exprId == tmpAttr.exprId)
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val outAttrs = outNames.map(n => byName.getOrElse(n, return None))
+    val childAttrs = analyzed.output.filterNot(a => outNames.contains(a.name))
     if (childAttrs.size != w.child.output.size) return None
     // original ids survive Ranking's projections except where the
     // analyzer's self-join deduplication re-aliased — restore them so
@@ -122,13 +135,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       if (orig.exprId == got.exprId) got
       else Alias(got, orig.name)(exprId = orig.exprId)
     }
-    val rankExpr: Expression = ntileK match {
-      case Some(_) => tmpAttr // withNtile is already the 1-based int
-      case None => Cast(Add(tmpAttr, Literal(1L)), IntegerType)
+    val ranks = funcs.zip(outAttrs).map { case ((name, id, _), attr) =>
+      Alias(attr, name)(exprId = id)
     }
-    logInfo(s"distributing unpartitioned ${func.prettyName} over " +
-      s"${w.orderSpec.map(_.sql).mkString(", ")}")
-    Some(Project(restored :+ Alias(rankExpr, name)(exprId = exprId), analyzed))
+    logInfo(s"distributing ${funcs.size} unpartitioned rank function(s) " +
+      s"over ${w.orderSpec.map(_.sql).mkString(", ")}")
+    Some(Project(restored ++ ranks, analyzed))
   }
 
   /** The numeric range-split proxy for the leading sort key: monotone

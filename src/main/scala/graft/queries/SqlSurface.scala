@@ -522,7 +522,45 @@ object SqlSurface {
       |WHERE c_custkey < 100
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** The [[graft.plans.DistributeGlobalRank]] demonstration, driver-
+    * certified: NAIVE analyst SQL — a global `row_number` and a global
+    * `ntile` straight over the fact table, exactly what the optimizer
+    * rule exists to catch — aggregated so the oracle checks every rank
+    * and every bucket boundary. The optimizer rewrites both windows into
+    * the distributed Ranking pipeline (PlanShapeSpec pins that the
+    * executed plan carries no single-task rank window), while DuckDB
+    * runs the same naive text, so a rank the rewrite got wrong anywhere
+    * in the table fails the hash compare.
+    */
+  def globalRankAuto(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(rn) AS BIGINT) AS rn_lo, CAST(max(rn) AS BIGINT) AS rn_hi,
+        |  round(min(o_totalprice), 2) AS price_lo,
+        |  round(max(o_totalprice), 2) AS price_hi
+        |FROM (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    ntile(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS q
+        |  FROM orders)
+        |GROUP BY q ORDER BY q""".stripMargin)
+  }
+
+  val globalRankAutoSql: String =
+    """SELECT q, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(rn) AS BIGINT) AS rn_lo, CAST(max(rn) AS BIGINT) AS rn_hi,
+      |  round(min(o_totalprice), 2) AS price_lo,
+      |  round(max(o_totalprice), 2) AS price_hi
+      |FROM (
+      |  SELECT o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    ntile(8) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS q
+      |  FROM orders)
+      |GROUP BY q ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "global_rank_auto" -> globalRankAuto,
     "q4_order_priority" -> q4OrderPriority,
     "q17_small_qty" -> q17SmallQty,
     "q21_wait_suppliers" -> q21WaitSuppliers,
@@ -538,6 +576,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "global_rank_auto" -> globalRankAutoSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q17_small_qty" -> q17SmallQtySql,
     "q21_wait_suppliers" -> q21WaitSuppliersSql,

@@ -139,6 +139,35 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       s"rank() window was touched:\n$rankedPlan")
   }
 
+  test("a multi-rank window derives every function from ONE distributed rank pass") {
+    messy
+    val sql = """SELECT id,
+                |  row_number() OVER (ORDER BY v, id) AS rn,
+                |  ntile(3) OVER (ORDER BY v, id) AS q3,
+                |  ntile(11) OVER (ORDER BY v, id) AS q11
+                |FROM messy""".stripMargin
+    val auto = withRule(true) {
+      val df = spark.sql(sql)
+      assert(!hasSingleTaskRankWindow(df))
+      df.as[(Long, Int, Int, Int)].collect().toMap2
+    }
+    val naive = withRule(false)(
+      spark.sql(sql).as[(Long, Int, Int, Int)].collect().toMap2)
+    assert(auto == naive)
+    // a window MIXING a rank with a non-rank function stays untouched
+    val mixed = withRule(true)(spark.sql(
+      """SELECT id, row_number() OVER (ORDER BY v, id) AS rn,
+        |  sum(v) OVER (ORDER BY v, id) AS cum FROM messy""".stripMargin))
+    val mixedPlan = PlanLint.initialPlan(mixed).toString
+    assert(!mixedPlan.contains("__graft"),
+      s"mixed-function window was rewritten:\n$mixedPlan")
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
   test("the rewritten subtree composes: aggregate on top of an auto-distributed rank") {
     messy
     val sql = """SELECT CAST(count(*) AS BIGINT) AS n, max(rn) AS mx FROM (

@@ -302,6 +302,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q14 shuffled or crossed:\n$q14")
   }
 
+  test("global_rank_auto: the naive rank SQL runs distributed in the driver path") {
+    // the DistributeGlobalRank demonstration key: its SQL text is the
+    // naive global row_number + ntile over the fact table, and the
+    // executed plan must carry NO unpartitioned rank window — the
+    // optimizer rule rewrote both functions onto one distributed rank
+    val plan = physicalPlan("global_rank_auto")
+    val badWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && w.windowExpression.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber => true
+          case _: org.apache.spark.sql.catalyst.expressions.NTile => true
+          case _ => false
+        }) => w
+    }
+    assert(badWindows.isEmpty,
+      s"naive rank window survived into the driver plan:\n$plan")
+    assert(plan.toString.contains("__graft"),
+      s"rewrite did not fire for global_rank_auto:\n$plan")
+  }
+
   test("q8/q9/q10/q12: dimension-broadcast join trees, no nested loops") {
     for (q <- Seq("q8_market_share", "q9_product_profit",
         "q10_returned_items", "q12_priority_lines")) {

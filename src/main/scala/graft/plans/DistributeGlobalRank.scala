@@ -40,8 +40,12 @@ import org.apache.spark.sql.types._
   *     `LimitPushDownThroughWindow` inserts — or a global aggregate)
   *     stays untouched: a bounded single-task sort is cheaper than the
   *     5-stage distributed pipeline;
-  *   - only `row_number`/`ntile` rewrite — `rank`/`dense_rank` tie
-  *     semantics are not what [[Ranking]] computes;
+  *   - `row_number`/`ntile` rewrite arithmetically; `rank`/
+  *     `percent_rank`/`cume_dist` additionally read their peer group's
+  *     boundary row numbers through a window partitioned by the order
+  *     keys (a keyed shuffle, distributes fine); only `dense_rank`
+  *     stays out — its peer-group index is itself a global rank over
+  *     the distinct-key frame, a second full pass;
   *   - the leading sort key must admit a numeric range proxy (numeric /
   *     timestamp cast, string via [[Ranking.stringPrefixFraction]]);
   *     direction, null placement, and NaN placement are all encoded into
@@ -85,15 +89,31 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     if (!w.child.resolved || w.child.maxRows.isDefined) return None
     if (w.child.isInstanceOf[WindowGroupLimit]) return None
     if (w.windowExpressions.isEmpty) return None
-    // every function in the node must be a pure rank (row_number /
-    // literal ntile) over THIS node's order — they then all derive from
-    // ONE distributed rank pass; any other function keeps the node
-    val funcs: Seq[(String, ExprId, Option[Int])] = w.windowExpressions.map {
+    // every function in the node must derive from the global 0-based row
+    // number — they then all share ONE distributed rank pass. row_number
+    // and ntile(k) are pure arithmetic on (rank, n); the tie-aware trio
+    // (rank / percent_rank / cume_dist) additionally reads its peer
+    // group's first/last row number through a window PARTITIONED by the
+    // order keys (a keyed shuffle — distributes like any groupBy; SQL
+    // peers and PARTITION BY agree that nulls group together). Only
+    // dense_rank stays out: its peer-group INDEX is itself a global rank
+    // over the distinct key frame — a second full pass this rule does
+    // not spend.
+    sealed trait RankFn
+    case object RowNum extends RankFn
+    case class Tile(k: Int) extends RankFn
+    case object TieRank extends RankFn
+    case object TiePercent extends RankFn
+    case object TieCume extends RankFn
+    val funcs: Seq[(String, ExprId, RankFn)] = w.windowExpressions.map {
       case a @ Alias(WindowExpression(f, spec), n)
           if spec.partitionSpec.isEmpty && spec.orderSpec == w.orderSpec =>
         f match {
-          case RowNumber() => (n, a.exprId, None)
-          case NTile(Literal(k: Int, IntegerType)) => (n, a.exprId, Some(k))
+          case RowNumber() => (n, a.exprId, RowNum)
+          case NTile(Literal(k: Int, IntegerType)) => (n, a.exprId, Tile(k))
+          case _: Rank => (n, a.exprId, TieRank)
+          case _: PercentRank => (n, a.exprId, TiePercent)
+          case _: CumeDist => (n, a.exprId, TieCume)
           case _ => return None
         }
       case _ => return None
@@ -104,17 +124,34 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_rank"
     val tmpN = "__graft_auto_n"
-    val needN = funcs.exists(_._3.isDefined)
+    val needN = funcs.exists(f =>
+      f._3 != RowNum && f._3 != TieRank)
     var ranked = Ranking.withGlobalRankAndCount(childDf, orderCols, tmpRank,
       if (needN) Some(tmpN) else None, Some(proxy))
+    import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin, when => fwhen}
+    val needTie = funcs.exists(f =>
+      f._3 == TieRank || f._3 == TiePercent || f._3 == TieCume)
+    val tieW = if (needTie) {
+      val keys = w.orderSpec.map(so => GraftColumnBridge.column(so.child))
+      Some(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
+    } else None
+    val rn = fcol(tmpRank)
+    val n = fcol(tmpN)
     val outNames = funcs.indices.map(i => s"__graft_auto_out_$i")
-    funcs.zip(outNames).foreach { case ((_, _, ntileK), nm) =>
-      val c = ntileK match {
-        case Some(k) => Ranking
-          .ntileFromRank(org.apache.spark.sql.functions.col(tmpRank),
-            org.apache.spark.sql.functions.col(tmpN), k).cast("int")
-        case None =>
-          (org.apache.spark.sql.functions.col(tmpRank) + lit(1L)).cast("int")
+    funcs.zip(outNames).foreach { case ((_, _, fn), nm) =>
+      val c = fn match {
+        case Tile(k) => Ranking.ntileFromRank(rn, n, k).cast("int")
+        case RowNum => (rn + lit(1L)).cast("int")
+        // SQL rank = first peer's row number; cume_dist = last peer's
+        // row number / n; percent_rank = (rank-1)/(n-1), 0 when n = 1
+        case TieRank => (fmin(rn).over(tieW.get) + lit(1L)).cast("int")
+        case TiePercent =>
+          fwhen(n === lit(1L), lit(0.0)).otherwise(
+            fmin(rn).over(tieW.get).cast("double") /
+              (n - lit(1L)).cast("double"))
+        case TieCume =>
+          (fmax(rn).over(tieW.get) + lit(1L)).cast("double") /
+            n.cast("double")
       }
       ranked = ranked.withColumn(nm, c)
     }

@@ -124,19 +124,41 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       s"guarded window was rewritten:\n$localPlan")
   }
 
-  test("bounded inputs and tie-aware rank functions stay untouched") {
+  test("bounded inputs and dense_rank stay untouched") {
     messy
     // LIMIT bounds maxRows — a bounded single-task sort beats the pipeline
     val bounded = withRule(true)(spark.sql(
       "SELECT id, row_number() OVER (ORDER BY v, id) AS rn FROM " +
         "(SELECT * FROM messy LIMIT 50)"))
     assert(hasSingleTaskRankWindow(bounded))
-    // rank() has tie semantics Ranking does not compute — never rewritten
+    // dense_rank's peer-group index is a second global rank over the
+    // distinct-key frame — the one rank function the rule refuses
     val ranked = withRule(true)(spark.sql(
-      "SELECT id, rank() OVER (ORDER BY v, id) AS r FROM messy"))
+      "SELECT id, dense_rank() OVER (ORDER BY v, id) AS r FROM messy"))
     val rankedPlan = PlanLint.initialPlan(ranked).toString
     assert(rankedPlan.contains("Window") && !rankedPlan.contains("__graft"),
-      s"rank() window was touched:\n$rankedPlan")
+      s"dense_rank() window was touched:\n$rankedPlan")
+  }
+
+  test("the tie-aware trio (rank, percent_rank, cume_dist) rewrites with exact peers") {
+    messy
+    // ORDER BY v alone: the ~30% tie mass makes real peer groups, so
+    // first-peer (rank), (rank-1)/(n-1) (percent_rank) and last-peer/n
+    // (cume_dist) all differ from the row_number path
+    val sql = """SELECT id,
+                |  rank() OVER (ORDER BY v) AS r,
+                |  percent_rank() OVER (ORDER BY v) AS pr,
+                |  cume_dist() OVER (ORDER BY v) AS cd
+                |FROM messy""".stripMargin
+    val auto = withRule(true) {
+      val df = spark.sql(sql)
+      assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"tie trio did not rewrite:\n${PlanLint.initialPlan(df)}")
+      df.as[(Long, Int, Double, Double)].collect().toMap2
+    }
+    val naive = withRule(false)(
+      spark.sql(sql).as[(Long, Int, Double, Double)].collect().toMap2)
+    assert(auto == naive)
   }
 
   test("a multi-rank window derives every function from ONE distributed rank pass") {

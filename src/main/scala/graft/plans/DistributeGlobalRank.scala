@@ -40,12 +40,12 @@ import org.apache.spark.sql.types._
   *     `LimitPushDownThroughWindow` inserts — or a global aggregate)
   *     stays untouched: a bounded single-task sort is cheaper than the
   *     5-stage distributed pipeline;
-  *   - `row_number`/`ntile` rewrite arithmetically; `rank`/
-  *     `percent_rank`/`cume_dist` additionally read their peer group's
-  *     boundary row numbers through a window partitioned by the order
-  *     keys (a keyed shuffle, distributes fine); only `dense_rank`
-  *     stays out — its peer-group index is itself a global rank over
-  *     the distinct-key frame, a second full pass;
+  *   - the WHOLE SQL rank family rewrites: `row_number`/`ntile`
+  *     arithmetically from (rank, n); `rank`/`percent_rank`/`cume_dist`
+  *     read their peer group's boundary row numbers through a window
+  *     partitioned by the order keys (a keyed shuffle, distributes
+  *     fine); `dense_rank` ranks the DISTINCT key frame — a second,
+  *     much smaller distributed rank — and joins it back null-safely;
   *   - the leading sort key must admit a numeric range proxy (numeric /
   *     timestamp cast, string via [[Ranking.stringPrefixFraction]]);
   *     direction, null placement, and NaN placement are all encoded into
@@ -95,16 +95,16 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // (rank / percent_rank / cume_dist) additionally reads its peer
     // group's first/last row number through a window PARTITIONED by the
     // order keys (a keyed shuffle — distributes like any groupBy; SQL
-    // peers and PARTITION BY agree that nulls group together). Only
-    // dense_rank stays out: its peer-group INDEX is itself a global rank
-    // over the distinct key frame — a second full pass this rule does
-    // not spend.
+    // peers and PARTITION BY agree that nulls group together);
+    // dense_rank adds a second distributed rank over the DISTINCT key
+    // frame, joined back null-safely.
     sealed trait RankFn
     case object RowNum extends RankFn
     case class Tile(k: Int) extends RankFn
     case object TieRank extends RankFn
     case object TiePercent extends RankFn
     case object TieCume extends RankFn
+    case object TieDense extends RankFn
     val funcs: Seq[(String, ExprId, RankFn)] = w.windowExpressions.map {
       case a @ Alias(WindowExpression(f, spec), n)
           if spec.partitionSpec.isEmpty && spec.orderSpec == w.orderSpec =>
@@ -114,6 +114,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           case _: Rank => (n, a.exprId, TieRank)
           case _: PercentRank => (n, a.exprId, TiePercent)
           case _: CumeDist => (n, a.exprId, TieCume)
+          case _: DenseRank => (n, a.exprId, TieDense)
           case _ => return None
         }
       case _ => return None
@@ -135,6 +136,35 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       val keys = w.orderSpec.map(so => GraftColumnBridge.column(so.child))
       Some(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
     } else None
+    // dense_rank = this row's key-tuple's position among the DISTINCT
+    // key tuples — a second (much smaller) distributed rank over the
+    // distinct frame, joined back null-safely (<=> matches SQL peer
+    // semantics: nulls tie with nulls, and Spark normalizes NaN)
+    val tmpDense = "__graft_auto_dense"
+    if (funcs.exists(_._3 == TieDense)) {
+      val keyNames = w.orderSpec.indices.map(i => s"__graft_auto_key_$i")
+      ranked = keyNames.zip(w.orderSpec).foldLeft(ranked) {
+        case (df, (nm, so)) =>
+          df.withColumn(nm, GraftColumnBridge.column(so.child))
+      }
+      val dKeyNames = keyNames.map(_ + "_d")
+      val distinct = ranked
+        .select(keyNames.zip(dKeyNames)
+          .map { case (k, d) => fcol(k).as(d) }: _*)
+        .distinct()
+      val dOrder = dKeyNames.zip(w.orderSpec).map { case (nm, so) =>
+        directed(fcol(nm), so.direction, so.nullOrdering)
+      }
+      val head = w.orderSpec.head
+      val dProxy = proxyOf(fcol(dKeyNames.head), head.child.dataType,
+        head.direction, head.nullOrdering).getOrElse(return None)
+      val dRanked = Ranking
+        .withGlobalRowNumber(distinct, dOrder, tmpDense, dProxy)
+      val cond = keyNames.zip(dKeyNames)
+        .map { case (k, d) => ranked(k) <=> dRanked(d) }.reduce(_ && _)
+      ranked = ranked.join(dRanked, cond)
+        .drop((keyNames ++ dKeyNames): _*)
+    }
     val rn = fcol(tmpRank)
     val n = fcol(tmpN)
     val outNames = funcs.indices.map(i => s"__graft_auto_out_$i")
@@ -152,10 +182,13 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         case TieCume =>
           (fmax(rn).over(tieW.get) + lit(1L)).cast("double") /
             n.cast("double")
+        case TieDense => (fcol(tmpDense) + lit(1L)).cast("int")
       }
       ranked = ranked.withColumn(nm, c)
     }
-    ranked = ranked.drop(tmpRank +: (if (needN) Seq(tmpN) else Nil): _*)
+    ranked = ranked.drop(
+      (tmpRank +: (if (needN) Seq(tmpN) else Nil)) ++
+        (if (funcs.exists(_._3 == TieDense)) Seq(tmpDense) else Nil): _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so
     // the splice must arrive pre-optimized (output ids are stable across
@@ -185,21 +218,34 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     * folded in as ±MaxValue fills (nulls-first means smallest-proxy;
     * NaN sorts greatest in Spark, so last ascending / first descending).
     */
-  private def proxyFor(so: SortOrder): Option[Column] = {
-    val base: Column = so.child.dataType match {
+  private def proxyFor(so: SortOrder): Option[Column] =
+    proxyOf(GraftColumnBridge.column(so.child), so.child.dataType,
+      so.direction, so.nullOrdering)
+
+  private def proxyOf(c: Column, dt: DataType, direction: SortDirection,
+                      nulls: NullOrdering): Option[Column] = {
+    val base: Column = dt match {
       case _: NumericType | TimestampType | TimestampNTZType =>
-        GraftColumnBridge.column(so.child).cast("double")
-      case StringType =>
-        Ranking.stringPrefixFraction(GraftColumnBridge.column(so.child))
+        c.cast("double")
+      case StringType => Ranking.stringPrefixFraction(c)
       case _ => return None
     }
-    val signed = if (so.direction == Descending) -base else base
+    val signed = if (direction == Descending) -base else base
     val nanFill =
-      if (so.direction == Descending) Double.MinValue else Double.MaxValue
+      if (direction == Descending) Double.MinValue else Double.MaxValue
     val nullFill =
-      if (so.nullOrdering == NullsFirst) Double.MinValue else Double.MaxValue
+      if (nulls == NullsFirst) Double.MinValue else Double.MaxValue
     Some(coalesce(nanvl(signed, lit(nanFill)), lit(nullFill)))
   }
+
+  private def directed(c: Column, direction: SortDirection,
+                       nulls: NullOrdering): Column =
+    (direction, nulls) match {
+      case (Ascending, NullsFirst) => c.asc_nulls_first
+      case (Ascending, NullsLast) => c.asc_nulls_last
+      case (Descending, NullsFirst) => c.desc_nulls_first
+      case (Descending, NullsLast) => c.desc_nulls_last
+    }
 
   private def sortCol(so: SortOrder): Column = {
     val c = GraftColumnBridge.column(so.child)

@@ -124,20 +124,32 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       s"guarded window was rewritten:\n$localPlan")
   }
 
-  test("bounded inputs and dense_rank stay untouched") {
+  test("bounded inputs stay untouched") {
     messy
     // LIMIT bounds maxRows — a bounded single-task sort beats the pipeline
     val bounded = withRule(true)(spark.sql(
       "SELECT id, row_number() OVER (ORDER BY v, id) AS rn FROM " +
         "(SELECT * FROM messy LIMIT 50)"))
     assert(hasSingleTaskRankWindow(bounded))
-    // dense_rank's peer-group index is a second global rank over the
-    // distinct-key frame — the one rank function the rule refuses
-    val ranked = withRule(true)(spark.sql(
-      "SELECT id, dense_rank() OVER (ORDER BY v, id) AS r FROM messy"))
-    val rankedPlan = PlanLint.initialPlan(ranked).toString
-    assert(rankedPlan.contains("Window") && !rankedPlan.contains("__graft"),
-      s"dense_rank() window was touched:\n$rankedPlan")
+  }
+
+  test("dense_rank ranks the distinct-key frame and joins back exactly") {
+    messy
+    // ORDER BY v alone: ~30% tie mass, so dense ranks compress hard and
+    // null/NaN peers must land on one dense index each
+    val sql = """SELECT id,
+                |  dense_rank() OVER (ORDER BY v DESC) AS dr,
+                |  rank() OVER (ORDER BY v DESC) AS r
+                |FROM messy""".stripMargin
+    val auto = withRule(true) {
+      val df = spark.sql(sql)
+      assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"dense_rank did not rewrite:\n${PlanLint.initialPlan(df)}")
+      df.as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    val naive = withRule(false)(spark.sql(sql).as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap)
+    assert(auto == naive)
   }
 
   test("the tie-aware trio (rank, percent_rank, cume_dist) rewrites with exact peers") {

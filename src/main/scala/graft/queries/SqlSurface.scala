@@ -559,7 +559,45 @@ object SqlSurface {
       |  FROM orders)
       |GROUP BY q ORDER BY q""".stripMargin
 
+  /** The dense_rank leg of [[graft.plans.DistributeGlobalRank]], driver-
+    * certified on the hardest tie topology the testdata has: a global
+    * `dense_rank`+`rank` over `l_quantity` (50 distinct values across
+    * the whole lineitem fact, so every peer group spans many partitions
+    * and the dense index compresses ~60k rows into 50). The rewrite
+    * ranks the DISTINCT quantity frame in a second distributed pass and
+    * joins it back; DuckDB runs the same naive text, and the per-dense-
+    * group aggregate checks every dense index, every tie-rank boundary,
+    * and the group sizes — any off-by-one in the distinct-frame join
+    * fails the hash compare. PlanShapeSpec pins that no unpartitioned
+    * rank window survives into the executed plan.
+    */
+  def globalRankDense(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT dr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(r) AS BIGINT) AS r_lo, CAST(max(r) AS BIGINT) AS r_hi,
+        |  round(min(l_quantity), 1) AS qty
+        |FROM (
+        |  SELECT l_quantity,
+        |    dense_rank() OVER (ORDER BY l_quantity DESC) AS dr,
+        |    rank() OVER (ORDER BY l_quantity DESC) AS r
+        |  FROM lineitem)
+        |GROUP BY dr ORDER BY dr""".stripMargin)
+  }
+
+  val globalRankDenseSql: String =
+    """SELECT dr, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(r) AS BIGINT) AS r_lo, CAST(max(r) AS BIGINT) AS r_hi,
+      |  round(min(l_quantity), 1) AS qty
+      |FROM (
+      |  SELECT l_quantity,
+      |    dense_rank() OVER (ORDER BY l_quantity DESC) AS dr,
+      |    rank() OVER (ORDER BY l_quantity DESC) AS r
+      |  FROM lineitem)
+      |GROUP BY dr ORDER BY dr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "global_rank_dense" -> globalRankDense,
     "global_rank_auto" -> globalRankAuto,
     "q4_order_priority" -> q4OrderPriority,
     "q17_small_qty" -> q17SmallQty,
@@ -576,6 +614,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "global_rank_dense" -> globalRankDenseSql,
     "global_rank_auto" -> globalRankAutoSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q17_small_qty" -> q17SmallQtySql,

@@ -322,6 +322,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rewrite did not fire for global_rank_auto:\n$plan")
   }
 
+  test("global_rank_dense: the dense_rank leg runs distributed in the driver path") {
+    // tie-heavy topology (50 distinct l_quantity values over the whole
+    // fact): the rewrite must rank the distinct-key frame in a second
+    // distributed pass — no unpartitioned rank/dense_rank window may
+    // survive into the executed plan
+    val plan = physicalPlan("global_rank_dense")
+    val badWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && w.windowExpression.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.DenseRank => true
+          case _: org.apache.spark.sql.catalyst.expressions.Rank => true
+          case _ => false
+        }) => w
+    }
+    assert(badWindows.isEmpty,
+      s"naive dense_rank window survived into the driver plan:\n$plan")
+    assert(plan.toString.contains("__graft"),
+      s"rewrite did not fire for global_rank_dense:\n$plan")
+  }
+
   test("q8/q9/q10/q12: dimension-broadcast join trees, no nested loops") {
     for (q <- Seq("q8_market_share", "q9_product_profit",
         "q10_returned_items", "q12_priority_lines")) {

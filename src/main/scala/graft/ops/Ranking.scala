@@ -139,21 +139,9 @@ object Ranking {
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: Column,
                      out: String,
-                     rangeKey: Option[Column] = None): DataFrame = {
-    val (data, w) = rangedPrefix(df, order, value, rangeKey)
-    val perRange = data.groupBy(col(pidCol)).agg(sum(col(valCol)).as(totCol))
-      .limit(rangesOf(df))
-    val offsets = perRange.withColumn(offCol,
-        sum(col(totCol)).over(Window.orderBy(pidCol)
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(pidCol, offCol)
-    val local = sum(col(valCol))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    data.join(broadcast(offsets), pidCol)
-      .withColumn(out,
-        when(col(offCol).isNull, local).otherwise(col(offCol) + local))
-      .drop(pidCol, offCol, valCol)
-  }
+                     rangeKey: Option[Column] = None): DataFrame =
+    withGlobalPrefix(df, order, None, None,
+      Seq(RunningSpec(value, RunSum, inclusive = true, out)), rangeKey)
 
   /** `df` plus `out` = the running minimum of `value` over all STRICTLY
     * PRECEDING rows of the total order (`min(value) OVER (ORDER BY … ROWS
@@ -163,42 +151,120 @@ object Ranking {
     */
   def withRunningMinExclusive(df: DataFrame, order: Seq[Column],
                               value: Column, out: String,
-                              rangeKey: Option[Column] = None): DataFrame = {
-    val (data, w) = rangedPrefix(df, order, value, rangeKey)
-    val perRange = data.groupBy(col(pidCol)).agg(min(col(valCol)).as(totCol))
-      .limit(rangesOf(df))
-    val offsets = perRange.withColumn(offCol,
-        min(col(totCol)).over(Window.orderBy(pidCol)
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(pidCol, offCol)
-    val local = min(col(valCol))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    data.join(broadcast(offsets), pidCol)
-      .withColumn(out,
-        when(col(offCol).isNull, local).when(local.isNull, col(offCol))
-          .otherwise(least(col(offCol), local)))
-      .drop(pidCol, offCol, valCol)
+                              rangeKey: Option[Column] = None): DataFrame =
+    withGlobalPrefix(df, order, None, None,
+      Seq(RunningSpec(value, RunMin, inclusive = false, out)), rangeKey)
+
+  /** One running-aggregate output of [[withGlobalPrefix]]: the prefix
+    * `kind` of `value` in the total order, written to column `out`,
+    * INCLUSIVE of the current row or exclusive (strictly preceding — null
+    * on the global first row, and wherever every preceding value is
+    * null, exactly like the SQL window aggregate it mirrors).
+    */
+  sealed trait RunKind
+  case object RunSum extends RunKind
+  case object RunMin extends RunKind
+  case object RunMax extends RunKind
+  case class RunningSpec(value: Column, kind: RunKind, inclusive: Boolean,
+                         out: String)
+
+  /** The generalized single-pass prefix engine every public entry point
+    * delegates to: ONE range assignment (GK-sketch split), ONE per-range
+    * totals aggregate, ONE broadcast offsets frame, ONE per-range local
+    * window — producing, together, any combination of the exact 0-based
+    * global rank (`rankCol`), the total row count on every row
+    * (`countCol`), and any number of running sum/min/max columns
+    * (`aggs`). Callers computing several prefix quantities over one
+    * total order ([[graft.plans.DistributeGlobalRank]]'s multi-function
+    * windows) pay the distributed pass once; a per-quantity API would
+    * shuffle once per column AND could disagree on tie placement between
+    * passes — here every output is consistent because every output reads
+    * the same local sort.
+    *
+    * Null semantics match the SQL window aggregates: a prefix whose
+    * values are all null is null (sum/min/max ignore nulls, they don't
+    * zero them), offsets from all-null ranges stay null, and the
+    * combine steps treat a null side as "no contribution".
+    */
+  def withGlobalPrefix(df: DataFrame, order: Seq[Column],
+                       rankCol: Option[String], countCol: Option[String],
+                       aggs: Seq[RunningSpec] = Nil,
+                       rangeKey: Option[Column] = None): DataFrame = {
+    checkOrder(order, rangeKey)
+    val ranges = rangesOf(df)
+    val cnt = "__graft_cnt"
+    val head = rangeKey.getOrElse(order.head).cast("double")
+    val valNames = aggs.indices.map(i => s"__graft_val_$i")
+    val totNames = aggs.indices.map(i => s"__graft_tot_$i")
+    val runOffNames = aggs.indices.map(i => s"__graft_roff_$i")
+    val withVals = aggs.zip(valNames).foldLeft(df) {
+      case (d, (s, nm)) => d.withColumn(nm, s.value)
+    }
+    val data = assignRanges(withVals, head)
+    def aggFn(k: RunKind)(c: Column): Column = k match {
+      case RunSum => sum(c)
+      case RunMin => min(c)
+      case RunMax => max(c)
+    }
+    // one row per range; every prefix window over it is bounded by the
+    // RANGE count (cluster metadata), not the data — the structural
+    // `limit` makes that cardinality visible to Catalyst and PlanLint
+    val perRange = data.groupBy(col(pidCol)).agg(count(lit(1)).as(cnt),
+        aggs.zip(valNames).zip(totNames).map { case ((s, v), t) =>
+          aggFn(s.kind)(col(v)).as(t)
+        }: _*)
+      .limit(ranges)
+    val prefixW = Window.orderBy(pidCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var offsets = perRange.withColumn(offCol,
+      coalesce(sum(col(cnt)).over(prefixW), lit(0L)))
+    offsets = aggs.zip(totNames).zip(runOffNames).foldLeft(offsets) {
+      case (o, ((s, t), r)) =>
+        o.withColumn(r, aggFn(s.kind)(col(t)).over(prefixW))
+    }
+    offsets = countCol match {
+      case Some(nm) => offsets.withColumn(nm, sum(col(cnt)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      case None => offsets
+    }
+    offsets = offsets.select((Seq(pidCol, offCol) ++ countCol.toSeq ++
+      runOffNames).map(col): _*)
+    // per-range locals: a Window PARTITIONED by the range id — every
+    // range sorts once locally, all ranges in parallel, and rank plus
+    // every running aggregate read that one sort
+    val w = Window.partitionBy(pidCol).orderBy(order: _*)
+    var res = data.join(broadcast(offsets), pidCol)
+    rankCol.foreach { rc =>
+      res = res.withColumn(rc,
+        col(offCol) + row_number().over(w).cast("long") - lit(1L))
+    }
+    aggs.zip(valNames).zip(runOffNames).foreach { case ((s, v), r) =>
+      val frame = w.rowsBetween(Window.unboundedPreceding,
+        if (s.inclusive) Window.currentRow else -1)
+      val local = aggFn(s.kind)(col(v)).over(frame)
+      val off = col(r)
+      val combined = s.kind match {
+        case RunSum =>
+          when(off.isNull, local).when(local.isNull, off)
+            .otherwise(off + local)
+        case RunMin =>
+          when(off.isNull, local).when(local.isNull, off)
+            .otherwise(least(off, local))
+        case RunMax =>
+          when(off.isNull, local).when(local.isNull, off)
+            .otherwise(greatest(off, local))
+      }
+      res = res.withColumn(s.out, combined)
+    }
+    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames: _*)
   }
 
   private val pidCol = "__graft_pid"
-  private val valCol = "__graft_val"
-  private val totCol = "__graft_tot"
   private val offCol = "__graft_off"
 
   private def rangesOf(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
-
-  /** Shared running-aggregate scaffolding: `df` with the named value
-    * column and the contiguous range id, plus the per-range window spec.
-    */
-  private def rangedPrefix(df: DataFrame, order: Seq[Column], value: Column,
-                           rangeKey: Option[Column])
-  : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
-    checkOrder(order, rangeKey)
-    val head = rangeKey.getOrElse(order.head).cast("double")
-    val data = assignRanges(df.withColumn(valCol, value), head)
-    (data, Window.partitionBy(pidCol).orderBy(order: _*))
-  }
 
   private def checkOrder(order: Seq[Column], rangeKey: Option[Column]): Unit = {
     require(order.nonEmpty, "global rank needs an order")
@@ -234,38 +300,6 @@ object Ranking {
   private def withRankAndCount(df: DataFrame, order: Seq[Column],
                                outCol: String,
                                countCol: Option[String],
-                               rangeKey: Option[Column]): DataFrame = {
-    checkOrder(order, rangeKey)
-    val ranges = rangesOf(df)
-    val pid = pidCol
-    val cnt = "__graft_cnt"
-    val off = offCol
-    val head = rangeKey.getOrElse(order.head).cast("double")
-    val data = assignRanges(df, head)
-    // one row per range; the prefix-sum window is bounded by the RANGE
-    // count (cluster metadata), not the data
-    val offsets0 = data.groupBy(pid).agg(count(lit(1)).as(cnt))
-      // no-op by the pid invariant (pid = size-of-filtered-bounds ≤
-      // ranges-1), present to make the cardinality STRUCTURAL: Catalyst
-      // gets maxRows for the frame and PlanLint's bounded-input proof
-      // certifies the prefix-sum window below as cluster-metadata-sized
-      .limit(ranges)
-      .withColumn(off, coalesce(
-        sum(col(cnt)).over(Window.orderBy(pid)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets = countCol match {
-      case Some(nm) => offsets0
-        .withColumn(nm, sum(col(cnt)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-        .select(pid, off, nm)
-      case None => offsets0.select(pid, off)
-    }
-    // per-range row_number: a Window PARTITIONED by the range id — every
-    // range sorts locally, all ranges in parallel
-    val w = Window.partitionBy(pid).orderBy(order: _*)
-    data.join(broadcast(offsets), pid)
-      .withColumn(outCol, col(off) + row_number().over(w).cast("long") - lit(1L))
-      .drop(pid, off)
-  }
+                               rangeKey: Option[Column]): DataFrame =
+    withGlobalPrefix(df, order, Some(outCol), countCol, Nil, rangeKey)
 }

@@ -1,11 +1,13 @@
 package graft.plans
 
 import graft.ops.Ranking
+import graft.ops.Ranking.{RunMax, RunMin, RunSum, RunningSpec}
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{coalesce, lit, nanvl}
+import org.apache.spark.sql.functions.{coalesce, datediff, lit, nanvl}
 import org.apache.spark.sql.types._
 
 /** Optimizer-level auto-distribution of global ranks: an unpartitioned
@@ -46,8 +48,25 @@ import org.apache.spark.sql.types._
   *     partitioned by the order keys (a keyed shuffle, distributes
   *     fine); `dense_rank` ranks the DISTINCT key frame — a second,
   *     much smaller distributed rank — and joins it back null-safely;
+  *   - running aggregates over the same global order rewrite too —
+  *     `sum`/`count`/`avg`/`min`/`max OVER (ORDER BY …)`, the analyst's
+  *     cumulative total. The default RANGE frame (peers share a value)
+  *     is computed per DISTINCT key tuple — per-group totals, a
+  *     distributed prefix over the small group frame, a null-safe join
+  *     back — so it is tie-exact at any scale; an explicit
+  *     `ROWS UNBOUNDED PRECEDING` frame rides the row-level prefix pass
+  *     (within tied keys its attribution follows the pipeline's
+  *     arbitrary-but-consistent tie order — the same latitude SQL gives
+  *     any engine). `sum`/`avg` rewrite only for INTEGRAL inputs:
+  *     re-associating fractional addition would drift ULPs vs the naive
+  *     sequential fold, and a rewrite must never change stored bits
+  *     (avg is exact to 2^53 where the naive double accumulation is
+  *     too); `min`/`max`/`count` are order-insensitive, so any
+  *     orderable atomic type qualifies. DISTINCT, FILTER, and `try_*`
+  *     aggregates stay naive;
   *   - the leading sort key must admit a numeric range proxy (numeric /
-  *     timestamp cast, string via [[Ranking.stringPrefixFraction]]);
+  *     timestamp / date cast, string via
+  *     [[Ranking.stringPrefixFraction]]);
   *     direction, null placement, and NaN placement are all encoded into
   *     the proxy (split points only steer balance, so a lossy proxy can
   *     degrade parallelism but never a rank);
@@ -80,7 +99,15 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     plan.transformUp {
       case w: Window
         if w.windowExpressions.forall(a => !filterRefs.contains(a.toAttribute)) =>
-        rewrite(w).getOrElse(w)
+        // an optimizer rule must DEGRADE, never break: any internal
+        // failure (an analysis error in the replacement subtree, an
+        // unforeseen type) keeps the naive plan and says so
+        try rewrite(w).getOrElse(w)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"DistributeGlobalRank left a window naive: $e")
+            w
+        }
     }
   }
 
@@ -105,6 +132,36 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     case object TiePercent extends RankFn
     case object TieCume extends RankFn
     case object TieDense extends RankFn
+    // running aggregates over the same global order — `sum(x) OVER
+    // (ORDER BY …)`, the analyst's cumulative total. `rows` = an
+    // explicit ROWS frame (prefix attribution within tied keys follows
+    // the pipeline's arbitrary-but-consistent tie order, exactly the
+    // latitude SQL gives the naive plan); the default RANGE frame is
+    // tie-exact ALWAYS — peers share one value by definition, so it is
+    // computed per distinct key tuple and joined back.
+    sealed trait AggOp
+    case object OpSum extends AggOp
+    case object OpCount extends AggOp
+    case object OpAvg extends AggOp
+    case object OpMin extends AggOp
+    case object OpMax extends AggOp
+    case class Running(op: AggOp, value: Option[Expression], rows: Boolean,
+                       dt: DataType) extends RankFn
+    // sum/avg only over integral inputs: the distributed combine
+    // re-associates the addition, which is exact for integers (to 2^53
+    // for avg's double division) but would drift ULPs on fractional
+    // types vs the naive sequential fold — a rewrite must never change
+    // stored bits, so fractional running sums stay naive.
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // min/max are order-insensitive — exact for any orderable atomic
+    def minMaxOk(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | TimestampType | TimestampNTZType |
+           DateType | BooleanType => true
+      case _ => false
+    }
     val funcs: Seq[(String, ExprId, RankFn)] = w.windowExpressions.map {
       case a @ Alias(WindowExpression(f, spec), n)
           if spec.partitionSpec.isEmpty && spec.orderSpec == w.orderSpec =>
@@ -115,6 +172,34 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           case _: PercentRank => (n, a.exprId, TiePercent)
           case _: CumeDist => (n, a.exprId, TieCume)
           case _: DenseRank => (n, a.exprId, TieDense)
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            val rows = spec.frameSpecification match {
+              case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                CurrentRow) => true
+              case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding,
+                CurrentRow) => false
+              case _ => return None
+            }
+            val run = ae.aggregateFunction match {
+              case s: Sum if s.evalContext.evalMode != EvalMode.TRY &&
+                  integral(s.child.dataType) =>
+                Running(OpSum, Some(s.child), rows, ae.dataType)
+              case c: Count
+                  if c.children.forall(ch => ch.foldable && !ch.nullable) =>
+                Running(OpCount, None, rows, ae.dataType)
+              case c: Count if c.children.size == 1 =>
+                Running(OpCount, Some(c.children.head), rows, ae.dataType)
+              case av: Average if av.evalMode != EvalMode.TRY &&
+                  integral(av.child.dataType) =>
+                Running(OpAvg, Some(av.child), rows, ae.dataType)
+              case m: Min if minMaxOk(m.child.dataType) =>
+                Running(OpMin, Some(m.child), rows, ae.dataType)
+              case m: Max if minMaxOk(m.child.dataType) =>
+                Running(OpMax, Some(m.child), rows, ae.dataType)
+              case _ => return None
+            }
+            (n, a.exprId, run)
           case _ => return None
         }
       case _ => return None
@@ -125,41 +210,139 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_rank"
     val tmpN = "__graft_auto_n"
-    val needN = funcs.exists(f =>
-      f._3 != RowNum && f._3 != TieRank)
-    var ranked = Ranking.withGlobalRankAndCount(childDf, orderCols, tmpRank,
-      if (needN) Some(tmpN) else None, Some(proxy))
-    import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin, when => fwhen}
+    val tmpDense = "__graft_auto_dense"
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, greatest => fgreatest, least => fleast, max => fmax, min => fmin, sum => fsum, when => fwhen}
+    def valueCol(e: Expression): Column = GraftColumnBridge.column(e)
+    // count = running sum of a non-null 0/1 indicator (count(*) sums a
+    // literal 1), so it rides the same sum machinery and is never null
+    def indicator(v: Option[Expression]): Column = v match {
+      case None => lit(1L)
+      case Some(e) => valueCol(e).isNotNull.cast("long")
+    }
+    val needRankCol = funcs.exists(_._3 match {
+      case RowNum | Tile(_) | TieRank | TiePercent | TieCume => true
+      case _ => false
+    })
+    val needN = funcs.exists(_._3 match {
+      case Tile(_) | TiePercent | TieCume => true
+      case _ => false
+    })
+    // distinct ROWS-frame running aggregates, each mapped to the prefix
+    // column(s) it needs from the row-level pass (avg needs sum + count)
+    val runs = funcs.collect { case (_, _, r: Running) => r }
+    def runKey(r: Running): (AggOp, Option[Expression], Boolean) =
+      (r.op, r.value.map(_.canonicalized), r.rows)
+    val rowOuts = scala.collection.mutable.LinkedHashMap
+      .empty[(AggOp, Option[Expression], Boolean), (Running, String, Option[String])]
+    runs.filter(_.rows).foreach { r =>
+      val k = runKey(r)
+      if (!rowOuts.contains(k)) {
+        val i = rowOuts.size
+        rowOuts(k) = (r, s"__graft_auto_run_${i}_m",
+          if (r.op == OpAvg) Some(s"__graft_auto_run_${i}_c") else None)
+      }
+    }
+    val rowSpecs: Seq[RunningSpec] = rowOuts.values.toSeq.flatMap {
+      case (r, main, cntOpt) =>
+        val mainSpec = r.op match {
+          case OpSum => RunningSpec(valueCol(r.value.get).cast("long"),
+            RunSum, inclusive = true, main)
+          case OpAvg => RunningSpec(valueCol(r.value.get).cast("long"),
+            RunSum, inclusive = true, main)
+          case OpCount => RunningSpec(indicator(r.value),
+            RunSum, inclusive = true, main)
+          case OpMin => RunningSpec(valueCol(r.value.get),
+            RunMin, inclusive = true, main)
+          case OpMax => RunningSpec(valueCol(r.value.get),
+            RunMax, inclusive = true, main)
+        }
+        mainSpec +: cntOpt.toSeq.map(c =>
+          RunningSpec(indicator(r.value), RunSum, inclusive = true, c))
+    }
+    // the row-level pass: ONE range assignment computes the global rank,
+    // the total count, and every ROWS-frame prefix — all reading one
+    // local sort, so mixed outputs are tie-consistent with each other
+    var ranked =
+      if (needRankCol || needN || rowSpecs.nonEmpty)
+        Ranking.withGlobalPrefix(childDf, orderCols,
+          if (needRankCol) Some(tmpRank) else None,
+          if (needN) Some(tmpN) else None, rowSpecs, Some(proxy))
+      else childDf
     val needTie = funcs.exists(f =>
       f._3 == TieRank || f._3 == TiePercent || f._3 == TieCume)
     val tieW = if (needTie) {
       val keys = w.orderSpec.map(so => GraftColumnBridge.column(so.child))
       Some(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
     } else None
-    // dense_rank = this row's key-tuple's position among the DISTINCT
-    // key tuples — a second (much smaller) distributed rank over the
-    // distinct frame, joined back null-safely (<=> matches SQL peer
-    // semantics: nulls tie with nulls, and Spark normalizes NaN)
-    val tmpDense = "__graft_auto_dense"
-    if (funcs.exists(_._3 == TieDense)) {
+    // the group-level pass serves dense_rank AND every RANGE-frame
+    // aggregate: both are per-distinct-key-tuple quantities. One
+    // groupBy over the full order keys (a keyed shuffle), ONE
+    // distributed prefix over the much smaller group frame (dense rank
+    // = the group's row number; a RANGE prefix = the running aggregate
+    // of per-group totals), joined back null-safely (<=> matches SQL
+    // peer semantics: nulls tie with nulls, and Spark normalizes NaN)
+    val needDense = funcs.exists(_._3 == TieDense)
+    val gOuts = scala.collection.mutable.LinkedHashMap
+      .empty[(AggOp, Option[Expression], Boolean), (Running, String, Option[String])]
+    runs.filterNot(_.rows).foreach { r =>
+      val k = runKey(r)
+      if (!gOuts.contains(k)) {
+        val i = gOuts.size
+        gOuts(k) = (r, s"__graft_auto_gp_${i}_m",
+          if (r.op == OpAvg) Some(s"__graft_auto_gp_${i}_c") else None)
+      }
+    }
+    if (needDense || gOuts.nonEmpty) {
       val keyNames = w.orderSpec.indices.map(i => s"__graft_auto_key_$i")
       ranked = keyNames.zip(w.orderSpec).foldLeft(ranked) {
         case (df, (nm, so)) =>
           df.withColumn(nm, GraftColumnBridge.column(so.child))
       }
       val dKeyNames = keyNames.map(_ + "_d")
-      val distinct = ranked
-        .select(keyNames.zip(dKeyNames)
-          .map { case (k, d) => fcol(k).as(d) }: _*)
-        .distinct()
+      // per-group totals (group = one distinct key tuple); the names are
+      // the prefix-output names with a _t suffix so the prefix spec can
+      // read them before they are dropped
+      val gAggExprs = gOuts.values.toSeq.flatMap { case (r, main, cntOpt) =>
+        val tot = r.op match {
+          case OpSum => fsum(valueCol(r.value.get).cast("long"))
+          case OpAvg => fsum(valueCol(r.value.get).cast("long"))
+          case OpCount => fsum(indicator(r.value))
+          case OpMin => fmin(valueCol(r.value.get))
+          case OpMax => fmax(valueCol(r.value.get))
+        }
+        (tot.as(main + "_t")) +: cntOpt.toSeq.map(c =>
+          fsum(indicator(r.value)).as(c + "_t"))
+      }
+      val grouped = ranked.groupBy(keyNames.map(fcol): _*)
+        .agg(fcount(lit(1)).as("__graft_auto_gn"), gAggExprs: _*)
+        .select((keyNames.zip(dKeyNames).map { case (k, d) =>
+          fcol(k).as(d)
+        } ++ gOuts.values.toSeq.flatMap { case (_, main, cntOpt) =>
+          (main + "_t") +: cntOpt.toSeq.map(_ + "_t")
+        }.map(fcol)): _*)
       val dOrder = dKeyNames.zip(w.orderSpec).map { case (nm, so) =>
         directed(fcol(nm), so.direction, so.nullOrdering)
       }
       val head = w.orderSpec.head
       val dProxy = proxyOf(fcol(dKeyNames.head), head.child.dataType,
         head.direction, head.nullOrdering).getOrElse(return None)
-      val dRanked = Ranking
-        .withGlobalRowNumber(distinct, dOrder, tmpDense, dProxy)
+      val gSpecs = gOuts.values.toSeq.flatMap { case (r, main, cntOpt) =>
+        val kind = r.op match {
+          case OpMin => RunMin
+          case OpMax => RunMax
+          case _ => RunSum
+        }
+        RunningSpec(fcol(main + "_t"), kind, inclusive = true, main) +:
+          cntOpt.toSeq.map(c =>
+            RunningSpec(fcol(c + "_t"), RunSum, inclusive = true, c))
+      }
+      val dRanked = Ranking.withGlobalPrefix(grouped, dOrder,
+          if (needDense) Some(tmpDense) else None, None, gSpecs,
+          Some(dProxy))
+        .drop("__graft_auto_gn")
+        .drop(gOuts.values.toSeq.flatMap { case (_, main, cntOpt) =>
+          (main + "_t") +: cntOpt.toSeq.map(_ + "_t")
+        }: _*)
       val cond = keyNames.zip(dKeyNames)
         .map { case (k, d) => ranked(k) <=> dRanked(d) }.reduce(_ && _)
       ranked = ranked.join(dRanked, cond)
@@ -183,12 +366,24 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           (fmax(rn).over(tieW.get) + lit(1L)).cast("double") /
             n.cast("double")
         case TieDense => (fcol(tmpDense) + lit(1L)).cast("int")
+        case r: Running =>
+          val (_, main, cntOpt) =
+            if (r.rows) rowOuts(runKey(r)) else gOuts(runKey(r))
+          val raw = r.op match {
+            case OpAvg => fcol(main).cast("double") /
+              fcol(cntOpt.get).cast("double")
+            case _ => fcol(main)
+          }
+          raw.cast(r.dt)
       }
       ranked = ranked.withColumn(nm, c)
     }
     ranked = ranked.drop(
-      (tmpRank +: (if (needN) Seq(tmpN) else Nil)) ++
-        (if (funcs.exists(_._3 == TieDense)) Seq(tmpDense) else Nil): _*)
+      (if (needRankCol) Seq(tmpRank) else Nil) ++
+        (if (needN) Seq(tmpN) else Nil) ++
+        (if (needDense) Seq(tmpDense) else Nil) ++
+        rowOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq } ++
+        gOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq }: _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so
     // the splice must arrive pre-optimized (output ids are stable across
@@ -225,8 +420,14 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
   private def proxyOf(c: Column, dt: DataType, direction: SortDirection,
                       nulls: NullOrdering): Option[Column] = {
     val base: Column = dt match {
-      case _: NumericType | TimestampType | TimestampNTZType =>
-        c.cast("double")
+      case _: NumericType | TimestampType => c.cast("double")
+      // NTZ has no direct numeric cast; the hop through the session-zone
+      // instant is monotone non-decreasing in the local-time order (DST
+      // gaps/overlaps only create ties), which is all a proxy needs
+      case TimestampNTZType => c.cast(TimestampType).cast("double")
+      // days since epoch — timezone-free and monotone in the date order
+      case DateType => datediff(c, lit("1970-01-01").cast("date"))
+        .cast("double")
       case StringType => Ranking.stringPrefixFraction(c)
       case _ => return None
     }

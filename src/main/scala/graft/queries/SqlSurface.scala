@@ -596,8 +596,103 @@ object SqlSurface {
       |  FROM lineitem)
       |GROUP BY dr ORDER BY dr""".stripMargin
 
+  /** The running-aggregate leg of [[graft.plans.DistributeGlobalRank]],
+    * driver-certified on the default RANGE frame over a tie-heavy order:
+    * the analyst's cumulative-demand query — running count, quantity
+    * total, running average, and running max straight over the fact
+    * table, ~24 peer rows per ship date. The rewrite computes per-date
+    * totals, a distributed prefix over the 2.5k-date group frame, and
+    * joins back; DuckDB runs the same naive text. The running average
+    * ships as the exact ratio `cum_qty / cum_n` RAW (not rounded): both
+    * engines divide the same exact integer sum by the same exact count,
+    * so the doubles must agree bit-for-bit — a stronger cross-engine pin
+    * than any rounding contract. (A window `avg()` itself cannot be
+    * driver-pinned: DuckDB's windowed AVG accumulates through its
+    * segment tree and came out 1 ULP off the exact division on one of
+    * 2.5k dates — the rewrite's `avg` leg is certified Spark-vs-naive
+    * in DistributeGlobalRankSpec instead, which is the correct oracle
+    * for a plan rewrite.) The final GROUP BY date collapses peers
+    * (RANGE peers share one value by definition, so min=max within a
+    * date — using max is arbitrary).
+    */
+  def globalRunningAuto(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_shipdate, CAST(max(cum_n) AS BIGINT) AS n_cum,
+        |  CAST(max(cum_qty) AS BIGINT) AS qty_cum,
+        |  CAST(max(cum_qty) AS DOUBLE) / CAST(max(cum_n) AS DOUBLE) AS avg_cum,
+        |  CAST(max(cum_max) AS BIGINT) AS max_cum
+        |FROM (
+        |  SELECT l_shipdate,
+        |    count(*) OVER (ORDER BY l_shipdate) AS cum_n,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (ORDER BY l_shipdate) AS cum_qty,
+        |    max(CAST(l_quantity AS BIGINT)) OVER (ORDER BY l_shipdate) AS cum_max
+        |  FROM lineitem)
+        |GROUP BY l_shipdate ORDER BY l_shipdate""".stripMargin)
+  }
+
+  val globalRunningAutoSql: String =
+    """SELECT l_shipdate, CAST(max(cum_n) AS BIGINT) AS n_cum,
+      |  CAST(max(cum_qty) AS BIGINT) AS qty_cum,
+      |  CAST(max(cum_qty) AS DOUBLE) / CAST(max(cum_n) AS DOUBLE) AS avg_cum,
+      |  CAST(max(cum_max) AS BIGINT) AS max_cum
+      |FROM (
+      |  SELECT l_shipdate,
+      |    count(*) OVER (ORDER BY l_shipdate) AS cum_n,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (ORDER BY l_shipdate) AS cum_qty,
+      |    max(CAST(l_quantity AS BIGINT)) OVER (ORDER BY l_shipdate) AS cum_max
+      |  FROM lineitem)
+      |GROUP BY l_shipdate ORDER BY l_shipdate""".stripMargin
+
+  /** The explicit-ROWS-frame leg: a running balance over the UNIQUE
+    * order-key order (unique total order = deterministic ROWS
+    * attribution in any engine), with cents-exact arithmetic (prices
+    * rounded to integer cents before the cumulative sum, so the
+    * distributed combine stays exact). The filter sits ABOVE the
+    * window — it samples the output, it must not change the running
+    * totals — and the rewrite is transparent to it.
+    */
+  def globalRunningRows(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, cum_cents, cum_n, min_price
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |      (ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |    count(*) OVER
+        |      (ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    min(o_totalprice) OVER
+        |      (ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_price
+        |  FROM orders)
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val globalRunningRowsSql: String =
+    """SELECT o_orderkey, cum_cents, cum_n, min_price
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+      |      (ORDER BY o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+      |    count(*) OVER
+      |      (ORDER BY o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    min(o_totalprice) OVER
+      |      (ORDER BY o_orderkey
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_price
+      |  FROM orders)
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "global_rank_dense" -> globalRankDense,
+    "global_running_auto" -> globalRunningAuto,
+    "global_running_rows" -> globalRunningRows,
     "global_rank_auto" -> globalRankAuto,
     "q4_order_priority" -> q4OrderPriority,
     "q17_small_qty" -> q17SmallQty,
@@ -615,6 +710,8 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "global_rank_dense" -> globalRankDenseSql,
+    "global_running_auto" -> globalRunningAutoSql,
+    "global_running_rows" -> globalRunningRowsSql,
     "global_rank_auto" -> globalRankAutoSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "q17_small_qty" -> q17SmallQtySql,

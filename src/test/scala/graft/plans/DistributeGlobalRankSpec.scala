@@ -188,13 +188,73 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     val naive = withRule(false)(
       spark.sql(sql).as[(Long, Int, Int, Int)].collect().toMap2)
     assert(auto == naive)
-    // a window MIXING a rank with a non-rank function stays untouched
+    // a FRACTIONAL running sum poisons the whole node: re-associating
+    // double addition would drift ULPs vs the naive sequential fold, so
+    // sum(v: double) refuses and takes the co-resident row_number with it
     val mixed = withRule(true)(spark.sql(
       """SELECT id, row_number() OVER (ORDER BY v, id) AS rn,
         |  sum(v) OVER (ORDER BY v, id) AS cum FROM messy""".stripMargin))
     val mixedPlan = PlanLint.initialPlan(mixed).toString
     assert(!mixedPlan.contains("__graft"),
-      s"mixed-function window was rewritten:\n$mixedPlan")
+      s"fractional-sum window was rewritten:\n$mixedPlan")
+  }
+
+  test("running aggregates over the default RANGE frame rewrite tie-exactly") {
+    messy
+    // ORDER BY v alone: heavy ties, nulls-first, one NaN — every peer
+    // group must share ONE value computed over the whole group, with
+    // negative summands, a nullable count target, and min over the
+    // null-leading key itself
+    val sql = """SELECT id,
+                |  sum(CAST(id % 7 - 3 AS BIGINT)) OVER (ORDER BY v) AS cs,
+                |  count(*) OVER (ORDER BY v) AS cn,
+                |  count(v) OVER (ORDER BY v) AS cv,
+                |  avg(CAST(id % 5 AS BIGINT)) OVER (ORDER BY v) AS ca,
+                |  min(v) OVER (ORDER BY v) AS cm,
+                |  max(s) OVER (ORDER BY v) AS cx
+                |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"running aggregates did not rewrite:\n${PlanLint.initialPlan(df)}")
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }
+    assert(run(on = true) == run(on = false))
+  }
+
+  test("explicit ROWS running aggregates rewrite over a unique total order") {
+    messy
+    val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val sql = s"""SELECT id,
+                 |  sum(CAST(id % 7 - 3 AS BIGINT))
+                 |    OVER (ORDER BY v, id $frame) AS cs,
+                 |  min(v) OVER (ORDER BY v, id $frame) AS cm,
+                 |  count(v) OVER (ORDER BY v, id $frame) AS cv
+                 |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"ROWS running aggregates did not rewrite:\n${PlanLint.initialPlan(df)}")
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }
+    assert(run(on = true) == run(on = false))
+  }
+
+  test("a window mixing ranks and running aggregates stays mutually consistent") {
+    messy
+    // rank functions and the RANGE sum coexist in one Window node; the
+    // rewrite must keep every output consistent with every other
+    val sql = """SELECT id,
+                |  row_number() OVER (ORDER BY v, id) AS rn,
+                |  dense_rank() OVER (ORDER BY v, id) AS dr,
+                |  sum(CAST(id % 7 - 3 AS BIGINT)) OVER (ORDER BY v, id) AS cs
+                |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) assert(!hasSingleTaskRankWindow(df))
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }
+    assert(run(on = true) == run(on = false))
   }
 
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {

@@ -342,6 +342,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rewrite did not fire for global_rank_dense:\n$plan")
   }
 
+  test("global_running_auto/rows: naive running aggregates run distributed") {
+    // the running-aggregate legs of DistributeGlobalRank: naive
+    // cumulative sum/count/max SQL straight over the fact tables; the
+    // rewrite must fire (marker) and the executed plan must carry no
+    // unpartitioned window over an unbounded input (PlanLint's bounded
+    // prover accepts the machinery's metadata-sized offsets windows)
+    for (q <- Seq("global_running_auto", "global_running_rows")) {
+      val plan = physicalPlan(q)
+      assert(plan.toString.contains("__graft"),
+        s"rewrite did not fire for $q:\n$plan")
+      val findings = graft.plans.PlanLint.lintPlan(plan)
+        .filter(_.rule == graft.plans.PlanLint.UnpartitionedWindow)
+      assert(findings.isEmpty, s"$q kept a single-task window: $findings")
+    }
+  }
+
   test("q8/q9/q10/q12: dimension-broadcast join trees, no nested loops") {
     for (q <- Seq("q8_market_share", "q9_product_profit",
         "q10_returned_items", "q12_priority_lines")) {

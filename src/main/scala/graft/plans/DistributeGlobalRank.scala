@@ -4,7 +4,7 @@ import graft.ops.Ranking
 import graft.ops.Ranking.{RunMax, RunMin, RunSum, RunningSpec}
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{coalesce, datediff, lit, nanvl}
@@ -43,11 +43,15 @@ import org.apache.spark.sql.types._
   *     stays untouched: a bounded single-task sort is cheaper than the
   *     5-stage distributed pipeline;
   *   - the WHOLE SQL rank family rewrites: `row_number`/`ntile`
-  *     arithmetically from (rank, n); `rank`/`percent_rank`/`cume_dist`
-  *     read their peer group's boundary row numbers through a window
-  *     partitioned by the order keys (a keyed shuffle, distributes
-  *     fine); `dense_rank` ranks the DISTINCT key frame — a second,
-  *     much smaller distributed rank — and joins it back null-safely;
+  *     arithmetically from (rank, n); the tie-aware trio
+  *     `rank`/`percent_rank`/`cume_dist` and `dense_rank` all read the
+  *     DISTINCT-key group frame — per-group counts (a map-side-combined
+  *     groupBy, so a heavily tied key never skews the way a
+  *     `Window.partitionBy(key)` would: 50 distinct values would mean
+  *     50 single-threaded peer windows at any scale), a distributed
+  *     prefix over that small frame (SQL rank = exclusive prefix count
+  *     + 1, cume_dist = inclusive prefix count / n, dense rank = the
+  *     group's own row number), joined back null-safely;
   *   - running aggregates over the same global order rewrite too —
   *     `sum`/`count`/`avg`/`min`/`max OVER (ORDER BY …)`, the analyst's
   *     cumulative total. The default RANGE frame (peers share a value)
@@ -64,6 +68,15 @@ import org.apache.spark.sql.types._
   *     too); `min`/`max`/`count` are order-insensitive, so any
   *     orderable atomic type qualifies. DISTINCT, FILTER, and `try_*`
   *     aggregates stay naive;
+  *   - the offset functions `lag`/`lead` (literal offset, RESPECT
+  *     NULLS) resolve through ONE rank-equi left self-join per distinct
+  *     offset, with a hit marker so a legitimately-null shifted value
+  *     is never confused with a missing row (where the default applies,
+  *     evaluated on the current row); `first_value` broadcasts the
+  *     rank-0 row. `last_value`/`nth_value`/IGNORE NULLS stay naive:
+  *     they read the frame end or skip rows — semantics that depend on
+  *     the peer group's engine order, which no rewrite should try to
+  *     reproduce bit-stably;
   *   - the leading sort key must admit a numeric range proxy (numeric /
   *     timestamp / date cast, string via
   *     [[Ranking.stringPrefixFraction]]);
@@ -147,6 +160,20 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     case object OpMax extends AggOp
     case class Running(op: AggOp, value: Option[Expression], rows: Boolean,
                        dt: DataType) extends RankFn
+    // offset functions read a FIXED ROW POSITION rather than a prefix:
+    // lag/lead resolve through a rank-equi self-join (offset folded into
+    // the join key), first_value through a broadcast of the rank-0 row.
+    // last_value/nth_value stay naive on purpose: they read the frame
+    // END, which under the default RANGE frame is the peer group's
+    // engine-ordered last row — a bit-unstable semantics no rewrite
+    // should try to reproduce. offset = +k for lead, -k for lag; the
+    // default expression is evaluated on the CURRENT row at misses
+    // (join-hit marker, so a legitimately-null lagged value is never
+    // confused with a missing row).
+    case class OffsetFn(value: Expression, offset: Int,
+                        default: Expression, dt: DataType)
+      extends RankFn
+    case class FirstVal(value: Expression, dt: DataType) extends RankFn
     // sum/avg only over integral inputs: the distributed combine
     // re-associates the addition, which is exact for integers (to 2^53
     // for avg's double division) but would drift ULPs on fractional
@@ -172,6 +199,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           case _: PercentRank => (n, a.exprId, TiePercent)
           case _: CumeDist => (n, a.exprId, TieCume)
           case _: DenseRank => (n, a.exprId, TieDense)
+          case lg @ Lag(in, Literal(k: Int, IntegerType), dflt, false) =>
+            (n, a.exprId, OffsetFn(in, -k, dflt, lg.dataType))
+          case ld @ Lead(in, Literal(k: Int, IntegerType), dflt, false) =>
+            (n, a.exprId, OffsetFn(in, k, dflt, ld.dataType))
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
             val rows = spec.frameSpecification match {
@@ -181,7 +212,11 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
                 CurrentRow) => false
               case _ => return None
             }
-            val run = ae.aggregateFunction match {
+            val run: RankFn = ae.aggregateFunction match {
+              // first_value = the rank-0 row's value on every row
+              // (either unbounded-preceding frame start reads it); a
+              // broadcast, not a prefix — handled as its own kind
+              case First(ch, false) => FirstVal(ch, ae.dataType)
               case s: Sum if s.evalContext.evalMode != EvalMode.TRY &&
                   integral(s.child.dataType) =>
                 Running(OpSum, Some(s.child), rows, ae.dataType)
@@ -220,7 +255,8 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       case Some(e) => valueCol(e).isNotNull.cast("long")
     }
     val needRankCol = funcs.exists(_._3 match {
-      case RowNum | Tile(_) | TieRank | TiePercent | TieCume => true
+      case RowNum | Tile(_) => true
+      case _: OffsetFn | _: FirstVal => true
       case _ => false
     })
     val needN = funcs.exists(_._3 match {
@@ -262,26 +298,40 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // the row-level pass: ONE range assignment computes the global rank,
     // the total count, and every ROWS-frame prefix — all reading one
     // local sort, so mixed outputs are tie-consistent with each other
+    val rowPass = needRankCol || rowSpecs.nonEmpty
     var ranked =
-      if (needRankCol || needN || rowSpecs.nonEmpty)
+      if (rowPass)
         Ranking.withGlobalPrefix(childDf, orderCols,
           if (needRankCol) Some(tmpRank) else None,
           if (needN) Some(tmpN) else None, rowSpecs, Some(proxy))
       else childDf
+    // n without a row pass (tie trio alone): ONE global count aggregate,
+    // broadcast to every row — a map-side-combined pass, far cheaper
+    // than ranking the table just to learn its size
+    if (needN && !rowPass) {
+      val nFrame = childDf.agg(fcount(lit(1)).cast("long").as(tmpN))
+        .limit(1)
+      ranked = ranked.crossJoin(
+        org.apache.spark.sql.functions.broadcast(nFrame))
+    }
+    // snapshot for offset-function build sides: contains the rank and
+    // the child attributes, WITHOUT the later group join — the shifted
+    // frames and the first-row broadcast must not re-execute that work
+    val afterRowPass = ranked
+    // the group-level pass serves dense_rank, the tie-aware trio
+    // (rank / percent_rank / cume_dist), AND every RANGE-frame
+    // aggregate: all are per-distinct-key-tuple quantities. One
+    // groupBy over the full order keys (map-side combined, so a
+    // 50-distinct-value fact column never skews a shuffle the way a
+    // Window.partitionBy(key) would), ONE distributed prefix over the
+    // much smaller group frame (dense rank = the group's row number;
+    // SQL rank = exclusive prefix row count + 1; cume_dist = inclusive
+    // prefix count / n; a RANGE prefix = the running aggregate of
+    // per-group totals), joined back null-safely (<=> matches SQL peer
+    // semantics: nulls tie with nulls, and Spark normalizes NaN)
+    val needDense = funcs.exists(_._3 == TieDense)
     val needTie = funcs.exists(f =>
       f._3 == TieRank || f._3 == TiePercent || f._3 == TieCume)
-    val tieW = if (needTie) {
-      val keys = w.orderSpec.map(so => GraftColumnBridge.column(so.child))
-      Some(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
-    } else None
-    // the group-level pass serves dense_rank AND every RANGE-frame
-    // aggregate: both are per-distinct-key-tuple quantities. One
-    // groupBy over the full order keys (a keyed shuffle), ONE
-    // distributed prefix over the much smaller group frame (dense rank
-    // = the group's row number; a RANGE prefix = the running aggregate
-    // of per-group totals), joined back null-safely (<=> matches SQL
-    // peer semantics: nulls tie with nulls, and Spark normalizes NaN)
-    val needDense = funcs.exists(_._3 == TieDense)
     val gOuts = scala.collection.mutable.LinkedHashMap
       .empty[(AggOp, Option[Expression], Boolean), (Running, String, Option[String])]
     runs.filterNot(_.rows).foreach { r =>
@@ -292,6 +342,15 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           if (r.op == OpAvg) Some(s"__graft_auto_gp_${i}_c") else None)
       }
     }
+    // the tie trio reads the group-count prefix (and its own group's
+    // count, kept as the _t column) — registered as a RANGE count(*)
+    // so a real `count(*) OVER (ORDER BY …)` in the same window shares it
+    val tieKey: (AggOp, Option[Expression], Boolean) = (OpCount, None, false)
+    if (needTie && !gOuts.contains(tieKey))
+      gOuts(tieKey) = (Running(OpCount, None, rows = false, LongType),
+        s"__graft_auto_gp_${gOuts.size}_m", None)
+    val keepTots: Set[String] =
+      if (needTie) Set(gOuts(tieKey)._2 + "_t") else Set.empty
     if (needDense || gOuts.nonEmpty) {
       val keyNames = w.orderSpec.indices.map(i => s"__graft_auto_key_$i")
       ranked = keyNames.zip(w.orderSpec).foldLeft(ranked) {
@@ -342,11 +401,58 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         .drop("__graft_auto_gn")
         .drop(gOuts.values.toSeq.flatMap { case (_, main, cntOpt) =>
           (main + "_t") +: cntOpt.toSeq.map(_ + "_t")
-        }: _*)
+        }.filterNot(keepTots): _*)
       val cond = keyNames.zip(dKeyNames)
         .map { case (k, d) => ranked(k) <=> dRanked(d) }.reduce(_ && _)
       ranked = ranked.join(dRanked, cond)
         .drop((keyNames ++ dKeyNames): _*)
+    }
+    // lag/lead: one rank-equi LEFT self-join per DISTINCT offset — the
+    // shifted frame carries (rank − offset) as the join key plus every
+    // value that offset needs and a hit marker, so a legitimately-null
+    // shifted value is never confused with a missing row (where the
+    // default, evaluated on the CURRENT row, applies instead)
+    val offOuts = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Expression), (Expression, String)]
+    funcs.collect { case (_, _, o: OffsetFn) => o }.foreach { o =>
+      val k = (o.offset, o.value.canonicalized)
+      if (!offOuts.contains(k))
+        offOuts(k) = (o.value, s"__graft_auto_lv_${offOuts.size}")
+    }
+    val offHits = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    offOuts.keys.map(_._1).toSeq.distinct.foreach { off =>
+      val tag = (if (off < 0) "m" else "") + math.abs(off)
+      offHits(off) = s"__graft_auto_hit_$tag"
+      val kName = s"__graft_auto_sk_$tag"
+      val members = offOuts.collect {
+        case ((o, _), (v, nm)) if o == off => (v, nm)
+      }.toSeq
+      val shifted = afterRowPass.select(
+        ((fcol(tmpRank) - lit(off.toLong)).as(kName) +:
+          lit(1).as(offHits(off)) +:
+          members.map { case (v, nm) =>
+            GraftColumnBridge.column(v).as(nm)
+          }): _*)
+      ranked = ranked.join(shifted,
+        ranked(tmpRank) === shifted(kName), "left").drop(kName)
+    }
+    // first_value: the rank-0 row, broadcast to every row (bounded
+    // build side — rank 0 is unique, the limit makes that structural)
+    val firstOuts = scala.collection.mutable.LinkedHashMap
+      .empty[Expression, (Expression, String)]
+    funcs.collect { case (_, _, f: FirstVal) => f }.foreach { f =>
+      val k = f.value.canonicalized
+      if (!firstOuts.contains(k))
+        firstOuts(k) = (f.value, s"__graft_auto_fv_${firstOuts.size}")
+    }
+    if (firstOuts.nonEmpty) {
+      val firstRow = afterRowPass.filter(fcol(tmpRank) === lit(0L))
+        .select(firstOuts.values.toSeq.map { case (v, nm) =>
+          GraftColumnBridge.column(v).as(nm)
+        }: _*)
+        .limit(1)
+      ranked = ranked.crossJoin(
+        org.apache.spark.sql.functions.broadcast(firstRow))
     }
     val rn = fcol(tmpRank)
     val n = fcol(tmpN)
@@ -355,16 +461,21 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       val c = fn match {
         case Tile(k) => Ranking.ntileFromRank(rn, n, k).cast("int")
         case RowNum => (rn + lit(1L)).cast("int")
-        // SQL rank = first peer's row number; cume_dist = last peer's
-        // row number / n; percent_rank = (rank-1)/(n-1), 0 when n = 1
-        case TieRank => (fmin(rn).over(tieW.get) + lit(1L)).cast("int")
+        // SQL rank = rows strictly before my peer group + 1; cume_dist
+        // = rows through my peer group / n; percent_rank = (rank-1)/
+        // (n-1), 0 when n = 1 — all from the group-count prefix
+        // (inclusive prefix `incl`, own group count `own`)
+        case TieRank =>
+          val incl = fcol(gOuts(tieKey)._2)
+          val own = fcol(gOuts(tieKey)._2 + "_t")
+          (incl - own + lit(1L)).cast("int")
         case TiePercent =>
+          val incl = fcol(gOuts(tieKey)._2)
+          val own = fcol(gOuts(tieKey)._2 + "_t")
           fwhen(n === lit(1L), lit(0.0)).otherwise(
-            fmin(rn).over(tieW.get).cast("double") /
-              (n - lit(1L)).cast("double"))
+            (incl - own).cast("double") / (n - lit(1L)).cast("double"))
         case TieCume =>
-          (fmax(rn).over(tieW.get) + lit(1L)).cast("double") /
-            n.cast("double")
+          fcol(gOuts(tieKey)._2).cast("double") / n.cast("double")
         case TieDense => (fcol(tmpDense) + lit(1L)).cast("int")
         case r: Running =>
           val (_, main, cntOpt) =
@@ -375,6 +486,13 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
             case _ => fcol(main)
           }
           raw.cast(r.dt)
+        case o: OffsetFn =>
+          val hit = fcol(offHits(o.offset))
+          fwhen(hit.isNull, GraftColumnBridge.column(o.default))
+            .otherwise(fcol(offOuts((o.offset, o.value.canonicalized))._2))
+            .cast(o.dt)
+        case f: FirstVal =>
+          fcol(firstOuts(f.value.canonicalized)._2).cast(f.dt)
       }
       ranked = ranked.withColumn(nm, c)
     }
@@ -383,7 +501,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         (if (needN) Seq(tmpN) else Nil) ++
         (if (needDense) Seq(tmpDense) else Nil) ++
         rowOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq } ++
-        gOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq }: _*)
+        gOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq } ++
+        keepTots.toSeq ++
+        offOuts.values.toSeq.map(_._2) ++ offHits.values.toSeq ++
+        firstOuts.values.toSeq.map(_._2): _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so
     // the splice must arrive pre-optimized (output ids are stable across

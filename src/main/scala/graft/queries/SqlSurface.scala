@@ -689,7 +689,49 @@ object SqlSurface {
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The offset-function leg of [[graft.plans.DistributeGlobalRank]]:
+    * naive `lag`/`lead`/`first_value` straight over the fact table's
+    * unique key order (unique order = deterministic offsets in any
+    * engine). The rewrite resolves each distinct offset through one
+    * rank-equi self-join and broadcasts the rank-0 row for
+    * `first_value`; the hit-marker contract is exercised by the
+    * explicit default (-1) that must appear ONLY on the first three
+    * rows of the total order, never where a shifted price is merely
+    * null. Prices pass through unaggregated — stored bits, no rounding
+    * contract needed. The sampling filter sits above the window, so the
+    * offsets are computed over the WHOLE table, then sampled.
+    */
+  def globalOffsetAuto(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, prev_price, next2_key, first_price, prev3
+        |FROM (
+        |  SELECT o_orderkey,
+        |    lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price,
+        |    lead(o_orderkey, 2) OVER (ORDER BY o_orderkey) AS next2_key,
+        |    first_value(o_totalprice) OVER (ORDER BY o_orderkey) AS first_price,
+        |    lag(o_totalprice, 3, CAST(-1 AS DOUBLE)) OVER
+        |      (ORDER BY o_orderkey) AS prev3
+        |  FROM orders)
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val globalOffsetAutoSql: String =
+    """SELECT o_orderkey, prev_price, next2_key, first_price, prev3
+      |FROM (
+      |  SELECT o_orderkey,
+      |    lag(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price,
+      |    lead(o_orderkey, 2) OVER (ORDER BY o_orderkey) AS next2_key,
+      |    first_value(o_totalprice) OVER (ORDER BY o_orderkey) AS first_price,
+      |    lag(o_totalprice, 3, CAST(-1 AS DOUBLE)) OVER
+      |      (ORDER BY o_orderkey) AS prev3
+      |  FROM orders)
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "global_offset_auto" -> globalOffsetAuto,
     "global_rank_dense" -> globalRankDense,
     "global_running_auto" -> globalRunningAuto,
     "global_running_rows" -> globalRunningRows,
@@ -709,6 +751,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "global_offset_auto" -> globalOffsetAutoSql,
     "global_rank_dense" -> globalRankDenseSql,
     "global_running_auto" -> globalRunningAutoSql,
     "global_running_rows" -> globalRunningRowsSql,

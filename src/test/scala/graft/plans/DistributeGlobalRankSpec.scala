@@ -240,6 +240,38 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     assert(run(on = true) == run(on = false))
   }
 
+  test("lag/lead/first_value rewrite over a unique total order") {
+    messy
+    // null VALUES land in the lag stream: the hit marker must keep a
+    // legitimately-null lagged value distinct from the missing-row
+    // default (-999 here, only on the first 3 rows of the total order)
+    val sql = """SELECT id,
+                |  lag(v) OVER (ORDER BY v, id) AS l1,
+                |  lag(v, 3, CAST(-999 AS DOUBLE)) OVER (ORDER BY v, id) AS l3,
+                |  lead(s, 2) OVER (ORDER BY v, id) AS d2,
+                |  first_value(v) OVER (ORDER BY v, id) AS fv
+                |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"offset functions did not rewrite:\n${PlanLint.initialPlan(df)}")
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }
+    assert(run(on = true) == run(on = false))
+  }
+
+  test("IGNORE NULLS and last_value keep the whole node naive") {
+    messy
+    for (fn <- Seq("lag(v) IGNORE NULLS", "last_value(v)",
+        "nth_value(v, 2)")) {
+      val plan = PlanLint.initialPlan(withRule(true)(spark.sql(
+        s"""SELECT id, row_number() OVER (ORDER BY v, id) AS rn,
+           |  $fn OVER (ORDER BY v, id) AS x FROM messy""".stripMargin)))
+      assert(!plan.toString.contains("__graft"),
+        s"$fn window was rewritten:\n$plan")
+    }
+  }
+
   test("a window mixing ranks and running aggregates stays mutually consistent") {
     messy
     // rank functions and the RANGE sum coexist in one Window node; the

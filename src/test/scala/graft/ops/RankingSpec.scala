@@ -139,6 +139,52 @@ class RankingSpec extends AnyFunSuite {
     assert(got.values.count(_.isEmpty) == 1)
   }
 
+  test("withGlobalPrefix matches naive windows on random tie-heavy data") {
+    // the single-pass engine under DistributeGlobalRank: rank, total
+    // count, inclusive sum/max and EXCLUSIVE min must all agree with
+    // the naive single-task windows on arbitrary data — tie-heavy keys
+    // (11 distinct values), null values, negatives, and the empty frame
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.ops.Ranking.{RunMax, RunMin, RunSum, RunningSpec}
+    val rowsGen = for {
+      n <- Gen.chooseNum(0, 220)
+      keys <- Gen.listOfN(n, Gen.chooseNum(-5, 5))
+      vals <- Gen.listOfN(n, Gen.option(Gen.chooseNum(-50L, 50L)))
+    } yield keys.zip(vals).zipWithIndex.map { case ((k, v), i) =>
+      (i.toLong, k, v.map(java.lang.Long.valueOf).orNull)
+    }
+    val prop = Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.toDF("id", "k", "c")
+      val specs = Seq(
+        RunningSpec(col("c"), RunSum, inclusive = true, "cs"),
+        RunningSpec(col("c"), RunMin, inclusive = false, "cm"),
+        RunningSpec(col("c"), RunMax, inclusive = true, "cx"))
+      val got = Ranking
+        .withGlobalPrefix(df, Seq(col("k"), col("id")), Some("rn"),
+          Some("n"), specs)
+        .select("id", "rn", "n", "cs", "cm", "cx")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val w = Window.orderBy(col("k"), col("id"))
+      val naive = df
+        .withColumn("rn", row_number().over(w).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cs", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cm", min(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("cx", max(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "rn", "n", "cs", "cm", "cx")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      got == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25)
+        .withInitialSeed(org.scalacheck.rng.Seed(11L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("stringPrefixFraction is monotone non-decreasing in binary string order") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val gen = Gen.listOfN(2,

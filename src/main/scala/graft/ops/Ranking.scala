@@ -260,6 +260,58 @@ object Ranking {
     res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames: _*)
   }
 
+  /** `df` plus `out` = the 1-based `row_number() OVER (PARTITION BY
+    * partKeys ORDER BY order)` — computed WITHOUT a hash-partitioned
+    * window, so a power-law key cannot funnel its whole partition
+    * through one task's sort.
+    *
+    * A plain partitioned window shuffles by key and then SORTS EACH
+    * KEY'S ROWS IN ONE TASK — un-splittable: AQE can split a skewed
+    * join probe, but not a window sort, so the heaviest key bounds the
+    * stage at any cluster size. Here the rank within a key is derived
+    * from the GLOBAL order (partKeys, order...): one range-split global
+    * rank (every sort task holds ~n/P contiguous rows, whatever the key
+    * histogram says), one per-key MIN-rank aggregate (map-side
+    * combined — the skewed key collapses to partial minima before its
+    * exchange), one join back (skew-splittable by AQE, and broadcast
+    * when the key dimension is small), and a subtraction. The residual
+    * skew thus lands only in shapes the engine already knows how to
+    * split.
+    *
+    * Keys order nulls-first within the global order — SQL PARTITION BY
+    * groups nulls as one partition, and the join back matches
+    * null-safely, so null keys rank exactly like the naive window.
+    * Contract: same leading-key range-proxy rules as
+    * [[withGlobalRowNumber]] (pass `rangeKey` for a non-numeric or
+    * descending leading key; a lossy proxy degrades balance, never a
+    * rank).
+    */
+  def withPartitionedRowNumber(df: DataFrame, partKeys: Seq[Column],
+                               order: Seq[Column], out: String,
+                               rangeKey: Option[Column] = None): DataFrame = {
+    require(partKeys.nonEmpty, "use withGlobalRowNumber for empty keys")
+    val kNames = partKeys.indices.map(i => s"__graft_pk_$i")
+    val dNames = kNames.map(_ + "_d")
+    val tmp = "__graft_prn"
+    val withK = kNames.zip(partKeys).foldLeft(df) {
+      case (d, (nm, c)) => d.withColumn(nm, c)
+    }
+    // plain columns sort ascending-nulls-first by default, which both
+    // groups each key contiguously and keeps the head usable as the
+    // range proxy
+    val ranked = withGlobalPrefix(withK,
+      kNames.map(col) ++ order, Some(tmp), None, Nil, rangeKey)
+    val base = ranked.groupBy(kNames.map(col): _*)
+      .agg(min(col(tmp)).as("__graft_prn_base"))
+      .select((kNames.zip(dNames).map { case (k, d) => col(k).as(d) } :+
+        col("__graft_prn_base")): _*)
+    val cond = kNames.zip(dNames)
+      .map { case (k, d) => ranked(k) <=> base(d) }.reduce(_ && _)
+    ranked.join(base, cond)
+      .withColumn(out, col(tmp) - col("__graft_prn_base") + lit(1L))
+      .drop((kNames ++ dNames :+ tmp :+ "__graft_prn_base"): _*)
+  }
+
   private val pidCol = "__graft_pid"
   private val offCol = "__graft_off"
 

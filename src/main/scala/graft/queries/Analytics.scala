@@ -82,6 +82,36 @@ object Analytics {
       |WHERE rank_in_segment <= 3
       |ORDER BY c_mktsegment, rank_in_segment""".stripMargin
 
+  /** Partitioned row_number WITHOUT a hash-partitioned window
+    * ([[graft.ops.Ranking.withPartitionedRowNumber]]): a plain
+    * `PARTITION BY user_id` window shuffles by key and sorts EACH KEY
+    * IN ONE TASK — un-splittable under a power-law key (AQE splits
+    * skewed join probes, never window sorts), so the heaviest user
+    * bounds the stage at any cluster size. The skew-free form derives
+    * the per-key rank from one range-split GLOBAL rank over
+    * (user_id, ts, event_id) minus a broadcast-joinable per-key base —
+    * every sort task holds ~n/P contiguous rows whatever the key
+    * histogram says. The oracle runs the naive window; results must
+    * match row-for-row (the order is total, so ranks are
+    * deterministic).
+    */
+  def windowRankSkewfree(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.withPartitionedRowNumber(
+        Readers.events(spark, dir),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), "rn")
+      .filter(col("event_id") % 53 === 0)
+      .select(col("user_id"), col("event_id"), col("rn"))
+      .orderBy("user_id", "event_id")
+
+  val windowRankSkewfreeSql: String =
+    """SELECT user_id, event_id, rn FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE event_id % 53 = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Analytic window frames: per-customer running order total and
     * order-over-order delta (cumulative sum + lag over a date-ordered
     * frame) — the frame/analytic family beyond ranking.
@@ -823,6 +853,7 @@ object Analytics {
     "topk_orders" -> topkOrders,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
+    "window_rank_skewfree" -> windowRankSkewfree,
     "agg_distinct" -> aggDistinct,
     "set_ops" -> setOps,
     "join_salted" -> joinSalted,
@@ -851,6 +882,7 @@ object Analytics {
     "topk_orders" -> topkOrdersSql,
     "window_rank" -> windowRankSql,
     "window_running" -> windowRunningSql,
+    "window_rank_skewfree" -> windowRankSkewfreeSql,
     "agg_distinct" -> aggDistinctSql,
     "set_ops" -> setOpsSql,
     "join_salted" -> joinSaltedSql,

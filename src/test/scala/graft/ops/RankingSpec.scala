@@ -139,6 +139,29 @@ class RankingSpec extends AnyFunSuite {
     assert(got.values.count(_.isEmpty) == 1)
   }
 
+  test("withPartitionedRowNumber matches the naive partitioned window under skew") {
+    // 70% of rows on ONE key (the power-law shape that funnels a naive
+    // partitioned window through one task), plus small keys and a null
+    // key partition; total order via the id tiebreak
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 900).map { i =>
+      val k: java.lang.Long =
+        if (i % 10 < 7) 42L
+        else if (i % 10 == 9) null
+        else (i % 10).toLong
+      (i.toLong, k, rnd.nextDouble())
+    }
+    val df = rows.toDF("id", "k", "v")
+    val got = Ranking
+      .withPartitionedRowNumber(df, Seq(col("k")),
+        Seq(col("v"), col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("withGlobalPrefix matches naive windows on random tie-heavy data") {
     // the single-pass engine under DistributeGlobalRank: rank, total
     // count, inclusive sum/max and EXCLUSIVE min must all agree with

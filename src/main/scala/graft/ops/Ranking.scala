@@ -312,6 +312,77 @@ object Ranking {
       .drop((kNames ++ dNames :+ tmp :+ "__graft_prn_base"): _*)
   }
 
+  /** `df` plus one column per spec = `sum(value) OVER (PARTITION BY
+    * partKeys ORDER BY order ROWS UNBOUNDED PRECEDING)` for each
+    * `(value, out)` — the skew-free twin of [[withPartitionedRowNumber]]
+    * for running totals: a naive partitioned window sorts each key in
+    * one task, so the heaviest key bounds the stage; here ONE global
+    * range-split pass computes, per row, the global inclusive AND
+    * exclusive prefix sums (and non-null counts), a per-key `min_by`
+    * aggregate picks the exclusive values at each key's FIRST row (the
+    * "everything before this key" base — map-side combinable), and the
+    * within-key sum is the difference.
+    *
+    * Null semantics match the SQL window aggregate exactly: a key
+    * prefix with no non-null values is null, not zero — that is what
+    * the count base is for (`incl − base` alone would turn "null so
+    * far" into 0 whenever earlier keys contributed). Bit-exact for
+    * integral values; fractional values re-associate across ranges
+    * (the same caveat as any distributed sum — cast to integral units
+    * first when exactness matters).
+    */
+  def withPartitionedRunningSums(df: DataFrame, partKeys: Seq[Column],
+                                 order: Seq[Column],
+                                 sums: Seq[(Column, String)],
+                                 rangeKey: Option[Column] = None)
+  : DataFrame = {
+    require(partKeys.nonEmpty && sums.nonEmpty,
+      "needs partition keys and at least one (value, out) spec")
+    val kNames = partKeys.indices.map(i => s"__graft_pk_$i")
+    val dNames = kNames.map(_ + "_d")
+    val tmp = "__graft_prs_rn"
+    val incl = sums.indices.map(i => s"__graft_prs_i_$i")
+    val excl = sums.indices.map(i => s"__graft_prs_e_$i")
+    val cIncl = sums.indices.map(i => s"__graft_prs_ci_$i")
+    val cExcl = sums.indices.map(i => s"__graft_prs_ce_$i")
+    val bases = sums.indices.map(i => s"__graft_prs_b_$i")
+    val cBases = sums.indices.map(i => s"__graft_prs_cb_$i")
+    val withK = kNames.zip(partKeys).foldLeft(df) {
+      case (d, (nm, c)) => d.withColumn(nm, c)
+    }
+    val specs = sums.zipWithIndex.flatMap { case ((v, _), i) =>
+      Seq(
+        RunningSpec(v, RunSum, inclusive = true, incl(i)),
+        RunningSpec(v, RunSum, inclusive = false, excl(i)),
+        RunningSpec(v.isNotNull.cast("long"), RunSum,
+          inclusive = true, cIncl(i)),
+        RunningSpec(v.isNotNull.cast("long"), RunSum,
+          inclusive = false, cExcl(i)))
+    }
+    val ranked = withGlobalPrefix(withK, kNames.map(col) ++ order,
+      Some(tmp), None, specs, rangeKey)
+    val base = ranked.groupBy(kNames.map(col): _*)
+      .agg(min_by(col(excl.head), col(tmp)).as(bases.head),
+        (sums.indices.map(i => min_by(col(cExcl(i)), col(tmp))
+          .as(cBases(i))) ++
+          sums.indices.drop(1).map(i => min_by(col(excl(i)), col(tmp))
+            .as(bases(i)))): _*)
+      .select((kNames.zip(dNames).map { case (k, d) => col(k).as(d) } ++
+        (bases ++ cBases).map(col)): _*)
+    val cond = kNames.zip(dNames)
+      .map { case (k, d) => ranked(k) <=> base(d) }.reduce(_ && _)
+    var res = ranked.join(base, cond)
+    sums.zipWithIndex.foreach { case ((_, out), i) =>
+      val inKeyCnt = col(cIncl(i)) - coalesce(col(cBases(i)), lit(0L))
+      res = res.withColumn(out,
+        when(inKeyCnt > 0L,
+          col(incl(i)) - coalesce(col(bases(i)),
+            lit(0L).cast(res.schema(incl(i)).dataType))))
+    }
+    res.drop((kNames ++ dNames ++ incl ++ excl ++ cIncl ++ cExcl ++
+      bases ++ cBases :+ tmp): _*)
+  }
+
   private val pidCol = "__graft_pid"
   private val offCol = "__graft_off"
 

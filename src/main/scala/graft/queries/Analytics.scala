@@ -112,6 +112,41 @@ object Analytics {
       |WHERE event_id % 53 = 0
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** The skew-free twin for running totals
+    * ([[graft.ops.Ranking.withPartitionedRunningSums]]): per-user
+    * cumulative event count and cents-exact cumulative value, derived
+    * from ONE global range-split prefix pass (inclusive/exclusive sums
+    * + non-null counts) minus per-key first-row bases picked by
+    * `min_by(…, rank)` — no per-key single-task sort anywhere, so a
+    * power-law user cannot bound the stage. Values go through integer
+    * cents before summing, keeping the distributed subtraction
+    * bit-exact; the oracle runs the naive partitioned window.
+    */
+  def windowRunningSkewfree(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.withPartitionedRunningSums(
+        Readers.events(spark, dir).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        Seq((col("cents"), "cum_cents"), (lit(1L), "cum_n")))
+      .filter(col("event_id") % 53 === 0)
+      .select(col("user_id"), col("event_id"), col("cum_n"),
+        col("cum_cents"))
+      .orderBy("user_id", "event_id")
+
+  val windowRunningSkewfreeSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(cum_n AS BIGINT) AS cum_n,
+      |  CAST(cum_cents AS BIGINT) AS cum_cents
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    count(*) OVER (PARTITION BY user_id
+      |                   ORDER BY ts, event_id) AS cum_n,
+      |    sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS cum_cents
+      |  FROM events)
+      |WHERE event_id % 53 = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Analytic window frames: per-customer running order total and
     * order-over-order delta (cumulative sum + lag over a date-ordered
     * frame) — the frame/analytic family beyond ranking.
@@ -854,6 +889,7 @@ object Analytics {
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
     "window_rank_skewfree" -> windowRankSkewfree,
+    "window_running_skewfree" -> windowRunningSkewfree,
     "agg_distinct" -> aggDistinct,
     "set_ops" -> setOps,
     "join_salted" -> joinSalted,
@@ -883,6 +919,7 @@ object Analytics {
     "window_rank" -> windowRankSql,
     "window_running" -> windowRunningSql,
     "window_rank_skewfree" -> windowRankSkewfreeSql,
+    "window_running_skewfree" -> windowRunningSkewfreeSql,
     "agg_distinct" -> aggDistinctSql,
     "set_ops" -> setOpsSql,
     "join_salted" -> joinSaltedSql,

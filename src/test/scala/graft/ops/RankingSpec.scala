@@ -162,6 +162,38 @@ class RankingSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("withPartitionedRunningSums matches the naive partitioned running sum") {
+    // the null contract is the hard part: a key whose prefix has no
+    // non-null values must be null (not 0), even when EARLIER keys
+    // contributed to the global prefix — plus the 70%-mass key, null
+    // keys, and negative values
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 900).map { i =>
+      val k: java.lang.Long =
+        if (i % 10 < 7) 42L
+        else if (i % 10 == 9) null
+        else (i % 10).toLong
+      val c: java.lang.Long =
+        if (rnd.nextDouble() < 0.2) null else (rnd.nextInt(100) - 50).toLong
+      (i.toLong, k, c, rnd.nextDouble())
+    }
+    val df = rows.toDF("id", "k", "c", "v")
+    val got = Ranking
+      .withPartitionedRunningSums(df, Seq(col("k")),
+        Seq(col("v"), col("id")),
+        Seq((col("c"), "cs"), (lit(1L), "cn")))
+      .select("id", "cs", "cn")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val w = Window.partitionBy("k").orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("cs", sum(col("c")).over(w))
+      .withColumn("cn", sum(lit(1L)).over(w))
+      .select("id", "cs", "cn")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got == naive)
+  }
+
   test("withGlobalPrefix matches naive windows on random tie-heavy data") {
     // the single-pass engine under DistributeGlobalRank: rank, total
     // count, inclusive sum/max and EXCLUSIVE min must all agree with

@@ -168,6 +168,14 @@ object Ranking {
   case class RunningSpec(value: Column, kind: RunKind, inclusive: Boolean,
                          out: String)
 
+  /** A PER-RANGE-LOCAL `lag` (offset < 0) / `lead` (offset > 0) of
+    * `value`, computed inside the same per-range window pass — null in
+    * the first/last |offset| rows of each range, where the true answer
+    * lives across the seam (callers stitch those from a bounded
+    * boundary broadcast; see [[graft.plans.DistributeGlobalRank]]).
+    */
+  case class ShiftSpec(value: Column, offset: Int, out: String)
+
   /** The generalized single-pass prefix engine every public entry point
     * delegates to: ONE range assignment (GK-sketch split), ONE per-range
     * totals aggregate, ONE broadcast offsets frame, ONE per-range local
@@ -189,7 +197,10 @@ object Ranking {
   def withGlobalPrefix(df: DataFrame, order: Seq[Column],
                        rankCol: Option[String], countCol: Option[String],
                        aggs: Seq[RunningSpec] = Nil,
-                       rangeKey: Option[Column] = None): DataFrame = {
+                       rangeKey: Option[Column] = None,
+                       internals: Option[(String, String, String)] = None,
+                       shifts: Seq[ShiftSpec] = Nil)
+  : DataFrame = {
     checkOrder(order, rangeKey)
     val ranges = rangesOf(df)
     val cnt = "__graft_cnt"
@@ -229,7 +240,8 @@ object Ranking {
       case None => offsets
     }
     offsets = offsets.select((Seq(pidCol, offCol) ++ countCol.toSeq ++
-      runOffNames).map(col): _*)
+      runOffNames ++ (if (internals.isDefined) Seq(cnt) else Nil))
+      .map(col): _*)
     // per-range locals: a Window PARTITIONED by the range id — every
     // range sorts once locally, all ranges in parallel, and rank plus
     // every running aggregate read that one sort
@@ -257,7 +269,26 @@ object Ranking {
       }
       res = res.withColumn(s.out, combined)
     }
-    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames: _*)
+    // per-range-local lag/lead in the SAME WindowExec (offset window
+    // functions ignore frames, so they share the one local sort)
+    shifts.foreach { s =>
+      require(s.offset != 0, "shift offset must be non-zero")
+      val f = if (s.offset < 0) lag(s.value, -s.offset)
+              else lead(s.value, s.offset)
+      res = res.withColumn(s.out, f.over(w))
+    }
+    // expose the pass internals on request (range id, 0-based local
+    // index, range row count) — what a caller computing per-range-local
+    // quantities (e.g. boundary-broadcast lag/lead in
+    // [[graft.plans.DistributeGlobalRank]]) needs to avoid a second
+    // full-data exchange
+    internals.foreach { case (pidOut, idxOut, cntOut) =>
+      res = res.withColumn(pidOut, col(pidCol))
+        .withColumn(idxOut, row_number().over(w).cast("long") - lit(1L))
+        .withColumn(cntOut, col(cnt))
+    }
+    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames ++
+      (if (internals.isDefined) Seq(cnt) else Nil): _*)
   }
 
   /** `df` plus `out` = the 1-based `row_number() OVER (PARTITION BY

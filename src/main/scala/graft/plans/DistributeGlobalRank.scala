@@ -69,14 +69,17 @@ import org.apache.spark.sql.types._
   *     orderable atomic type qualifies. DISTINCT, FILTER, and `try_*`
   *     aggregates stay naive;
   *   - the offset functions `lag`/`lead` (literal offset, RESPECT
-  *     NULLS) resolve through ONE rank-equi left self-join per distinct
-  *     offset, with a hit marker so a legitimately-null shifted value
-  *     is never confused with a missing row (where the default applies,
-  *     evaluated on the current row); `first_value` broadcasts the
-  *     rank-0 row. `last_value`/`nth_value`/IGNORE NULLS stay naive:
-  *     they read the frame end or skip rows — semantics that depend on
-  *     the peer group's engine order, which no rewrite should try to
-  *     reproduce bit-stably;
+  *     NULLS) are per-range LOCAL window shifts riding the same pass;
+  *     only each range's first/last k rows read across a seam, stitched
+  *     by a ≤ P·k-row boundary broadcast (cluster metadata × offset,
+  *     never data size — no full-data exchange). Misses take the
+  *     default (evaluated on the current row) by rank arithmetic, so a
+  *     legitimately-null value is never confused with a missing row;
+  *     `first_value` broadcasts the rank-0 row.
+  *     `last_value`/`nth_value`/IGNORE NULLS stay naive: they read the
+  *     frame end or skip rows — semantics that depend on the peer
+  *     group's engine order, which no rewrite should try to reproduce
+  *     bit-stably;
   *   - the leading sort key must admit a numeric range proxy (numeric /
   *     timestamp / date cast, string via
   *     [[Ranking.stringPrefixFraction]]);
@@ -161,15 +164,17 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     case class Running(op: AggOp, value: Option[Expression], rows: Boolean,
                        dt: DataType) extends RankFn
     // offset functions read a FIXED ROW POSITION rather than a prefix:
-    // lag/lead resolve through a rank-equi self-join (offset folded into
-    // the join key), first_value through a broadcast of the rank-0 row.
+    // lag/lead are LOCAL within a range partition except in the
+    // first/last k rows, which stitch from a bounded boundary
+    // broadcast; first_value broadcasts the rank-0 row.
     // last_value/nth_value stay naive on purpose: they read the frame
     // END, which under the default RANGE frame is the peer group's
     // engine-ordered last row — a bit-unstable semantics no rewrite
     // should try to reproduce. offset = +k for lead, -k for lag; the
-    // default expression is evaluated on the CURRENT row at misses
-    // (join-hit marker, so a legitimately-null lagged value is never
-    // confused with a missing row).
+    // default expression is evaluated on the CURRENT row at misses,
+    // and misses are decided by rank arithmetic (rank < k /
+    // rank + k ≥ n), so a legitimately-null value is never confused
+    // with a missing row.
     case class OffsetFn(value: Expression, offset: Int,
                         default: Expression, dt: DataType)
       extends RankFn
@@ -246,7 +251,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val tmpRank = "__graft_auto_rank"
     val tmpN = "__graft_auto_n"
     val tmpDense = "__graft_auto_dense"
-    import org.apache.spark.sql.functions.{col => fcol, count => fcount, greatest => fgreatest, least => fleast, max => fmax, min => fmin, sum => fsum, when => fwhen}
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, max => fmax, min => fmin, sum => fsum, when => fwhen}
     def valueCol(e: Expression): Column = GraftColumnBridge.column(e)
     // count = running sum of a non-null 0/1 indicator (count(*) sums a
     // literal 1), so it rides the same sum machinery and is never null
@@ -261,8 +266,31 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     })
     val needN = funcs.exists(_._3 match {
       case Tile(_) | TiePercent | TieCume => true
+      // a lead's miss test is rank + k > n - 1
+      case OffsetFn(_, off, _, _) => off > 0
       case _ => false
     })
+    // offset functions: per-range-local lag/lead in the SAME window
+    // pass; only the first/last k rows of each range read across a
+    // seam, stitched from a ≤ P·k-row boundary broadcast — no
+    // full-data exchange anywhere (the earlier rank-equi self-join
+    // formulation shuffled the whole fact twice per offset)
+    val offsetFns = funcs.collect {
+      case (_, _, o: OffsetFn) if o.offset != 0 => o
+    }
+    val tmpPid = "__graft_auto_pid"
+    val tmpIdx = "__graft_auto_idx"
+    val tmpCnt = "__graft_auto_cnt"
+    val offOuts = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Expression), (Expression, String)]
+    offsetFns.foreach { o =>
+      val k = (o.offset, o.value.canonicalized)
+      if (!offOuts.contains(k))
+        offOuts(k) = (o.value, s"__graft_auto_sh_${offOuts.size}")
+    }
+    val shiftSpecs = offOuts.toSeq.map { case ((off, _), (v, nm)) =>
+      Ranking.ShiftSpec(valueCol(v), off, nm + "_l")
+    }
     // distinct ROWS-frame running aggregates, each mapped to the prefix
     // column(s) it needs from the row-level pass (avg needs sum + count)
     val runs = funcs.collect { case (_, _, r: Running) => r }
@@ -303,7 +331,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       if (rowPass)
         Ranking.withGlobalPrefix(childDf, orderCols,
           if (needRankCol) Some(tmpRank) else None,
-          if (needN) Some(tmpN) else None, rowSpecs, Some(proxy))
+          if (needN) Some(tmpN) else None, rowSpecs, Some(proxy),
+          internals = if (offsetFns.nonEmpty)
+            Some((tmpPid, tmpIdx, tmpCnt)) else None,
+          shifts = shiftSpecs)
       else childDf
     // n without a row pass (tie trio alone): ONE global count aggregate,
     // broadcast to every row — a map-side-combined pass, far cheaper
@@ -407,34 +438,40 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       ranked = ranked.join(dRanked, cond)
         .drop((keyNames ++ dKeyNames): _*)
     }
-    // lag/lead: one rank-equi LEFT self-join per DISTINCT offset — the
-    // shifted frame carries (rank − offset) as the join key plus every
-    // value that offset needs and a hit marker, so a legitimately-null
-    // shifted value is never confused with a missing row (where the
-    // default, evaluated on the CURRENT row, applies instead)
-    val offOuts = scala.collection.mutable.LinkedHashMap
-      .empty[(Int, Expression), (Expression, String)]
-    funcs.collect { case (_, _, o: OffsetFn) => o }.foreach { o =>
-      val k = (o.offset, o.value.canonicalized)
-      if (!offOuts.contains(k))
-        offOuts(k) = (o.value, s"__graft_auto_lv_${offOuts.size}")
-    }
-    val offHits = scala.collection.mutable.LinkedHashMap.empty[Int, String]
-    offOuts.keys.map(_._1).toSeq.distinct.foreach { off =>
-      val tag = (if (off < 0) "m" else "") + math.abs(off)
-      offHits(off) = s"__graft_auto_hit_$tag"
-      val kName = s"__graft_auto_sk_$tag"
-      val members = offOuts.collect {
-        case ((o, _), (v, nm)) if o == off => (v, nm)
-      }.toSeq
-      val shifted = afterRowPass.select(
-        ((fcol(tmpRank) - lit(off.toLong)).as(kName) +:
-          lit(1).as(offHits(off)) +:
-          members.map { case (v, nm) =>
-            GraftColumnBridge.column(v).as(nm)
-          }): _*)
-      ranked = ranked.join(shifted,
-        ranked(tmpRank) === shifted(kName), "left").drop(kName)
+    // boundary stitching: rows whose offset target crosses a range seam
+    // read it from a broadcast of each range's first/last maxK rows —
+    // bounded by P·maxK (cluster metadata × offset), never data size.
+    // Coverage: a row at local index i < k targets rank−k, which sits
+    // within the last (k−i) ≤ maxK rows of ITS range, so the tail
+    // filter always contains it; a left-join null on a covered rank is
+    // therefore a legitimately-null VALUE, and misses are decided by
+    // rank arithmetic alone (no hit marker needed)
+    if (offsetFns.nonEmpty) {
+      val ranges = spark.sessionState.conf.numShufflePartitions
+      val lagKs = offOuts.keys.collect { case (off, _) if off < 0 => -off }
+      val leadKs = offOuts.keys.collect { case (off, _) if off > 0 => off }
+      offOuts.keys.map(_._1).toSeq.distinct.foreach { off =>
+        val isLag = off < 0
+        val maxK = (if (isLag) lagKs else leadKs).max
+        val bFilter =
+          if (isLag) fcol(tmpIdx) >= fcol(tmpCnt) - lit(maxK.toLong)
+          else fcol(tmpIdx) < lit(maxK.toLong)
+        val tag = (if (isLag) "m" else "") + math.abs(off)
+        val brank = s"__graft_auto_br_$tag"
+        val members = offOuts.collect {
+          case ((o2, _), (v, nm)) if o2 == off => (v, nm)
+        }.toSeq
+        val b = afterRowPass.filter(bFilter)
+          .select((fcol(tmpRank).as(brank) +:
+            members.map { case (v, nm) =>
+              GraftColumnBridge.column(v).as(nm + "_b")
+            }): _*)
+          .limit(ranges * maxK)
+        ranked = ranked.join(
+          org.apache.spark.sql.functions.broadcast(b),
+          ranked(tmpRank) + lit(off.toLong) === b(brank), "left")
+          .drop(brank)
+      }
     }
     // first_value: the rank-0 row, broadcast to every row (bounded
     // build side — rank 0 is unique, the limit makes that structural)
@@ -486,11 +523,24 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
             case _ => fcol(main)
           }
           raw.cast(r.dt)
+        case o: OffsetFn if o.offset == 0 =>
+          // lag/lead with offset 0 is the value itself
+          valueCol(o.value).cast(o.dt)
         case o: OffsetFn =>
-          val hit = fcol(offHits(o.offset))
-          fwhen(hit.isNull, GraftColumnBridge.column(o.default))
-            .otherwise(fcol(offOuts((o.offset, o.value.canonicalized))._2))
-            .cast(o.dt)
+          val nm2 = offOuts((o.offset, o.value.canonicalized))._2
+          val k = math.abs(o.offset).toLong
+          val local = fcol(nm2 + "_l")
+          val bval = fcol(nm2 + "_b")
+          val dflt = GraftColumnBridge.column(o.default)
+          val c0 =
+            if (o.offset < 0)
+              fwhen(rn < lit(k), dflt).otherwise(
+                fwhen(fcol(tmpIdx) >= lit(k), local).otherwise(bval))
+            else
+              fwhen(rn + lit(k) > n - lit(1L), dflt).otherwise(
+                fwhen(fcol(tmpIdx) + lit(k) < fcol(tmpCnt), local)
+                  .otherwise(bval))
+          c0.cast(o.dt)
         case f: FirstVal =>
           fcol(firstOuts(f.value.canonicalized)._2).cast(f.dt)
       }
@@ -503,7 +553,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         rowOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq } ++
         gOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq } ++
         keepTots.toSeq ++
-        offOuts.values.toSeq.map(_._2) ++ offHits.values.toSeq ++
+        (if (offsetFns.nonEmpty) Seq(tmpPid, tmpIdx, tmpCnt) else Nil) ++
+        offOuts.values.toSeq.flatMap { case (_, nm) =>
+          Seq(nm + "_l", nm + "_b")
+        } ++
         firstOuts.values.toSeq.map(_._2): _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so

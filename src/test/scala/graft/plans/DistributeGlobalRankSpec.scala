@@ -294,6 +294,35 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("every family in ONE window node stays mutually consistent") {
+    messy
+    // rank arithmetic + tie trio + dense + RANGE agg + ROWS agg + lag +
+    // first_value, all over the same ORDER BY — the rewrite must keep
+    // the whole tuple identical to the naive plan's (order unique, so
+    // even the tie-order-sensitive outputs are deterministic)
+    val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val sql = s"""SELECT id,
+                 |  row_number() OVER (ORDER BY v, id) AS rn,
+                 |  rank() OVER (ORDER BY v, id) AS r,
+                 |  dense_rank() OVER (ORDER BY v, id) AS dr,
+                 |  ntile(5) OVER (ORDER BY v, id) AS q,
+                 |  cume_dist() OVER (ORDER BY v, id) AS cd,
+                 |  sum(CAST(id % 7 - 3 AS BIGINT)) OVER (ORDER BY v, id) AS cs,
+                 |  min(v) OVER (ORDER BY v, id $frame) AS cm,
+                 |  lag(s, 2) OVER (ORDER BY v, id) AS l2,
+                 |  first_value(v) OVER (ORDER BY v, id) AS fv
+                 |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) {
+        assert(!hasSingleTaskRankWindow(df))
+        assert(PlanLint.initialPlan(df).toString.contains("__graft"))
+      }
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    }
+    assert(run(on = true) == run(on = false))
+  }
+
   test("the rewritten subtree composes: aggregate on top of an auto-distributed rank") {
     messy
     val sql = """SELECT CAST(count(*) AS BIGINT) AS n, max(rn) AS mx FROM (

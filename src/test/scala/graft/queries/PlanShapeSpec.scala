@@ -348,7 +348,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // rewrite must fire (marker) and the executed plan must carry no
     // unpartitioned window over an unbounded input (PlanLint's bounded
     // prover accepts the machinery's metadata-sized offsets windows)
-    for (q <- Seq("global_running_auto", "global_running_rows")) {
+    for (q <- Seq("global_running_auto", "global_running_rows",
+        "global_offset_auto")) {
       val plan = physicalPlan(q)
       assert(plan.toString.contains("__graft"),
         s"rewrite did not fire for $q:\n$plan")

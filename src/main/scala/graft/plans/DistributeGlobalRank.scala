@@ -80,9 +80,15 @@ import org.apache.spark.sql.types._
   *     frame end or skip rows — semantics that depend on the peer
   *     group's engine order, which no rewrite should try to reproduce
   *     bit-stably;
+  *   - whole-partition aggregates — `sum(x) OVER ()`, the
+  *     percent-of-total idiom, with or without an ORDER BY when the
+  *     frame is unbounded-to-unbounded — become ONE map-side-combined
+  *     global aggregate broadcast to every row (same type restrictions
+  *     as the running forms);
   *   - the leading sort key must admit a numeric range proxy (numeric /
   *     timestamp / date cast, string via
-  *     [[Ranking.stringPrefixFraction]]);
+  *     [[Ranking.stringPrefixFraction]]) — except for order-free
+  *     whole-partition nodes, which never touch the range machinery;
   *     direction, null placement, and NaN placement are all encoded into
   *     the proxy (split points only steer balance, so a lossy proxy can
   *     degrade parallelism but never a rank);
@@ -128,7 +134,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
   }
 
   private def rewrite(w: Window): Option[LogicalPlan] = {
-    if (w.partitionSpec.nonEmpty || w.orderSpec.isEmpty) return None
+    // empty ORDER BY is fine when every function is a whole-partition
+    // aggregate (`sum(x) OVER ()` — the percent-of-total idiom): those
+    // rewrite to a global aggregate + broadcast, no order needed
+    if (w.partitionSpec.nonEmpty) return None
     if (!w.child.resolved || w.child.maxRows.isDefined) return None
     if (w.child.isInstanceOf[WindowGroupLimit]) return None
     if (w.windowExpressions.isEmpty) return None
@@ -179,6 +188,10 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
                         default: Expression, dt: DataType)
       extends RankFn
     case class FirstVal(value: Expression, dt: DataType) extends RankFn
+    // whole-partition aggregate (`sum(x) OVER ()` / explicit unbounded-
+    // to-unbounded frame): ONE global aggregate, broadcast to every row
+    case class Whole(op: AggOp, value: Option[Expression], dt: DataType)
+      extends RankFn
     // sum/avg only over integral inputs: the distributed combine
     // re-associates the addition, which is exact for integers (to 2^53
     // for avg's double division) but would drift ULPs on fractional
@@ -210,41 +223,58 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
             (n, a.exprId, OffsetFn(in, k, dflt, ld.dataType))
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
-            val rows = spec.frameSpecification match {
+            // frame classes: WHOLE partition (both ends unbounded —
+            // `sum(x) OVER ()`, the percent-of-total idiom, the one
+            // window shape legal without ORDER BY), ROWS prefix, RANGE
+            // prefix (the prefixes need the order)
+            val frameKind: Int = spec.frameSpecification match {
+              case SpecifiedWindowFrame(_, UnboundedPreceding,
+                UnboundedFollowing) => 0
               case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-                CurrentRow) => true
+                CurrentRow) if w.orderSpec.nonEmpty => 1
               case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding,
-                CurrentRow) => false
+                CurrentRow) if w.orderSpec.nonEmpty => 2
               case _ => return None
             }
-            val run: RankFn = ae.aggregateFunction match {
-              // first_value = the rank-0 row's value on every row
-              // (either unbounded-preceding frame start reads it); a
-              // broadcast, not a prefix — handled as its own kind
-              case First(ch, false) => FirstVal(ch, ae.dataType)
+            val whole = frameKind == 0
+            val rows = frameKind == 1
+            def run(op: AggOp, v: Option[Expression]): RankFn =
+              if (whole) Whole(op, v, ae.dataType)
+              else Running(op, v, rows, ae.dataType)
+            val fn: RankFn = ae.aggregateFunction match {
+              // first_value = the rank-0 row's value on every row (any
+              // unbounded-preceding frame start reads it); a broadcast,
+              // not a prefix — meaningless without an order
+              case First(ch, false) if w.orderSpec.nonEmpty =>
+                FirstVal(ch, ae.dataType)
               case s: Sum if s.evalContext.evalMode != EvalMode.TRY &&
                   integral(s.child.dataType) =>
-                Running(OpSum, Some(s.child), rows, ae.dataType)
+                run(OpSum, Some(s.child))
               case c: Count
                   if c.children.forall(ch => ch.foldable && !ch.nullable) =>
-                Running(OpCount, None, rows, ae.dataType)
+                run(OpCount, None)
               case c: Count if c.children.size == 1 =>
-                Running(OpCount, Some(c.children.head), rows, ae.dataType)
+                run(OpCount, Some(c.children.head))
               case av: Average if av.evalMode != EvalMode.TRY &&
                   integral(av.child.dataType) =>
-                Running(OpAvg, Some(av.child), rows, ae.dataType)
+                run(OpAvg, Some(av.child))
               case m: Min if minMaxOk(m.child.dataType) =>
-                Running(OpMin, Some(m.child), rows, ae.dataType)
+                run(OpMin, Some(m.child))
               case m: Max if minMaxOk(m.child.dataType) =>
-                Running(OpMax, Some(m.child), rows, ae.dataType)
+                run(OpMax, Some(m.child))
               case _ => return None
             }
-            (n, a.exprId, run)
+            (n, a.exprId, fn)
           case _ => return None
         }
       case _ => return None
     }
-    val proxy = proxyFor(w.orderSpec.head).getOrElse(return None)
+    // empty order ⇒ only whole-partition aggregates got this far (rank,
+    // prefix, and offset functions all demand an ORDER BY), and those
+    // never touch the range machinery — no proxy needed
+    val proxyOpt =
+      if (w.orderSpec.isEmpty) None
+      else Some(proxyFor(w.orderSpec.head).getOrElse(return None))
     val spark = SparkSession.active
     val childDf = GraftColumnBridge.ofRows(spark, w.child)
     val orderCols = w.orderSpec.map(sortCol)
@@ -331,7 +361,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       if (rowPass)
         Ranking.withGlobalPrefix(childDf, orderCols,
           if (needRankCol) Some(tmpRank) else None,
-          if (needN) Some(tmpN) else None, rowSpecs, Some(proxy),
+          if (needN) Some(tmpN) else None, rowSpecs, proxyOpt,
           internals = if (offsetFns.nonEmpty)
             Some((tmpPid, tmpIdx, tmpCnt)) else None,
           shifts = shiftSpecs)
@@ -491,6 +521,34 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       ranked = ranked.crossJoin(
         org.apache.spark.sql.functions.broadcast(firstRow))
     }
+    // whole-partition aggregates: ONE map-side-combined global
+    // aggregate over the child, broadcast to every row
+    val wholeOuts = scala.collection.mutable.LinkedHashMap
+      .empty[(AggOp, Option[Expression]), (Whole, String, Option[String])]
+    funcs.collect { case (_, _, r: Whole) => r }.foreach { r =>
+      val k = (r.op, r.value.map(_.canonicalized))
+      if (!wholeOuts.contains(k)) {
+        val i = wholeOuts.size
+        wholeOuts(k) = (r, s"__graft_auto_wh_${i}_m",
+          if (r.op == OpAvg) Some(s"__graft_auto_wh_${i}_c") else None)
+      }
+    }
+    if (wholeOuts.nonEmpty) {
+      val aggExprs = wholeOuts.values.toSeq.flatMap { case (r, main, cntOpt) =>
+        val tot = r.op match {
+          case OpSum => fsum(valueCol(r.value.get).cast("long"))
+          case OpAvg => fsum(valueCol(r.value.get).cast("long"))
+          case OpCount => fsum(indicator(r.value))
+          case OpMin => fmin(valueCol(r.value.get))
+          case OpMax => fmax(valueCol(r.value.get))
+        }
+        tot.as(main) +: cntOpt.toSeq.map(c =>
+          fsum(indicator(r.value)).as(c))
+      }
+      val wFrame = childDf.agg(aggExprs.head, aggExprs.tail: _*).limit(1)
+      ranked = ranked.crossJoin(
+        org.apache.spark.sql.functions.broadcast(wFrame))
+    }
     val rn = fcol(tmpRank)
     val n = fcol(tmpN)
     val outNames = funcs.indices.map(i => s"__graft_auto_out_$i")
@@ -543,6 +601,15 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           c0.cast(o.dt)
         case f: FirstVal =>
           fcol(firstOuts(f.value.canonicalized)._2).cast(f.dt)
+        case r: Whole =>
+          val (_, main, cntOpt) =
+            wholeOuts((r.op, r.value.map(_.canonicalized)))
+          val raw = r.op match {
+            case OpAvg => fcol(main).cast("double") /
+              fcol(cntOpt.get).cast("double")
+            case _ => fcol(main)
+          }
+          raw.cast(r.dt)
       }
       ranked = ranked.withColumn(nm, c)
     }
@@ -557,7 +624,8 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         offOuts.values.toSeq.flatMap { case (_, nm) =>
           Seq(nm + "_l", nm + "_b")
         } ++
-        firstOuts.values.toSeq.map(_._2): _*)
+        firstOuts.values.toSeq.map(_._2) ++
+        wholeOuts.values.toSeq.flatMap { case (_, m, c) => m +: c.toSeq }: _*)
     // fully optimize the replacement in its own QueryExecution: the
     // outer optimizer's pushdown/pruning batches are already past, so
     // the splice must arrive pre-optimized (output ids are stable across

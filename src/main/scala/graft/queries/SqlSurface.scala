@@ -730,7 +730,45 @@ object SqlSurface {
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The whole-partition leg of [[graft.plans.DistributeGlobalRank]]:
+    * `sum(x) OVER ()` / `count(*) OVER ()` — the percent-of-total
+    * idiom, the one window shape that is legal WITHOUT an ORDER BY and
+    * that Spark still plans as a single-task window. The rewrite turns
+    * both into ONE map-side-combined global aggregate broadcast to
+    * every row. Shares are computed AFTER the final aggregation as
+    * exact integer ratios (per-row double shares would sum in
+    * engine-dependent order); quantities ride as integers throughout,
+    * so every output is bit-exact cross-engine.
+    */
+  def globalShareAuto(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS flag_qty,
+        |  CAST(max(total_qty) AS BIGINT) AS total_qty,
+        |  CAST(max(total_n) AS BIGINT) AS total_n,
+        |  CAST(sum(qty) AS DOUBLE) / CAST(max(total_qty) AS DOUBLE) AS share
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER () AS total_qty,
+        |    count(*) OVER () AS total_n
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val globalShareAutoSql: String =
+    """SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS flag_qty,
+      |  CAST(max(total_qty) AS BIGINT) AS total_qty,
+      |  CAST(max(total_n) AS BIGINT) AS total_n,
+      |  CAST(sum(qty) AS DOUBLE) / CAST(max(total_qty) AS DOUBLE) AS share
+      |FROM (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER () AS total_qty,
+      |    count(*) OVER () AS total_n
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "global_share_auto" -> globalShareAuto,
     "global_offset_auto" -> globalOffsetAuto,
     "global_rank_dense" -> globalRankDense,
     "global_running_auto" -> globalRunningAuto,
@@ -751,6 +789,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "global_share_auto" -> globalShareAutoSql,
     "global_offset_auto" -> globalOffsetAutoSql,
     "global_rank_dense" -> globalRankDenseSql,
     "global_running_auto" -> globalRunningAutoSql,

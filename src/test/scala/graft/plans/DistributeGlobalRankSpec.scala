@@ -294,6 +294,38 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
+  test("whole-partition aggregates (OVER ()) rewrite to a broadcast global aggregate") {
+    messy
+    // the percent-of-total idiom: no ORDER BY at all, plus an explicit
+    // unbounded-to-unbounded frame WITH an order — both are
+    // whole-partition and must match naive bit-for-bit (integral sums)
+    val sql = """SELECT id,
+                |  sum(CAST(id % 7 - 3 AS BIGINT)) OVER () AS ts,
+                |  count(v) OVER () AS tc,
+                |  min(v) OVER () AS tm,
+                |  avg(CAST(id % 5 AS BIGINT)) OVER () AS ta,
+                |  max(v) OVER (ORDER BY v, id ROWS BETWEEN UNBOUNDED
+                |    PRECEDING AND UNBOUNDED FOLLOWING) AS tx
+                |FROM messy""".stripMargin
+    def run(on: Boolean) = withRule(on) {
+      val df = spark.sql(sql)
+      if (on) assert(PlanLint.initialPlan(df).toString.contains("__graft"),
+        s"whole-partition aggregates did not rewrite:\n${PlanLint.initialPlan(df)}")
+      // max(v) is NaN (NaN sorts greatest) and Scala's == says
+      // NaN != NaN — compare through a sentinel
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map {
+        case d: java.lang.Double if d.isNaN => "NaN"
+        case x => x
+      }).toMap
+    }
+    assert(run(on = true) == run(on = false))
+    // a fractional whole-partition sum still refuses (stored bits)
+    val frac = PlanLint.initialPlan(withRule(true)(spark.sql(
+      "SELECT id, sum(v) OVER () AS s FROM messy")))
+    assert(!frac.toString.contains("__graft"),
+      s"fractional whole-partition sum was rewritten:\n$frac")
+  }
+
   test("every family in ONE window node stays mutually consistent") {
     messy
     // rank arithmetic + tie trio + dense + RANGE agg + ROWS agg + lag +

@@ -151,8 +151,9 @@ class PlanLintSpec extends AnyFunSuite {
     "rolling_active_sketch" -> Map(PlanLint.NestedLoopJoin ->
       ("trailing-week range join over the per-day sketch table — one row " +
         "per day; the unbounded side is the 7-day report spine")),
-    "seasonality_profile" -> Map(PlanLint.UnpartitionedWindow ->
-      "window over the (dow × hour) profile — at most 168 rows by domain"),
+    // (seasonality_profile's 168-row window entry expired in r10: its
+    // whole-partition aggregate now auto-rewrites to a broadcast via
+    // DistributeGlobalRank, so the unpartitioned window is gone)
     "segment_overlap" -> Map(PlanLint.NestedLoopJoin ->
       ("segment-pair inequality join over the per-event-type sketch " +
         "table — |event types| rows, a domain constant")),

@@ -498,7 +498,262 @@ object CurationQueries {
        |FROM g CROSS JOIN t
        |ORDER BY segment, nation""".stripMargin
 
+  /** The end-to-end pretraining-curation funnel — every stage a raw crawl
+    * passes between "documents on disk" and "training shards", composed
+    * as ONE query so the STAGES' COMPOSITION is oracle-certified, not
+    * just each stage alone (the per-stage keys already cover those):
+    *
+    *   0 raw             → the whole corpus
+    *   1 quality         → C4-style filter ([[Curation.qualityFilter]])
+    *   2 exact_dedup     → normalized-fingerprint keep-first
+    *                       ([[TextStats.fingerprint]], min doc_id per hash)
+    *   3 near_dedup      → MinHash→LSH→Jaccard-verified pairs → connected
+    *                       components, keep each cluster's canonical
+    *                       (minimum-id) member — computed over the stage-2
+    *                       SURVIVORS, so a cluster whose only bridge doc
+    *                       was already dropped correctly splits
+    *   4 decontaminated  → trigram-overlap ≥ 0.5 against the `src0`
+    *                       benchmark set drops the doc; the benchmark's
+    *                       own docs never ship either
+    *   5 chunks          → sliding-window token chunks of the survivors
+    *                       (units = chunks, tokens = chunked tokens)
+    *   6 shards          → greedy per-language token-budget packing
+    *                       (units = shards, tokens = packed tokens)
+    *
+    * Output is the funnel ledger (stage, surviving units, surviving
+    * tokens) — the artifact a data team actually reviews before a run.
+    *
+    * Scale shape: each stage is the per-key documented one (map-only
+    * filter; hash-aggregate; explode→equi-join LSH, never all-pairs;
+    * shingle semi-join; map-only fan-out; per-stratum prefix sum). The
+    * survivor id-sets between stages are pinned with
+    * `localCheckpoint(eager=false)` — each stage computes ONCE and feeds
+    * both its successor and its funnel row, exactly as a production run
+    * materializes stage outputs to storage (LazyConstructionSpec carries
+    * the eager-by-design entry; the CC stage is convergence-probed like
+    * `dedup_clusters`). The funnel rows themselves are one-row global
+    * aggregates — map-side combined, broadcast-cheap at any scale.
+    *
+    * COST NOTE: this key's bench number is the honest cold cost of the
+    * WHOLE pipeline (quality + exact + LSH/CC + decontamination + chunk +
+    * pack in one run); the marginal cost of each stage is what the
+    * individual keys report.
+    *
+    * FIXTURE NOTE: the synthetic corpus contains no normalized-exact
+    * duplicates (verified at sf0.001/sf0.01), so stage 2 drops nothing
+    * against the driver oracle; its drop path — and the
+    * computed-over-survivors cluster restriction — are pinned by
+    * PretrainPipelineSpec on a planted corpus instead.
+    */
+  def pretrainPipeline(spark: SparkSession, dir: String): DataFrame =
+    pretrainFunnel(Readers.table(spark, dir, "documents"))
+
+  /** [[pretrainPipeline]] over an arbitrary documents frame
+    * (`doc_id, lang, source, text`) — the spec entry point for planted
+    * corpora.
+    */
+  private[graft] def pretrainFunnel(docs: DataFrame): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("lang"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+    val kept1 = Curation.qualityFilter(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+      .localCheckpoint(false)
+    val kept2 = docs.join(kept1, Seq("doc_id"), "left_semi")
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+      .localCheckpoint(false)
+
+    val kept2Docs = docs.join(kept2, Seq("doc_id"), "left_semi")
+    val shSet = TextDedup.distinctShingles(kept2Docs, "doc_id", "text")
+    val sigs = TextDedup.minhashFromShingleSet(shSet, "doc_id",
+      TextDedup.NumHashes)
+    val cands = TextDedup.lshCandidatePairs(sigs, "doc_id",
+      TextDedup.NumHashes).select("doc_a", "doc_b")
+    val pairs = TextDedup.jaccardFromShingleSet(shSet, cands, "doc_id")
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val nonCanonical = TextDedup.duplicateClusters(pairs)
+      .filter(col("doc") =!= col("cluster"))
+      .select(col("doc").as("doc_id"))
+    val kept3 = kept2.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+
+    val kept3Docs = docs.join(kept3, Seq("doc_id"), "left_semi")
+    val kept4 = Curation.contamination(
+        kept3Docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .filter(!col("contaminated")).select("doc_id")
+      .localCheckpoint(false)
+
+    def stageRow(ord: Int, name: String, ids: Option[DataFrame]): DataFrame = {
+      val base = ids.fold(meta)(s => meta.join(s, Seq("doc_id"), "left_semi"))
+      base.agg(count(lit(1)).as("units"),
+          coalesce(sum("n_tokens"), lit(0L)).as("tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("units"), col("tokens"))
+    }
+
+    val kept4Docs = docs.join(kept4, Seq("doc_id"), "left_semi")
+    val chunkRow = Curation.chunkTokens(kept4Docs.select("doc_id", "text"),
+        "doc_id", "text", ChunkSize, ChunkStride)
+      .agg(count(lit(1)).as("units"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens"))
+      .select(lit(5).as("stage_ord"), lit("chunks").as("stage"),
+        col("units"), col("tokens"))
+    val shardRow = Curation.packShards(
+        meta.join(kept4, Seq("doc_id"), "left_semi"),
+        col("lang"), col("doc_id"), col("n_tokens"), ShardBudget)
+      .agg(count_distinct(struct(col("lang"), col("shard"))).as("units"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens"))
+      .select(lit(6).as("stage_ord"), lit("shards").as("stage"),
+        col("units"), col("tokens"))
+
+    stageRow(0, "raw", None)
+      .unionByName(stageRow(1, "quality", Some(kept1)))
+      .unionByName(stageRow(2, "exact_dedup", Some(kept2)))
+      .unionByName(stageRow(3, "near_dedup", Some(kept3)))
+      .unionByName(stageRow(4, "decontaminated", Some(kept4)))
+      .unionByName(chunkRow)
+      .unionByName(shardRow)
+      .orderBy("stage_ord")
+  }
+
+  /** The funnel oracle restates each stage over the FULL corpus and
+    * restricts by survivor id-sets: LSH candidacy and Jaccard are
+    * per-pair properties (signatures depend only on the doc itself), so
+    * "pairs among stage-2 survivors" ≡ "all-corpus pairs with both
+    * endpoints surviving" — which lets the statement reuse the
+    * `dedup_pipeline` body verbatim; only the connected components are
+    * recomputed over the restricted edge set (a dropped bridge doc must
+    * split its cluster).
+    */
+  val pretrainPipelineSql: String = {
+    val stops = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+    val head = s"""WITH RECURSIVE
+       |qw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    text IS NOT NULL
+       |    AND CAST(len(w) AS BIGINT) >= ${Curation.MinTokens}
+       |    AND round(len(list_distinct(w))::DOUBLE / len(w), 6)
+       |        >= ${Curation.MinTypeTokenRatio}::DOUBLE
+       |    AND round(len(list_filter(w, x -> list_contains([$stops], x)))::DOUBLE
+       |        / len(w), 6) >= ${Curation.MinStopwordRatio}::DOUBLE AS keep
+       |  FROM qw
+       |),
+       |kept1 AS (SELECT doc_id FROM q WHERE keep),
+       |kept2 AS (
+       |  SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id
+       |  GROUP BY md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g')))
+       |),
+       |vpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |""".stripMargin
+    val afterPairs = s"""
+       |) WHERE doc_a IN (SELECT doc_id FROM kept2)
+       |    AND doc_b IN (SELECT doc_id FROM kept2)
+       |),
+       |cedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM vpairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM cedges)
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN cedges e ON e.src = r.b
+       |),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       |kept3 AS (
+       |  SELECT doc_id FROM kept2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster)
+       |),
+       |${TextQueries.shingleCteNamed("osh")},
+       |odsh AS (SELECT DISTINCT doc_id, s FROM osh),
+       |bench AS (
+       |  SELECT DISTINCT s FROM odsh JOIN documents USING (doc_id)
+       |  WHERE source = 'src0'
+       |),
+       |ccand AS (
+       |  SELECT odsh.doc_id, odsh.s FROM odsh JOIN documents USING (doc_id)
+       |  WHERE source <> 'src0'
+       |    AND doc_id IN (SELECT doc_id FROM kept3)
+       |),
+       |ctot AS (SELECT doc_id, count(*) AS n_sh FROM ccand GROUP BY doc_id),
+       |chit AS (
+       |  SELECT doc_id, count(*) AS n_hit FROM ccand
+       |  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+       |),
+       |kept4 AS (
+       |  SELECT t.doc_id FROM ctot t LEFT JOIN chit h USING (doc_id)
+       |  WHERE round(coalesce(h.n_hit, 0)::DOUBLE / t.n_sh, 6) < 0.5::DOUBLE
+       |),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |kt AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM kept4)
+       |),
+       |ch AS (
+       |  SELECT doc_id, n,
+       |    unnest(generate_series(0, CASE WHEN n <= $ChunkSize THEN 0
+       |      ELSE (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+       |      END)) AS chunk_id
+       |  FROM kt
+       |),
+       |pk AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM tok WHERE doc_id IN (SELECT doc_id FROM kept4)
+       |),
+       |pk2 AS (
+       |  SELECT lang, n_tokens,
+       |    (cum_tokens - n_tokens) // $ShardBudget AS shard
+       |  FROM pk
+       |),
+       |funnel AS (
+       |  SELECT 0 AS stage_ord, 'raw' AS stage,
+       |    CAST(count(*) AS BIGINT) AS units,
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tokens FROM tok
+       |  UNION ALL
+       |  SELECT 1, 'quality', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM kept1)
+       |  UNION ALL
+       |  SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM kept2)
+       |  UNION ALL
+       |  SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM kept3)
+       |  UNION ALL
+       |  SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM kept4)
+       |  UNION ALL
+       |  SELECT 5, 'chunks', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(least($ChunkSize, n - chunk_id * $ChunkStride)), 0)
+       |      AS BIGINT) FROM ch
+       |  UNION ALL
+       |  SELECT 6, 'shards',
+       |    (SELECT CAST(count(*) AS BIGINT)
+       |     FROM (SELECT DISTINCT lang, shard FROM pk2)),
+       |    (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM pk2)
+       |)
+       |SELECT stage_ord, stage, units, tokens FROM funnel
+       |ORDER BY stage_ord""".stripMargin
+    head + TextQueries.dedupPipelineSqlBody + afterPairs
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pretrain_pipeline" -> pretrainPipeline,
     "k_anonymity" -> kAnonymity,
     "group_split" -> groupSplit,
     "chunk_tokens" -> chunkTokens,

@@ -32,13 +32,20 @@ object TextQueries {
         Readers.table(spark, dir, "documents"), "doc_id", "text", K)
       .orderBy("doc_id")
 
-  private[queries] def shingleCte: String =
-    """sh AS (
-      |  SELECT doc_id,
-      |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |            for i in range(1, greatest(len(w) - 1, 1))]) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |)""".stripMargin
+  private[queries] def shingleCte: String = shingleCteNamed("sh")
+
+  /** The trigram-shingle CTE under a caller-chosen alias — composed
+    * oracles (the pretraining funnel) need a second shingle frame in the
+    * same statement without colliding with the `sh` a nested pipeline
+    * body defines.
+    */
+  private[queries] def shingleCteNamed(alias: String): String =
+    s"""$alias AS (
+       |  SELECT doc_id,
+       |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |            for i in range(1, greatest(len(w) - 1, 1))]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |)""".stripMargin
 
   private def sigCte: String = {
     // four 32-bit hashes per salted md5, mirroring TextDedup.minhashSignatures
@@ -252,7 +259,7 @@ object TextQueries {
   /** Pipeline SQL without the final ORDER BY — reusable as a derived CTE
     * (the clusters oracle builds on it).
     */
-  private val dedupPipelineSqlBody: String = {
+  private[queries] val dedupPipelineSqlBody: String = {
     val bands = (0 until K by TextDedup.BandSize).map { s =>
       "(" + (s until s + TextDedup.BandSize)
         .map(i => s"a.mh$i = b.mh$i").mkString(" AND ") + ")"

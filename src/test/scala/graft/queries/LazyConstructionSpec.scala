@@ -29,6 +29,7 @@ class LazyConstructionSpec extends AnyFunSuite {
     "dedup_clusters", // convergence-probed pointer jumping
     "dedup_keep_best", // builds on dedup_clusters
     "dedup_pipeline", // composes the cluster pass
+    "pretrain_pipeline", // stage survivor sets checkpointed + CC stage
     "entity_resolve", // clustering stage is dedup_clusters
     "similarity_scores", // reference-parity ≤8-row driver dict
     "bucketed_join", // writes the bucketed tables it demonstrates

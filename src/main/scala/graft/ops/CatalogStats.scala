@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog registration + statistics collection for the testdata star —
+  * the prerequisite for COST-BASED optimization.
+  *
+  * Path-based reads (`spark.read.parquet(...)`) carry only a size
+  * estimate, so Catalyst's cost-based join reorder never fires on them.
+  * The production posture at 100 TB is different: tables live in a
+  * catalog and `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+  * maintains row counts + NDV/min/max histograms, and then
+  * `CostBasedJoinReorder` re-orders multi-join chains so selective
+  * dimensions shrink the fact FIRST — the optimizer-level twin of the
+  * runtime AQE re-planning the suite already exercises. This helper
+  * registers EXTERNAL tables over the existing parquet (no copy) and
+  * analyzes the join keys once per (session, dir); `graft_cbo_*` names
+  * are hash-scoped so two scale dirs never collide.
+  */
+object CatalogStats {
+
+  private val done =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, String]]()
+
+  /** Key columns that get column-level stats per table. */
+  private val StarKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"),
+    "orders" -> Seq("o_orderkey"),
+    "part" -> Seq("p_partkey"))
+
+  /** Ensure the star tables for `dir` exist in the session catalog with
+    * fresh column statistics; returns logical-name → catalog-name.
+    * Idempotent and memoized — the ANALYZE scans run once per
+    * (session, dir).
+    */
+  def ensureStarStats(spark: SparkSession, dir: String): Map[String, String] = {
+    val it = done.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    done.computeIfAbsent((spark, dir), { kv =>
+      val (s, d) = (kv._1, kv._2)
+      StarKeys.map { case (table, keys) =>
+        val name = s"graft_cbo_${table}_" + Integer.toHexString(d.hashCode)
+        s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+          s"LOCATION '$d/$table.parquet'")
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+          keys.mkString(", "))
+        table -> name
+      }
+    })
+  }
+
+  /** Run `body` with cost-based optimization (and join reorder) enabled,
+    * restoring the session's previous settings after. NOTE: Spark reads
+    * these flags at OPTIMIZATION time, not DataFrame-construction time —
+    * callers must force the work (collect, or
+    * `queryExecution.optimizedPlan`) INSIDE `body` for the flags to have
+    * any effect.
+    */
+  def withCbo[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

@@ -768,6 +768,7 @@ object CurationQueries {
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
+    "pretrain_pipeline" -> pretrainPipelineSql,
     "k_anonymity" -> kAnonymitySql,
     "group_split" -> groupSplitSql,
     "chunk_tokens" -> chunkTokensSql,

@@ -116,11 +116,50 @@ object LayoutQueries {
       |FROM orders JOIN per_order ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** ORC as a second columnar source/sink: write a lineitem projection as
+    * ORC, read it back, and aggregate under a filter. The value is the
+    * format breadth AND the plan contract: Spark's ORC reader converts
+    * the `l_quantity >= 30` predicate into an ORC search argument
+    * (`PushedFilters` on the scan, row-group skipping at scale) exactly
+    * as the parquet path does — pinned by SourceFormatsSpec. Columns are
+    * BIGINT/DOUBLE/VARCHAR only; the oracle aggregates the SAME rows from
+    * the original parquet, so the roundtrip certifies ORC write+read
+    * preserves values bit-exactly (quantity sums are integral doubles —
+    * order-proof).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_rt_" +
+      Integer.toHexString(dir.hashCode)
+    graft.etl.Sink.overwriteOrc(
+      Readers.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag"), out)
+    val schema = StructType(Seq(StructField("l_orderkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    Readers.orc(spark, out, schema)
+      .filter(col("l_quantity") >= 30)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_quantity").cast("long").as("qty_total"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty_total,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem WHERE l_quantity >= 30
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> zorderLayout,
-    "bucketed_join" -> bucketedJoin)
+    "bucketed_join" -> bucketedJoin,
+    "orc_roundtrip" -> orcRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
-    "bucketed_join" -> bucketedJoinSql)
+    "bucketed_join" -> bucketedJoinSql,
+    "orc_roundtrip" -> orcRoundtripSql)
 }

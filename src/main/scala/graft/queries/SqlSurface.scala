@@ -767,7 +767,59 @@ object SqlSurface {
       |  FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The star query [[cboJoinReorder]] runs, parameterized by catalog
+    * table names (the spec pins its plan under both CBO settings). The
+    * WRITTEN order joins the fact to `orders` first; the `p_partkey < 20`
+    * filter makes the `part` join ~19 rows, so a cost-based optimizer
+    * must rotate it below the orders join.
+    */
+  private[queries] def cboStarSql(t: Map[String, String]): String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS qty_total,
+       |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+       |FROM ${t("lineitem")} l
+       |JOIN ${t("orders")} o ON l.l_orderkey = o.o_orderkey
+       |JOIN ${t("part")} p ON l.l_partkey = p.p_partkey
+       |WHERE p.p_partkey < 20
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Cost-based join reorder, demonstrated end-to-end: register the star
+    * in the session catalog, `ANALYZE ... FOR COLUMNS` the join keys
+    * ([[graft.ops.CatalogStats]]), and run [[cboStarSql]] with
+    * `spark.sql.cbo.joinReorder` enabled. The written order joins
+    * lineitem→orders first; with statistics the optimizer rotates the
+    * ~19-row filtered `part` dimension below the orders join, shrinking
+    * the fact before its expensive join — at 100 TB the difference
+    * between shuffling the whole fact twice and once
+    * (CboJoinReorderSpec pins the rotation and the stats-off contrast).
+    *
+    * The ≤3-row FINAL aggregate is collected inside the CBO-scoped conf
+    * and returned as a local frame: Spark reads the CBO flags at
+    * optimization time, so the work must execute while they are set —
+    * the same bounded-collect contract as the reference-parity scorer.
+    */
+  def cboJoinReorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.ops.CatalogStats.ensureStarStats(spark, dir)
+    val (rows, schema) = graft.ops.CatalogStats.withCbo(spark) {
+      val df = spark.sql(cboStarSql(t))
+      (df.collect().toSeq, df.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  val cboJoinReorderSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty_total,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_partkey < 20
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cbo_join_reorder" -> cboJoinReorder,
     "global_share_auto" -> globalShareAuto,
     "global_offset_auto" -> globalOffsetAuto,
     "global_rank_dense" -> globalRankDense,
@@ -789,6 +841,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "cbo_join_reorder" -> cboJoinReorderSql,
     "global_share_auto" -> globalShareAutoSql,
     "global_offset_auto" -> globalOffsetAutoSql,
     "global_rank_dense" -> globalRankDenseSql,

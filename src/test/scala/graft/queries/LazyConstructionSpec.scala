@@ -35,6 +35,8 @@ class LazyConstructionSpec extends AnyFunSuite {
     "bucketed_join", // writes the bucketed tables it demonstrates
     "ann_ivf_pruned", // writes the centroid-partitioned IVF index (memoized)
     "jsonl_roundtrip", // writes the JSONL files it quarantine-reads
+    "orc_roundtrip", // writes the ORC files it reads back
+    "cbo_join_reorder", // ANALYZE scans + the CBO-scoped bounded collect
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's
     // exchange stages when the RDD is resolved at construction. The

@@ -53,4 +53,30 @@ object DocStreams {
   def curated(docs: DataFrame, textCol: String = "text",
               watermark: String = "2 hours"): DataFrame =
     dedupByFingerprint(qualityFiltered(docs, textCol), textCol, watermark)
+
+  /** The PRODUCTION ingest source: an unbounded JSONL landing directory
+    * read incrementally by Spark's FileStreamSource — each trigger
+    * processes only files not yet committed to the checkpoint's file log,
+    * so a crawler dropping files and this stream tailing them gives
+    * exactly-once file accounting without a broker. Same
+    * schema-first + PERMISSIVE quarantine contract as the batch
+    * [[graft.etl.Readers.jsonlQuarantine]]: schema inference is OFF (it
+    * would re-list and re-read the directory per start, and types drift
+    * between samples), and malformed lines become `_corrupt_record` ROWS
+    * to route to a quarantine sink, never job failures.
+    *
+    * `maxFilesPerTrigger` bounds per-batch work — the knob that keeps
+    * micro-batch latency flat when a backfill dumps 10⁴ files at once
+    * (files beyond the cap simply wait, ordered by modification time).
+    */
+  def fromJsonlDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
 }

@@ -134,6 +134,17 @@ object BenchStream {
     run("kll_quantiles_stream", grpValues, "update")(
       ds => StatefulOps.kllQuantilesStream(ds, k = 200,
         qs = Seq(0.5, 0.9, 0.99)).toDF())
+    // SCD-2 point-in-time enrichment: stream-static join, no state store
+    // — per-batch cost is the dimension re-plan + the key equi-join with
+    // the interval residual (the dimension broadcasts at this size)
+    val scd2Dim = graft.ops.Behavior.scd2(
+        graft.etl.Readers.events(spark, sfDir)
+          .filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumnRenamed("k", "user_id")
+      .localCheckpoint()
+    run("pit_enrich", events, "append")(
+      ds => EventStreams.enrichPointInTime(ds.toDF(), scd2Dim))
     run("doc_quality_filtered", docs, "append")(
       ds => DocStreams.qualityFiltered(ds.toDF()))
     run("doc_curated", docs, "append")(

@@ -117,4 +117,35 @@ object EventStreams {
       "left_outer")
       .select("user_id", "click_ts", "purchase_ts", "purchase_value")
   }
+
+  /** Point-in-time (SCD-2) enrichment of a stream against a STATIC
+    * dimension — the production arrangement: the dimension is built
+    * nightly by the batch [[graft.ops.Behavior.scd2]], the live stream
+    * joins the version valid AT each event's timestamp. Because SCD-2
+    * validity intervals tile time per key, at most one version matches —
+    * the join never fans out, and a left join marks events before the
+    * key's first version with null state rather than dropping them.
+    *
+    * Shape: a stream-static join needs NO state store (nothing to
+    * watermark — the static side is complete); the interval predicate is
+    * a residual on the key equi-join, and Spark re-plans the static side
+    * every micro-batch, so a dimension refresh lands without restarting
+    * the stream (re-read via the standard source path; broadcast when
+    * small). This is the streaming twin of the batch `scd2_lookup`
+    * (which resolves the same semantics as a backward as-of join).
+    */
+  def enrichPointInTime(stream: DataFrame, dim: DataFrame,
+                        key: String = "user_id", tsCol: String = "ts",
+                        payload: Seq[String] = Seq("version", "state"))
+  : DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val d = dim.select((col(key).as("__dk") +: col("valid_from_us") +:
+      col("valid_to_us") +: payload.map(col)): _*)
+    stream.join(d,
+        col(key) === col("__dk") &&
+          col("valid_from_us") <= us &&
+          (col("valid_to_us").isNull || us < col("valid_to_us")),
+        "left_outer")
+      .drop("__dk", "valid_from_us", "valid_to_us")
+  }
 }

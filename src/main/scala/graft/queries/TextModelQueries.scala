@@ -262,17 +262,116 @@ object TextModelQueries {
     header + ",\n" + rounds + ",\n" + tail
   }
 
+  val SeqLen = 32
+  // 16 of the fixture corpus's 31 distinct words: the Zipf tail falls
+  // out-of-vocabulary, so the OOV path is exercised for real (a 256-word
+  // vocab would swallow the whole corpus and id 0 would never appear);
+  // production sets this to the tokenizer's actual vocab size
+  val EncodeVocab = 16
+  val OovId = 0L
+  val PadId = -1L
+
+  /** Token-id training sequences — the TRAINER-facing tensor the whole
+    * curation story feeds: each document's first [[SeqLen]] whitespace
+    * tokens mapped through a frequency-ranked top-[[EncodeVocab]]
+    * vocabulary (ids 1..V by count desc / word asc — the `vocab_build`
+    * ordering), out-of-vocabulary tokens to [[OovId]], right-padded with
+    * [[PadId]] to a fixed length. Output is `(doc_id, n_seq, ids)` with
+    * `ids` a constant-length array — exactly the shape a batch of
+    * sequences ships to a training job in.
+    *
+    * Shape: the vocabulary is a TakeOrdered top-V (per-partition heaps,
+    * never a global sort) ranked by a window over the PROVABLY bounded
+    * V-row frame, then broadcast into the token join; the per-doc
+    * sequence assembly is one hash aggregate collecting (pos, id) structs
+    * sorted in-row. Work is linear in corpus tokens (capped at SeqLen per
+    * doc by slicing BEFORE the explode), state per group is ≤ SeqLen
+    * structs.
+    */
+  def encodeSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val counts = Readers.fanOut(docs.select("text"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val topv = counts.orderBy(col("n").desc, col("word")).limit(EncodeVocab)
+    val vocab = topv.withColumn("word_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word"))).cast("long"))
+      .select("word", "word_id")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, SeqLen))
+          .as(Seq("pos", "word")))
+    val ids = toks.join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("word_id"), lit(OovId)).as("id"))
+    ids.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seq"),
+        sort_array(collect_list(struct(col("pos"), col("id")))).as("__s"))
+      .select(col("doc_id"), col("n_seq"),
+        // the padded id tensor; joined to CSV only because the driver's
+        // hash compare needs a scalar cell (the agg_collect convention) —
+        // the array itself is the `concat` operand
+        array_join(
+          transform(
+            concat(transform(col("__s"), s => s("id")),
+              array_repeat(lit(PadId),
+                (lit(SeqLen) - col("n_seq")).cast("int"))),
+            x => x.cast("string")),
+          ",").as("ids"))
+      .orderBy("doc_id")
+  }
+
+  val encodeSequencesSql: String =
+    s"""WITH counts AS (
+       |  SELECT word, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |v AS (
+       |  SELECT word,
+       |    CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+       |      AS word_id
+       |  FROM (SELECT * FROM counts ORDER BY n DESC, word LIMIT $EncodeVocab)
+       |),
+       |t AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')[1:$SeqLen]) AS word,
+       |    unnest(range(1, len(string_split(text, ' ')[1:$SeqLen]) + 1))
+       |      AS pos
+       |  FROM documents
+       |),
+       |i AS (
+       |  SELECT doc_id, pos, coalesce(word_id, $OovId) AS id
+       |  FROM t LEFT JOIN v USING (word)
+       |),
+       |s AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seq,
+       |    list(id ORDER BY pos) AS ids0
+       |  FROM i GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_seq,
+       |  array_to_string(
+       |    list_transform(
+       |      list_concat(ids0,
+       |        [CAST($PadId AS BIGINT) for x in range($SeqLen - n_seq)]),
+       |      x -> x::VARCHAR),
+       |    ',') AS ids
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> repetitionStats,
     "ngram_lm_score" -> ngramLmScore,
     "feature_hashing" -> featureHashing,
     "bpe_train" -> bpeTrain,
-    "bpe_tokenize" -> bpeTokenize)
+    "bpe_tokenize" -> bpeTokenize,
+    "encode_sequences" -> encodeSequences)
 
   val oracle: Map[String, String] = Map(
     "repetition_stats" -> repetitionStatsSql,
     "ngram_lm_score" -> ngramLmScoreSql,
     "feature_hashing" -> featureHashingSql,
     "bpe_train" -> bpeTrainSql,
-    "bpe_tokenize" -> bpeTokenizeSql)
+    "bpe_tokenize" -> bpeTokenizeSql,
+    "encode_sequences" -> encodeSequencesSql)
 }

@@ -41,12 +41,36 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+               rightPayload: Seq[String], rightTieBreak: String): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
+      fwd = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key (`merge_asof
+    * direction='forward'`). Same union-window shape as [[backward]] with
+    * the frame flipped; among right rows sharing the matched timestamp
+    * the SMALLEST `rightTieBreak` wins (the mirror of backward's
+    * greatest-wins).
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String], rightTieBreak: String): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
+      fwd = true)
+
+  private def join(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   rightPayload: Seq[String], rightTieBreak: String,
+                   fwd: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightPayload.map(col): _*)
+    // inclusive comparisons need equal-timestamp right rows on the
+    // matchable side of the left row: BEFORE it (backward, rtime <=
+    // ltime) or AFTER it (forward, rtime >= ltime)
+    val (leftSide, rightSide) = if (fwd) (0, 1) else (1, 0)
     val l = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftSide))
       .withColumn("_tie", lit(null).cast(right.schema(rightTieBreak).dataType))
       .withColumn("_payload", lit(null).cast(
         org.apache.spark.sql.types.StructType(rightPayload.map(c =>
@@ -56,19 +80,68 @@ object AsOfJoin {
       // is never true for null) — unfiltered it would sort nulls-FIRST in
       // the timeline and its payload would stick to every early left row
       .filter(col(rightTime).isNotNull)
-      .select((Seq(col(key), col(rightTime).as("_t"), lit(0).as("_side"),
+      .select((Seq(col(key), col(rightTime).as("_t"), lit(rightSide).as("_side"),
         col(rightTieBreak).as("_tie"), payload.as("_payload")) ++
         leftCols.filterNot(c => c == key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .select((Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
         Seq(col("_t"), col("_side"), col("_tie"), col("_payload"))): _*)
-    val w = Window.partitionBy(key)
+    val base = Window.partitionBy(key)
       .orderBy(col("_t"), col("_side"), col("_tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(r.columns.toIndexedSeq.map(col): _*).unionByName(r)
-      .withColumn("_match", last("_payload", ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val unioned = l.select(r.columns.toIndexedSeq.map(col): _*).unionByName(r)
+    val matched =
+      if (fwd) unioned.withColumn("_match",
+        first("_payload", ignoreNulls = true).over(
+          base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else unioned.withColumn("_match",
+        last("_payload", ignoreNulls = true).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    matched
+      .filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_match.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Nearest as-of (`merge_asof direction='nearest'`): the backward or
+    * forward match, whichever is closer in time; exact-distance ties
+    * choose the BACKWARD match. Emitted as `asof_<payload>` plus
+    * `asof_side` (`backward`/`forward`, null when neither side matched).
+    *
+    * Cost: both directional passes (two keyed window shuffles) plus the
+    * row-local comparison — still |L|+|R| rows per pass, never a pair
+    * join. Timestamp distances compare in microseconds; numeric time
+    * columns compare as doubles.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val leftCols = left.columns.toSeq
+    def toNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast(TimestampType))
+        case _ => c.cast("double")
+      }
+    val pay = (rightPayload :+ rightTime).distinct
+    val b = backward(left, right, key, leftTime, rightTime, pay, rightTieBreak)
+      .select(leftCols.map(col) ++
+        pay.map(c => col(s"asof_$c").as(s"__b_$c")): _*)
+    val bf = forward(b, right, key, leftTime, rightTime, pay, rightTieBreak)
+      .select((leftCols ++ pay.map(c => s"__b_$c")).map(col) ++
+        pay.map(c => col(s"asof_$c").as(s"__f_$c")): _*)
+    val lt = toNum(col(leftTime), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val bDist = lt - toNum(col(s"__b_$rightTime"), rdt)
+    val fDist = toNum(col(s"__f_$rightTime"), rdt) - lt
+    val useB = col(s"__f_$rightTime").isNull ||
+      (col(s"__b_$rightTime").isNotNull && bDist <= fDist)
+    bf.select(leftCols.map(col) ++
+      rightPayload.map(c =>
+        when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"asof_$c")) :+
+      when(col(s"__b_$rightTime").isNull && col(s"__f_$rightTime").isNull,
+          lit(null).cast("string"))
+        .when(useB, lit("backward")).otherwise(lit("forward"))
+        .as("asof_side"): _*)
   }
 }

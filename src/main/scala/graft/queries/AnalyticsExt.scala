@@ -318,6 +318,89 @@ object AnalyticsExt {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  /** Forward as-of: each click matched to the NEXT purchase at or after
+    * it ([[AsOfJoin.forward]] — the mirror of `join_asof`'s backward
+    * pass; same |L|+|R| union-window shape, flipped frame).
+    */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.forward(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "ts", "value"),
+        rightTieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_event_id"),
+        col("asof_ts").as("purchase_ts"),
+        col("asof_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofForwardSql: String =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |  p.event_id AS purchase_event_id,
+      |  p.ts AS purchase_ts,
+      |  p.value AS purchase_value
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+      |  FROM events e
+      |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      |    AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |  ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id ASC
+      |  LIMIT 1) p ON true
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Nearest as-of ([[AsOfJoin.nearest]]): the closer of the backward and
+    * forward matches, exact-distance ties to backward; `asof_side` says
+    * which direction won. Two keyed window passes, never a pair join.
+    */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.nearest(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"),
+        rightTieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_event_id"),
+        col("asof_value").as("purchase_value"),
+        col("asof_side").as("side"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofNearestSql: String =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |  p.event_id AS purchase_event_id,
+      |  p.value AS purchase_value,
+      |  p.side
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id, value, side FROM (
+      |    SELECT e.event_id, e.value,
+      |      CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+      |             <= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |        THEN 'backward' ELSE 'forward' END AS side,
+      |      CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+      |             <= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |        THEN 0 ELSE 1 END AS sideord,
+      |      abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+      |        - epoch_us(CAST(c.ts AS TIMESTAMP))) AS dist
+      |    FROM events e
+      |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id)
+      |  ORDER BY dist ASC, sideord ASC,
+      |    CASE WHEN sideord = 0 THEN -event_id ELSE event_id END ASC
+      |  LIMIT 1) p ON true
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
   // intervals must be CLAMPED, not open-ended: an interval explodes into
   // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
   // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
@@ -1012,6 +1095,8 @@ object AnalyticsExt {
     "window_range_frame" -> windowRangeFrame,
     "join_semi_anti" -> joinSemiAnti,
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
@@ -1046,6 +1131,8 @@ object AnalyticsExt {
     "window_range_frame" -> windowRangeFrameSql,
     "join_semi_anti" -> joinSemiAntiSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_forward" -> joinAsofForwardSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,

@@ -60,4 +60,66 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_event_id", "asof_value").as[(Long, Double)].collect()
     assert(out.toSeq == Seq((2L, 2.0)))
   }
+
+  test("forward: earliest right row at-or-after each left row; ties take MIN tiebreak") {
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 10:00:00")),   // before p2 → p2
+      (102L, 1L, ts("2024-01-01 12:00:00")),   // exactly at p2 → inclusive
+      (103L, 1L, ts("2024-01-01 13:00:00")),   // after everything → none
+      (104L, 2L, ts("2024-01-01 10:00:00"))    // other key, no purchases
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 12L, 7.0),
+      (1L, ts("2024-01-01 12:00:00"), 13L, 9.0)  // same ts: LOWER id wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.forward(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(101L) == (Some(12L), Some(7.0)))
+    assert(out(102L) == (Some(12L), Some(7.0)))
+    assert(out(103L) == (None, None))
+    assert(out(104L) == (None, None))
+  }
+
+  test("nearest: closer side wins, exact-distance ties choose backward") {
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 10:00:00")),   // 1h to p1, 2h to p2 → backward
+      (102L, 1L, ts("2024-01-01 11:30:00")),   // 30m to p2, 2.5h to p1 → forward
+      (103L, 1L, ts("2024-01-01 10:30:00")),   // 1.5h both ways → backward tie
+      (104L, 2L, ts("2024-01-01 10:00:00"))    // no purchases at all
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 12L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.nearest(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_side")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(101L) == (Some(11L), Some("backward")))
+    assert(out(102L) == (Some(12L), Some("forward")))
+    assert(out(103L) == (Some(11L), Some("backward")))
+    assert(out(104L) == (None, None))
+  }
+
+  test("nearest: one-sided availability falls through to the existing side") {
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 08:00:00")),   // before all → forward only
+      (102L, 1L, ts("2024-01-01 23:00:00"))    // after all → backward only
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.nearest(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_side")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(101L) == (Some(11L), Some("forward")))
+    assert(out(102L) == (Some(11L), Some("backward")))
+  }
 }

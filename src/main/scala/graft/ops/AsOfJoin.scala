@@ -43,7 +43,31 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                rightPayload: Seq[String], rightTieBreak: String): DataFrame =
     join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
-      fwd = false)
+      fwd = false, toleranceMicros = None)
+
+  /** [[backward]] with `merge_asof`'s tolerance knob: a match further
+    * than `toleranceMicros` behind the left row is discarded (nulls, as
+    * if nothing matched) — the guard against joining a price quote from
+    * last Tuesday onto today's trade. Row-local on top of the same
+    * single-exchange plan; timestamp distances compare in microseconds,
+    * numeric time columns at face value.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightPayload: Seq[String], rightTieBreak: String,
+                     toleranceMicros: Long): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
+      fwd = false, toleranceMicros = Some(toleranceMicros))
+
+  /** [[forward]] with the tolerance knob — matches further than
+    * `toleranceMicros` AHEAD are discarded.
+    */
+  def forwardWithin(left: DataFrame, right: DataFrame, key: String,
+                    leftTime: String, rightTime: String,
+                    rightPayload: Seq[String], rightTieBreak: String,
+                    toleranceMicros: Long): DataFrame =
+    join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
+      fwd = true, toleranceMicros = Some(toleranceMicros))
 
   /** Forward as-of: for each left row, the EARLIEST right row with
     * `rightTime >= leftTime` on the same key (`merge_asof
@@ -56,14 +80,28 @@ object AsOfJoin {
               leftTime: String, rightTime: String,
               rightPayload: Seq[String], rightTieBreak: String): DataFrame =
     join(left, right, key, leftTime, rightTime, rightPayload, rightTieBreak,
-      fwd = true)
+      fwd = true, toleranceMicros = None)
+
+  private[ops] def toNum(c: Column,
+                         dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _ => c.cast("double")
+    }
+  }
 
   private def join(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
                    rightPayload: Seq[String], rightTieBreak: String,
-                   fwd: Boolean): DataFrame = {
+                   fwd: Boolean, toleranceMicros: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payload = struct(rightPayload.map(col): _*)
+    // the matched right row's own time rides the struct so tolerance can
+    // measure the gap row-locally; dropped before output
+    val payloadCols = if (toleranceMicros.isDefined)
+      (rightPayload :+ rightTime).distinct else rightPayload
+    val payload = struct(payloadCols.map(col): _*)
     // inclusive comparisons need equal-timestamp right rows on the
     // matchable side of the left row: BEFORE it (backward, rtime <=
     // ltime) or AFTER it (forward, rtime >= ltime)
@@ -73,7 +111,7 @@ object AsOfJoin {
       .withColumn("_side", lit(leftSide))
       .withColumn("_tie", lit(null).cast(right.schema(rightTieBreak).dataType))
       .withColumn("_payload", lit(null).cast(
-        org.apache.spark.sql.types.StructType(rightPayload.map(c =>
+        org.apache.spark.sql.types.StructType(payloadCols.map(c =>
           org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val r = right
       // a NULL right timestamp must not match anything ("rtime <= ltime"
@@ -96,7 +134,13 @@ object AsOfJoin {
       else unioned.withColumn("_match",
         last("_payload", ignoreNulls = true).over(
           base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    matched
+    val gated = toleranceMicros.fold(matched) { tol =>
+      val ltN = toNum(col("_t"), left.schema(leftTime).dataType)
+      val mtN = toNum(col(s"_match.$rightTime"), right.schema(rightTime).dataType)
+      val dist = if (fwd) mtN - ltN else ltN - mtN
+      matched.withColumn("_match", when(dist <= tol, col("_match")))
+    }
+    gated
       .filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_match.$c").as(s"asof_$c")): _*)
@@ -115,14 +159,7 @@ object AsOfJoin {
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
               rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val leftCols = left.columns.toSeq
-    def toNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
-      dt match {
-        case TimestampType => unix_micros(c)
-        case TimestampNTZType => unix_micros(c.cast(TimestampType))
-        case _ => c.cast("double")
-      }
     val pay = (rightPayload :+ rightTime).distinct
     val b = backward(left, right, key, leftTime, rightTime, pay, rightTieBreak)
       .select(leftCols.map(col) ++

@@ -355,6 +355,46 @@ object AnalyticsExt {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  /** Backward as-of with `merge_asof`'s tolerance: a purchase more than
+    * one hour before the click is no match at all
+    * ([[AsOfJoin.backwardWithin]] — row-local gap gate on the same
+    * single-exchange plan; since backward picks the LATEST match, an
+    * out-of-tolerance latest means every other candidate is even older,
+    * so gating equals filtering).
+    */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.backwardWithin(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"),
+        rightTieBreak = "event_id", toleranceMicros = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_event_id"),
+        col("asof_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofToleranceSql: String =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |  p.event_id AS purchase_event_id,
+      |  p.value AS purchase_value
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT e.event_id, e.value
+      |  FROM events e
+      |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      |    AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |    AND CAST(e.ts AS TIMESTAMP)
+      |      >= CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+      |  ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC
+      |  LIMIT 1) p ON true
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
   /** Nearest as-of ([[AsOfJoin.nearest]]): the closer of the backward and
     * forward matches, exact-distance ties to backward; `asof_side` says
     * which direction won. Two keyed window passes, never a pair join.
@@ -1097,6 +1137,7 @@ object AnalyticsExt {
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
@@ -1133,6 +1174,7 @@ object AnalyticsExt {
     "join_asof" -> joinAsofSql,
     "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_nearest" -> joinAsofNearestSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,

@@ -122,4 +122,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(101L) == (Some(11L), Some("forward")))
     assert(out(102L) == (Some(11L), Some("backward")))
   }
+
+  test("tolerance: a match beyond the gap is discarded, inclusive at the bound") {
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 09:30:00")),   // 30m after p1 → within 1h
+      (102L, 1L, ts("2024-01-01 10:00:00")),   // exactly 1h → inclusive
+      (103L, 1L, ts("2024-01-01 11:00:01"))    // 2h1s → discarded
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val hour = 3600L * 1000000L
+    val b = AsOfJoin.backwardWithin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id", toleranceMicros = hour)
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(b(101L) === Some(11L))
+    assert(b(102L) === Some(11L))
+    assert(b(103L) === None)
+
+    val f = AsOfJoin.forwardWithin(
+        clicks.withColumn("ts", expr("ts - INTERVAL 3 HOURS")),
+        purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id", toleranceMicros = hour)
+      .select("event_id", "asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // shifted 3h back: gaps become 2h30m / 2h / 59m59s ahead
+    assert(f(101L) === None)
+    assert(f(102L) === None)
+    assert(f(103L) === Some(11L))
+  }
 }

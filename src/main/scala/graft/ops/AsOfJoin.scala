@@ -158,13 +158,43 @@ object AsOfJoin {
     */
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+              rightPayload: Seq[String], rightTieBreak: String): DataFrame =
+    nearestImpl(left, right, key, leftTime, rightTime, rightPayload,
+      rightTieBreak, toleranceMicros = None)
+
+  /** [[nearest]] with `merge_asof(direction='nearest', tolerance=…)`
+    * semantics: each DIRECTIONAL candidate is discarded when its own
+    * distance exceeds `toleranceMicros` BEFORE the closer-of-the-two
+    * choice — so a left row whose backward match is in tolerance but
+    * whose (even closer) forward match is not still takes the backward
+    * one, and a row with neither in tolerance gets nulls. Falls out of
+    * the directional gates for free: an out-of-tolerance candidate
+    * nullifies exactly like a missing one, and the tie-to-backward rule
+    * then reads the surviving side.
+    */
+  def nearestWithin(left: DataFrame, right: DataFrame, key: String,
+                    leftTime: String, rightTime: String,
+                    rightPayload: Seq[String], rightTieBreak: String,
+                    toleranceMicros: Long): DataFrame =
+    nearestImpl(left, right, key, leftTime, rightTime, rightPayload,
+      rightTieBreak, toleranceMicros = Some(toleranceMicros))
+
+  private def nearestImpl(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String,
+                          rightPayload: Seq[String], rightTieBreak: String,
+                          toleranceMicros: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     val pay = (rightPayload :+ rightTime).distinct
-    val b = backward(left, right, key, leftTime, rightTime, pay, rightTieBreak)
+    val b = toleranceMicros.fold(
+        backward(left, right, key, leftTime, rightTime, pay, rightTieBreak))(
+        t => backwardWithin(left, right, key, leftTime, rightTime, pay,
+          rightTieBreak, t))
       .select(leftCols.map(col) ++
         pay.map(c => col(s"asof_$c").as(s"__b_$c")): _*)
-    val bf = forward(b, right, key, leftTime, rightTime, pay, rightTieBreak)
+    val bf = toleranceMicros.fold(
+        forward(b, right, key, leftTime, rightTime, pay, rightTieBreak))(
+        t => forwardWithin(b, right, key, leftTime, rightTime, pay,
+          rightTieBreak, t))
       .select((leftCols ++ pay.map(c => s"__b_$c")).map(col) ++
         pay.map(c => col(s"asof_$c").as(s"__f_$c")): _*)
     val lt = toNum(col(leftTime), left.schema(leftTime).dataType)

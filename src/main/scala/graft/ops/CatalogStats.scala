@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
   * runtime AQE re-planning the suite already exercises. This helper
   * registers EXTERNAL tables over the existing parquet (no copy) and
   * analyzes the join keys once per (session, dir); `graft_cbo_*` names
-  * are hash-scoped so two scale dirs never collide.
+  * are scoped by an md5 digest of the dir path — collision-resistant,
+  * unlike `String.hashCode`, where a collision would make
+  * `CREATE TABLE IF NOT EXISTS` silently reuse the first dir's
+  * LOCATION and analyze the wrong scale's data.
   */
 object CatalogStats {
 
@@ -39,7 +42,7 @@ object CatalogStats {
     done.computeIfAbsent((spark, dir), { kv =>
       val (s, d) = (kv._1, kv._2)
       StarKeys.map { case (table, keys) =>
-        val name = s"graft_cbo_${table}_" + Integer.toHexString(d.hashCode)
+        val name = s"graft_cbo_${table}_" + dirDigest(d)
         s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
           s"LOCATION '$d/$table.parquet'")
         s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
@@ -48,6 +51,15 @@ object CatalogStats {
       }
     })
   }
+
+  /** Collision-resistant table-name suffix for a data dir (first 12 hex
+    * chars of the path's md5 — 48 bits, vs `String.hashCode`'s trivially
+    * collidable 32).
+    */
+  private[graft] def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 
   /** Run `body` with cost-based optimization (and join reorder) enabled,
     * restoring the session's previous settings after. NOTE: Spark reads

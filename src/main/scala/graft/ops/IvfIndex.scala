@@ -71,12 +71,16 @@ object IvfIndex {
     *
     * The swap is directory renames (atomic per rename on one
     * filesystem): base → `_old`, fresh → base, then delete `_old` and
-    * the delta. A crash between the two renames leaves `<path>_old` +
-    * `<path>_compact` and no base — recovery is "rename `_old` back",
-    * and the delta is still intact either way, so data is never lost. A
-    * transactional table format replaces this dance with an atomic
-    * pointer swing; the SCAN/REWRITE cost — the part that matters at
-    * 100 TB — is identical.
+    * the delta. Hadoop's `FileSystem.rename` signals failure by
+    * RETURNING FALSE (not throwing), so each rename's result is checked
+    * and a failed swap throws BEFORE any delete runs — the delta is
+    * only dropped after the new base verifiably exists, so a failed or
+    * crashed swap always leaves the delta intact for retry. A crash
+    * between the two renames leaves `<path>_old` + `<path>_compact` and
+    * no base — recovery is "rename `_old` back". A transactional table
+    * format replaces this dance with an atomic pointer swing; the
+    * SCAN/REWRITE cost — the part that matters at 100 TB — is
+    * identical.
     *
     * No-op (returns false) when nothing has been appended.
     */
@@ -96,9 +100,21 @@ object IvfIndex {
     merged.write.partitionBy("centroid_id").mode("overwrite")
       .parquet(tmp.toString)
     val old = new Path(s"${path}_old")
+    val basePath = new Path(path)
     fs.delete(old, true)
-    fs.rename(new Path(path), old)
-    fs.rename(tmp, new Path(path))
+    if (!fs.rename(basePath, old))
+      throw new java.io.IOException(
+        s"IvfIndex.compact: rename $path -> $old failed; " +
+          "base and delta left untouched")
+    if (!fs.rename(tmp, basePath)) {
+      fs.rename(old, basePath) // best-effort restore; delta still intact
+      throw new java.io.IOException(
+        s"IvfIndex.compact: rename $tmp -> $path failed; " +
+          "original base restored, delta left intact for retry")
+    }
+    if (!fs.exists(basePath))
+      throw new java.io.IOException(
+        s"IvfIndex.compact: $path missing after swap; delta preserved")
     fs.delete(old, true)
     fs.delete(delta, true)
     true

@@ -204,7 +204,8 @@ object Ranking {
     checkOrder(order, rangeKey)
     val ranges = rangesOf(df)
     val cnt = "__graft_cnt"
-    val head = rangeKey.getOrElse(order.head).cast("double")
+    val head = rangeKey.getOrElse(defaultRangeProxy(df, order.head))
+      .cast("double")
     val valNames = aggs.indices.map(i => s"__graft_val_$i")
     val totNames = aggs.indices.map(i => s"__graft_tot_$i")
     val runOffNames = aggs.indices.map(i => s"__graft_roff_$i")
@@ -313,8 +314,9 @@ object Ranking {
     * groups nulls as one partition, and the join back matches
     * null-safely, so null keys rank exactly like the naive window.
     * Contract: same leading-key range-proxy rules as
-    * [[withGlobalRowNumber]] (pass `rangeKey` for a non-numeric or
-    * descending leading key; a lossy proxy degrades balance, never a
+    * [[withGlobalRowNumber]] (pass `rangeKey` for a descending leading
+    * key; a string leading key auto-falls-back to
+    * [[stringPrefixFraction]] — a lossy proxy degrades balance, never a
     * rank).
     */
   def withPartitionedRowNumber(df: DataFrame, partKeys: Seq[Column],
@@ -439,6 +441,27 @@ object Ranking {
     * collapse into the LOWER range (contiguity over ties); an all-null
     * bounds array (empty input) or null key maps to range 0.
     */
+  /** The range proxy used when the caller passes no explicit `rangeKey`:
+    * the leading order column, pre-mapped for the types whose direct
+    * `cast("double")` would SILENTLY return null — which would land
+    * every row in range 0 and reinstate the single-task sort this whole
+    * module exists to remove. StringType maps through
+    * [[stringPrefixFraction]] (monotone in binary order — a valid,
+    * if coarser, proxy), TIMESTAMP_NTZ hops through TimestampType
+    * (Spark 4 has no direct NTZ→double cast), DateType through its
+    * epoch-day number. Everything else keeps the raw column; a type the
+    * cast rejects outright fails analysis loudly, which is fine.
+    */
+  private def defaultRangeProxy(df: DataFrame, h: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(h).schema.head.dataType match {
+      case StringType => stringPrefixFraction(h)
+      case TimestampNTZType => h.cast(TimestampType)
+      case DateType => datediff(h, lit("1970-01-01").cast(DateType))
+      case _ => h
+    }
+  }
+
   private def assignRanges(df: DataFrame, head: Column): DataFrame = {
     val ranges = rangesOf(df)
     val fracs = (1 until ranges).map(_.toDouble / ranges)

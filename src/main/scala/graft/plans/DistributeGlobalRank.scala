@@ -92,8 +92,10 @@ import org.apache.spark.sql.types._
   *     direction, null placement, and NaN placement are all encoded into
   *     the proxy (split points only steer balance, so a lossy proxy can
   *     degrade parallelism but never a rank);
-  *   - a multi-function window node stays untouched (the other window
-  *     functions would still need the single-task sort anyway).
+  *   - a node containing ANY unsupported function stays untouched (one
+  *     poisoned function would still need the single-task sort, so a
+  *     partial rewrite would only add exchanges); a node whose functions
+  *     are ALL supported shares one distributed prefix pass across them.
   *
   * The replacement subtree is built with the SAME DataFrame-level
   * machinery users call directly ([[Ranking.withGlobalRowNumber]] /

@@ -441,6 +441,62 @@ object AnalyticsExt {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  /** Nearest as-of with the tolerance knob ([[AsOfJoin.nearestWithin]],
+    * pandas `merge_asof(direction='nearest', tolerance=…)`): each
+    * directional candidate is gated by its OWN distance before the
+    * closer-of-the-two choice. With one symmetric tolerance that
+    * composes to "the nearest match, nulls when it is further than
+    * 30 minutes" — the per-direction gate can only nullify, never flip
+    * the winner (the losing side is always at least as far as the
+    * winning side, so an in-tolerance loser implies an in-tolerance
+    * winner) — which is exactly what the one-`dist`-filter oracle
+    * checks. The 30-minute knob (vs `join_asof_tolerance`'s hour) makes
+    * the fixture produce all three outcomes: backward wins, forward
+    * wins, and no-match nulls.
+    */
+  def joinAsofNearestTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val events = Readers.events(spark, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    AsOfJoin.nearestWithin(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("event_id", "value"),
+        rightTieBreak = "event_id", toleranceMicros = 1800L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("purchase_event_id"),
+        col("asof_value").as("purchase_value"),
+        col("asof_side").as("side"))
+      .orderBy("event_id")
+  }
+
+  val joinAsofNearestToleranceSql: String =
+    """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |  p.event_id AS purchase_event_id,
+      |  p.value AS purchase_value,
+      |  p.side
+      |FROM events c
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id, value, side FROM (
+      |    SELECT e.event_id, e.value,
+      |      CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+      |             <= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |        THEN 'backward' ELSE 'forward' END AS side,
+      |      CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+      |             <= epoch_us(CAST(c.ts AS TIMESTAMP))
+      |        THEN 0 ELSE 1 END AS sideord,
+      |      abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+      |        - epoch_us(CAST(c.ts AS TIMESTAMP))) AS dist
+      |    FROM events e
+      |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id)
+      |  WHERE dist <= 1800000000
+      |  ORDER BY dist ASC, sideord ASC,
+      |    CASE WHEN sideord = 0 THEN -event_id ELSE event_id END ASC
+      |  LIMIT 1) p ON true
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.event_id""".stripMargin
+
   // intervals must be CLAMPED, not open-ended: an interval explodes into
   // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
   // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
@@ -1138,6 +1194,7 @@ object AnalyticsExt {
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_nearest_tolerance" -> joinAsofNearestTolerance,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
@@ -1175,6 +1232,7 @@ object AnalyticsExt {
     "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
+    "join_asof_nearest_tolerance" -> joinAsofNearestToleranceSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,

@@ -692,12 +692,14 @@ object SqlSurface {
   /** The offset-function leg of [[graft.plans.DistributeGlobalRank]]:
     * naive `lag`/`lead`/`first_value` straight over the fact table's
     * unique key order (unique order = deterministic offsets in any
-    * engine). The rewrite resolves each distinct offset through one
-    * rank-equi self-join and broadcasts the rank-0 row for
-    * `first_value`; the hit-marker contract is exercised by the
-    * explicit default (-1) that must appear ONLY on the first three
-    * rows of the total order, never where a shifted price is merely
-    * null. Prices pass through unaggregated — stored bits, no rounding
+    * engine). The rewrite computes per-range LOCAL shifts in the one
+    * distributed sort pass and stitches the ≤ P·|offset| seam rows from
+    * a bounded boundary broadcast (rank arithmetic decides misses — no
+    * self-join, no second fact shuffle); `first_value` broadcasts the
+    * rank-0 row. The explicit default (-1) must appear ONLY on the
+    * first three rows of the total order, never where a shifted price
+    * is merely null — which exercises exactly that miss-vs-null-value
+    * distinction. Prices pass through unaggregated — stored bits, no rounding
     * contract needed. The sampling filter sits above the window, so the
     * offsets are computed over the WHOLE table, then sampled.
     */

@@ -60,12 +60,20 @@ object IvfAppendSink {
   /** The probe view: base ∪ delta with identical columns. Both sides are
     * separate parquet scans carrying `centroid_id` as a partition
     * column, so a cell filter or probe join prunes each independently.
+    * The delta directory legitimately doesn't exist on a fresh index
+    * (no streamed append yet) and right after
+    * [[graft.ops.IvfIndex.compact]] absorbs it — then the view is just
+    * the base scan.
     */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val base = spark.read.parquet(indexPath)
-    val delta = spark.read.parquet(deltaPath(indexPath))
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    base.union(delta)
+    val dp = new Path(deltaPath(indexPath))
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dp)) base
+    else base.union(
+      spark.read.parquet(dp.toString)
+        .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Delta layout convention — owned by [[graft.ops.IvfIndex]], which

@@ -152,4 +152,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(f(102L) === None)
     assert(f(103L) === Some(11L))
   }
+
+  test("nearestWithin: per-direction gate — backward in tolerance, forward out") {
+    // p1 at 09:00, p2 at 12:00; tolerance 1h
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 09:40:00")),  // b=40m in, f=2h20m out → backward
+      (102L, 1L, ts("2024-01-01 11:20:00")),  // b=2h20m out, f=40m in → forward
+      (103L, 1L, ts("2024-01-01 10:30:00")),  // both out (1.5h each) → nulls
+      (104L, 1L, ts("2024-01-01 10:00:00")),  // exactly 1h backward → inclusive
+      (105L, 2L, ts("2024-01-01 10:00:00"))   // no purchases at all
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0),
+      (1L, ts("2024-01-01 12:00:00"), 12L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.nearestWithin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id",
+        toleranceMicros = 3600L * 1000000L)
+      .select("event_id", "asof_event_id", "asof_side")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(101L) == (Some(11L), Some("backward")))
+    assert(out(102L) == (Some(12L), Some("forward")))
+    assert(out(103L) == (None, None))
+    assert(out(104L) == (Some(11L), Some("backward")))  // inclusive bound
+    assert(out(105L) == (None, None))
+  }
+
+  test("nearestWithin: gate keeps the tie-to-backward rule on the survivors") {
+    // equidistant (45m each way), both in tolerance → backward wins the tie
+    val clicks = Seq((101L, 1L, ts("2024-01-01 09:45:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 11L, 5.0),
+      (1L, ts("2024-01-01 10:30:00"), 12L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.nearestWithin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id", "value"), "event_id",
+        toleranceMicros = 3600L * 1000000L)
+      .select("asof_event_id", "asof_side").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((11L, "backward")))
+  }
 }

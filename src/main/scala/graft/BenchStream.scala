@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{DocStreams, EventStreams, StatefulOps}
+import graft.streaming.{AsOfStream, DocStreams, EventStreams, StatefulOps}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SQLContext}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -134,6 +134,19 @@ object BenchStream {
     run("kll_quantiles_stream", grpValues, "update")(
       ds => StatefulOps.kllQuantilesStream(ds, k = 200,
         qs = Seq(0.5, 0.9, 0.99)).toDF())
+    // watermark-buffered forward/nearest as-of: per-batch cost is the
+    // keyed state fold (buffer append + due-left resolution); state is
+    // O(rate × horizon) per key, so batch times must stay flat
+    val asofEvents = events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .map(e => AsOfStream.AsOfEvent(e.user_id, e.event_type == "click",
+        e.ts, e.ts.getTime * 1000L, e.event_id, e.value))
+    run("asof_forward_stream", asofEvents, "append")(
+      ds => AsOfStream.forwardWithin(ds,
+        horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
+    run("asof_nearest_stream", asofEvents, "append")(
+      ds => AsOfStream.nearestWithin(ds,
+        horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
     // SCD-2 point-in-time enrichment: stream-static join, no state store
     // — per-batch cost is the dimension re-plan + the key equi-join with
     // the interval residual (the dimension broadcasts at this size)

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the FORWARD and NEAREST as-of joins
+  * ([[graft.ops.AsOfJoin.forwardWithin]] / `nearestWithin`) — the two
+  * directions a stream cannot answer row-at-a-time, because the match is
+  * in the FUTURE: a forward match for a left row at `t` may arrive any
+  * time until the watermark passes `t + horizon`. So left rows BUFFER in
+  * keyed state until their horizon closes, then resolve against the
+  * buffered right rows and emit exactly once (append mode) — the same
+  * watermark-buffered-emit discipline `StatefulOps.sessionizeStream`
+  * uses to close gap sessions.
+  *
+  * The horizon is load-bearing, not a convenience: an UNBOUNDED forward
+  * as-of would have to hold every unmatched left row forever (the match
+  * may always still come), which contradicts bounded state. Bounding the
+  * wait IS `merge_asof`'s tolerance knob, so the streaming operator is
+  * the `*Within` twin by construction, and parity is against the batch
+  * `forwardWithin`/`nearestWithin` at the same `horizonMicros`.
+  *
+  * State per key is two buffers, both watermark-bounded:
+  *   - unresolved left rows — resolved and dropped once
+  *     `watermark > t + horizon`;
+  *   - right rows — a right at `r` can serve backward candidates for
+  *     lefts up to `r + horizon` (which resolve by `r + 2·horizon`), so
+  *     rights evict at `watermark − 2·horizon` (nearest) /
+  *     `watermark − horizon` (forward). State size is O(arrival rate ×
+  *     horizon) per key, never O(history).
+  *
+  * Tie rules replicate the batch operator exactly: forward takes the
+  *  earliest right at-or-after `t` (equal timestamps → SMALLEST
+  * `event_id`), the nearest backward leg takes the latest at-or-before
+  * (equal → LARGEST id), equal-distance ties choose backward, and each
+  * directional candidate is gated by its own distance BEFORE the
+  * closer-of-the-two choice — inclusive at the bound.
+  *
+  * Late data: with an event-time timeout the engine DROPS input rows
+  * older than the watermark before they reach the state function
+  * (`FlatMapGroupsWithStateExec`'s late-data filter — verified by
+  * AsOfStreamSpec) — so a late right can never reopen a resolved left
+  * (append-only emit holds by construction) and a late left emits
+  * nothing rather than a wrong or partial match. The `resolve` fold
+  * still handles an arrived-late left defensively (it would settle
+  * immediately against the surviving buffer), but under this engine
+  * path that branch only serves rows inside the allowed-lateness
+  * window.
+  */
+object AsOfStream {
+
+  /** One event on the unioned stream: `is_left` tags the probe side
+    * (clicks) vs the reference side (purchases). `ts` rides the
+    * watermark; `ts_micros` is the exact arithmetic (the engine-wide
+    * time unit, no ms-truncation drift against the batch operator).
+    */
+  case class AsOfEvent(user_id: Long, is_left: Boolean,
+                       ts: java.sql.Timestamp, ts_micros: Long,
+                       event_id: Long, value: Double)
+
+  /** One resolved left row — the streaming analogue of the batch
+    * operator's `asof_*` output columns (`asof_side` is null in forward
+    * mode and on no-match rows, like the batch `nearest`).
+    */
+  case class AsOfMatch(user_id: Long, event_id: Long, ts_micros: Long,
+                       asof_event_id: Option[Long],
+                       asof_ts_micros: Option[Long],
+                       asof_value: Option[Double],
+                       asof_side: Option[String])
+
+  /** Keyed state: both buffers as parallel-seq columns (a product
+    * encoder keeps the state-store wire format flat). Lefts:
+    * (ts_us, event_id); rights: (ts_us, event_id, value).
+    */
+  case class Buffers(l_ts: Seq[Long], l_id: Seq[Long],
+                     r_ts: Seq[Long], r_id: Seq[Long], r_val: Seq[Double])
+
+  /** Forward as-of over a stream: each left row matched to the earliest
+    * right row in `[t, t + horizonMicros]` on the same key, emitted once
+    * the watermark proves no earlier-qualifying right can still arrive.
+    */
+  def forwardWithin(events: Dataset[AsOfEvent], horizonMicros: Long,
+                    watermarkDelay: String): Dataset[AsOfMatch] =
+    run(events, horizonMicros, nearestMode = false, watermarkDelay)
+
+  /** Nearest as-of over a stream: the closer of the backward and forward
+    * matches within `horizonMicros`, ties to backward, `asof_side`
+    * reporting the winning direction.
+    */
+  def nearestWithin(events: Dataset[AsOfEvent], horizonMicros: Long,
+                    watermarkDelay: String): Dataset[AsOfMatch] =
+    run(events, horizonMicros, nearestMode = true, watermarkDelay)
+
+  /** Resolve every buffered left whose horizon the watermark has passed
+    * (plus — late-left handling — any left already past it on arrival)
+    * against the right buffer; returns (emitted, remaining state).
+    * Shared by the streaming operator and direct unit tests, like
+    * `StatefulOps.foldSessions`.
+    */
+  private[streaming] def resolve(uid: Long, horizon: Long,
+                                 nearestMode: Boolean, wmUs: Long,
+                                 st: Buffers)
+  : (Seq[AsOfMatch], Buffers) = {
+    val lefts = st.l_ts.zip(st.l_id)
+    val rights = st.r_ts.lazyZip(st.r_id).lazyZip(st.r_val).toSeq
+    val (due, pending) = lefts.partition { case (t, _) => t + horizon < wmUs }
+    val out = due.sorted.map { case (t, lid) =>
+      // forward: earliest (r, id) at-or-after t within horizon
+      val fwd = rights.filter(r => r._1 >= t && r._1 - t <= horizon)
+        .sortBy(r => (r._1, r._2)).headOption
+      // backward: latest (r, id) at-or-before t within horizon
+      val bwd = if (!nearestMode) None
+        else rights.filter(r => r._1 <= t && t - r._1 <= horizon)
+          .sortBy(r => (r._1, r._2)).lastOption
+      val chosen: Option[((Long, Long, Double), String)] = (bwd, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._1 <= f._1 - t) Some((b, "backward"))
+          else Some((f, "forward"))
+        case (Some(b), None) => Some((b, "backward"))
+        case (None, Some(f)) =>
+          Some((f, if (nearestMode) "forward" else null))
+        case (None, None) => None
+      }
+      AsOfMatch(uid, lid, t,
+        chosen.map(_._1._2), chosen.map(_._1._1), chosen.map(_._1._3),
+        chosen.flatMap(c => Option(c._2)).filter(_ => nearestMode))
+    }
+    val horizonBack = if (nearestMode) 2 * horizon else horizon
+    val keptRights = rights.filter(_._1 >= wmUs - horizonBack)
+    (out, Buffers(pending.map(_._1), pending.map(_._2),
+      keptRights.map(_._1), keptRights.map(_._2), keptRights.map(_._3)))
+  }
+
+  private def run(events: Dataset[AsOfEvent], horizonMicros: Long,
+                  nearestMode: Boolean, watermarkDelay: String)
+  : Dataset[AsOfMatch] = {
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    implicit val stEnc = Encoders.product[Buffers]
+    val horizonBack = if (nearestMode) 2 * horizonMicros else horizonMicros
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as(Encoders.product[AsOfEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[AsOfEvent],
+         state: GroupState[Buffers]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption
+            .getOrElse(Buffers(Nil, Nil, Nil, Nil, Nil))
+          val (ls, rs) = batch.toSeq.partition(_.is_left)
+          val merged = Buffers(
+            prior.l_ts ++ ls.map(_.ts_micros),
+            prior.l_id ++ ls.map(_.event_id),
+            prior.r_ts ++ rs.map(_.ts_micros),
+            prior.r_id ++ rs.map(_.event_id),
+            prior.r_val ++ rs.map(_.value))
+          val (out, kept) = resolve(uid, horizonMicros, nearestMode,
+            wmUs, merged)
+          if (kept.l_ts.isEmpty && kept.r_ts.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(kept)
+            // wake when the earliest pending left's horizon closes; with
+            // only rights left, when the last of them becomes evictable.
+            // Timeouts must sit strictly past the current watermark.
+            val dueUs =
+              if (kept.l_ts.nonEmpty) kept.l_ts.min + horizonMicros
+              else kept.r_ts.max + horizonBack
+            state.setTimeoutTimestamp(math.max(dueUs / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        })
+  }
+}

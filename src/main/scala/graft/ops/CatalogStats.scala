@@ -27,7 +27,8 @@ object CatalogStats {
 
   /** Key columns that get column-level stats per table. */
   private val StarKeys: Map[String, Seq[String]] = Map(
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_linenumber"),
     "orders" -> Seq("o_orderkey"),
     "part" -> Seq("p_partkey"))
 

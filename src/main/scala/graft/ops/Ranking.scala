@@ -321,29 +321,8 @@ object Ranking {
     */
   def withPartitionedRowNumber(df: DataFrame, partKeys: Seq[Column],
                                order: Seq[Column], out: String,
-                               rangeKey: Option[Column] = None): DataFrame = {
-    require(partKeys.nonEmpty, "use withGlobalRowNumber for empty keys")
-    val kNames = partKeys.indices.map(i => s"__graft_pk_$i")
-    val dNames = kNames.map(_ + "_d")
-    val tmp = "__graft_prn"
-    val withK = kNames.zip(partKeys).foldLeft(df) {
-      case (d, (nm, c)) => d.withColumn(nm, c)
-    }
-    // plain columns sort ascending-nulls-first by default, which both
-    // groups each key contiguously and keeps the head usable as the
-    // range proxy
-    val ranked = withGlobalPrefix(withK,
-      kNames.map(col) ++ order, Some(tmp), None, Nil, rangeKey)
-    val base = ranked.groupBy(kNames.map(col): _*)
-      .agg(min(col(tmp)).as("__graft_prn_base"))
-      .select((kNames.zip(dNames).map { case (k, d) => col(k).as(d) } :+
-        col("__graft_prn_base")): _*)
-    val cond = kNames.zip(dNames)
-      .map { case (k, d) => ranked(k) <=> base(d) }.reduce(_ && _)
-    ranked.join(base, cond)
-      .withColumn(out, col(tmp) - col("__graft_prn_base") + lit(1L))
-      .drop((kNames ++ dNames :+ tmp :+ "__graft_prn_base"): _*)
-  }
+                               rangeKey: Option[Column] = None): DataFrame =
+    withPartitionedPrefix(df, partKeys, order, Some(out), Nil, rangeKey)
 
   /** `df` plus one column per spec = `sum(value) OVER (PARTITION BY
     * partKeys ORDER BY order ROWS UNBOUNDED PRECEDING)` for each
@@ -368,43 +347,111 @@ object Ranking {
                                  order: Seq[Column],
                                  sums: Seq[(Column, String)],
                                  rangeKey: Option[Column] = None)
+  : DataFrame =
+    withPartitionedPrefix(df, partKeys, order, None, sums, rangeKey)
+
+  /** The combined engine behind [[withPartitionedRowNumber]] and
+    * [[withPartitionedRunningSums]] — and the entry point for callers
+    * needing BOTH (the [[graft.plans.DistributeGlobalRank]] partitioned
+    * leg). Two passes that never read each other's output row side:
+    *
+    *   1. the DATA pass — one range-split global prefix over
+    *      (keys, order) producing, per row, the 0-based global rank and
+    *      each sum's INCLUSIVE prefix (+ its non-null count);
+    *   2. the BASE pass — per-key totals aggregated DIRECTLY FROM THE
+    *      INPUT (map-side combined: row count, each sum's per-key total
+    *      and non-null count), then a distributed EXCLUSIVE prefix over
+    *      that one-row-per-key frame in key order. "Rows before this
+    *      key" is the key's min global rank; "sum before this key" is
+    *      its exclusive base — the same per-distinct-key-totals trick
+    *      the RANGE-frame leg of the optimizer rule uses.
+    *
+    * The in-key quantities are then inclusive − base after ONE join.
+    * Earlier formulations aggregated the bases FROM the ranked frame
+    * (`min_by(exclusive, rank)`), which put the whole data pass on both
+    * sides of its own join — the self-join lineage recomputed the DAG
+    * once per side, and chaining the rank and sum entry points
+    * compounded it (measured 20× vs the naive window on the
+    * optimizer-rewrite probe; this shape measures ~2×, the honest
+    * multi-stage floor at toy scale).
+    *
+    * `broadcastBase = true` hints the per-key base frame broadcast-side:
+    * callers that have PROVEN the key's cardinality small (catalog
+    * stats — the rewrite leg's gate) skip the sort-merge fallback that
+    * Catalyst's size estimate would otherwise pick for a derived frame.
+    * Rank semantics follow [[withPartitionedRowNumber]]; sum null
+    * semantics follow [[withPartitionedRunningSums]] (a key prefix with
+    * no non-null values is null, via each sum's non-null-count base —
+    * the per-key SQL `sum` total is itself null for an all-null key, so
+    * the exclusive combine skips it exactly like the row-level form).
+    */
+  def withPartitionedPrefix(df: DataFrame, partKeys: Seq[Column],
+                            order: Seq[Column], rankOut: Option[String],
+                            sums: Seq[(Column, String)],
+                            rangeKey: Option[Column] = None,
+                            broadcastBase: Boolean = false)
   : DataFrame = {
-    require(partKeys.nonEmpty && sums.nonEmpty,
-      "needs partition keys and at least one (value, out) spec")
+    require(partKeys.nonEmpty,
+      "use the global entry points for empty partition keys")
+    require(rankOut.nonEmpty || sums.nonEmpty,
+      "needs a rank output and/or at least one (value, out) sum spec")
     val kNames = partKeys.indices.map(i => s"__graft_pk_$i")
     val dNames = kNames.map(_ + "_d")
     val tmp = "__graft_prs_rn"
     val incl = sums.indices.map(i => s"__graft_prs_i_$i")
-    val excl = sums.indices.map(i => s"__graft_prs_e_$i")
     val cIncl = sums.indices.map(i => s"__graft_prs_ci_$i")
-    val cExcl = sums.indices.map(i => s"__graft_prs_ce_$i")
+    val kTot = sums.indices.map(i => s"__graft_prs_kt_$i")
+    val kCnt = sums.indices.map(i => s"__graft_prs_kc_$i")
     val bases = sums.indices.map(i => s"__graft_prs_b_$i")
     val cBases = sums.indices.map(i => s"__graft_prs_cb_$i")
+    val kn = "__graft_prs_kn"
+    val rnBase = "__graft_prs_rnb"
     val withK = kNames.zip(partKeys).foldLeft(df) {
       case (d, (nm, c)) => d.withColumn(nm, c)
     }
+    // data pass: rank + inclusive prefixes only (bases come from the
+    // key frame, so no exclusive row-level columns are needed)
     val specs = sums.zipWithIndex.flatMap { case ((v, _), i) =>
       Seq(
         RunningSpec(v, RunSum, inclusive = true, incl(i)),
-        RunningSpec(v, RunSum, inclusive = false, excl(i)),
         RunningSpec(v.isNotNull.cast("long"), RunSum,
-          inclusive = true, cIncl(i)),
-        RunningSpec(v.isNotNull.cast("long"), RunSum,
-          inclusive = false, cExcl(i)))
+          inclusive = true, cIncl(i)))
     }
+    // plain key columns sort ascending-nulls-first by default, which
+    // both groups each key contiguously and keeps the head usable as
+    // the range proxy
     val ranked = withGlobalPrefix(withK, kNames.map(col) ++ order,
       Some(tmp), None, specs, rangeKey)
-    val base = ranked.groupBy(kNames.map(col): _*)
-      .agg(min_by(col(excl.head), col(tmp)).as(bases.head),
-        (sums.indices.map(i => min_by(col(cExcl(i)), col(tmp))
-          .as(cBases(i))) ++
-          sums.indices.drop(1).map(i => min_by(col(excl(i)), col(tmp))
-            .as(bases(i)))): _*)
+    // base pass: per-key totals straight from the input (map-side
+    // combined — a hot key collapses to partial aggregates before its
+    // exchange), then an exclusive distributed prefix over the
+    // one-row-per-key frame in the same key order
+    val keyAggCols =
+      count(lit(1)).cast("long").as(kn) +:
+        sums.zipWithIndex.flatMap { case ((v, _), i) =>
+          Seq(sum(v).as(kTot(i)),
+            count(v).cast("long").as(kCnt(i)))
+        }
+    val keyFrame = withK.groupBy(kNames.map(col): _*)
+      .agg(keyAggCols.head, keyAggCols.tail: _*)
+    val baseSpecs =
+      RunningSpec(col(kn), RunSum, inclusive = false, rnBase) +:
+        sums.indices.flatMap(i => Seq(
+          RunningSpec(col(kTot(i)), RunSum, inclusive = false, bases(i)),
+          RunningSpec(col(kCnt(i)), RunSum, inclusive = false, cBases(i))))
+    val base0 = withGlobalPrefix(keyFrame, kNames.map(col), None, None,
+        baseSpecs)
       .select((kNames.zip(dNames).map { case (k, d) => col(k).as(d) } ++
-        (bases ++ cBases).map(col)): _*)
+        (rnBase +: (bases ++ cBases)).map(col)): _*)
+    val base = if (broadcastBase) broadcast(base0) else base0
     val cond = kNames.zip(dNames)
       .map { case (k, d) => ranked(k) <=> base(d) }.reduce(_ && _)
     var res = ranked.join(base, cond)
+    rankOut.foreach { out =>
+      // global rank is 0-based; "rows before this key" re-bases it
+      res = res.withColumn(out,
+        col(tmp) - coalesce(col(rnBase), lit(0L)) + lit(1L))
+    }
     sums.zipWithIndex.foreach { case ((_, out), i) =>
       val inKeyCnt = col(cIncl(i)) - coalesce(col(cBases(i)), lit(0L))
       res = res.withColumn(out,
@@ -412,8 +459,8 @@ object Ranking {
           col(incl(i)) - coalesce(col(bases(i)),
             lit(0L).cast(res.schema(incl(i)).dataType))))
     }
-    res.drop((kNames ++ dNames ++ incl ++ excl ++ cIncl ++ cExcl ++
-      bases ++ cBases :+ tmp): _*)
+    res.drop((kNames ++ dNames ++ incl ++ cIncl ++
+      bases ++ cBases :+ rnBase :+ tmp): _*)
   }
 
   private val pidCol = "__graft_pid"

@@ -110,6 +110,7 @@ import org.apache.spark.sql.types._
 object DistributeGlobalRank extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.distributeGlobalRank"
+  val PartitionedConfKey = "spark.graft.distributePartitionedWindow"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
@@ -139,7 +140,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // empty ORDER BY is fine when every function is a whole-partition
     // aggregate (`sum(x) OVER ()` — the percent-of-total idiom): those
     // rewrite to a global aggregate + broadcast, no order needed
-    if (w.partitionSpec.nonEmpty) return None
+    if (w.partitionSpec.nonEmpty) return rewritePartitioned(w)
     if (!w.child.resolved || w.child.maxRows.isDefined) return None
     if (w.child.isInstanceOf[WindowGroupLimit]) return None
     if (w.windowExpressions.isEmpty) return None
@@ -649,6 +650,227 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     }
     logInfo(s"distributing ${funcs.size} unpartitioned rank function(s) " +
       s"over ${w.orderSpec.map(_.sql).mkString(", ")}")
+    Some(Project(restored ++ ranks, analyzed))
+  }
+
+  /** The PARTITIONED-window leg, gated on catalog statistics — the
+    * cost-based twin of the unpartitioned rewrite. A
+    * `Window.partitionBy(key)` sorts each key's rows in ONE task,
+    * un-splittable by AQE (it splits skewed join probes, never window
+    * sorts), so when NDV(key) ≪ shuffle partitions the stage runs at
+    * parallelism ≤ NDV whatever the cluster width — but that skew is
+    * not statically provable from the plan alone, which is why the
+    * unpartitioned rule always refused these nodes. Column statistics
+    * (`ANALYZE TABLE … FOR COLUMNS`, [[graft.ops.CatalogStats]]) make
+    * it provable, and the SAME stats solve the rewrite's other
+    * problem: [[Ranking.withPartitionedRowNumber]] range-splits on a
+    * proxy led by the partition key, and a low-NDV key alone collapses
+    * to ≤ NDV ranges — so the proxy here extends WITHIN keys with the
+    * leading order column normalized into [0, 1) by its stats min/max
+    * (`key + (v − min)/(max − min + 1)`). Stale bounds only clamp the
+    * fraction — the proxy stays weakly monotone in the total order, so
+    * balance degrades, never a rank.
+    *
+    * Guards (each refusal keeps the naive plan):
+    *   - stats must exist and prove it: a single integral-typed
+    *     attribute key whose distinctCount satisfies `2·NDV ≤ shuffle
+    *     partitions` (integral: the key-to-key proxy gap is ≥ 1, so
+    *     the within-key fraction can never reorder keys), and a
+    *     leading order column with known min/max of a numeric /
+    *     date / timestamp type — path-based reads carry neither, so
+    *     this leg never fires outside a stats-bearing catalog table
+    *     (the stats-absent refusal PlanLintSpec-style pinned in
+    *     DistributeRankSpec);
+    *   - functions: `row_number()`, and explicit ROWS-frame running
+    *     `sum`/`count`/`avg` (integral sum/avg — the distributed
+    *     subtraction re-associates, exact only for integers; ROWS
+    *     only — the default RANGE frame shares values across peers,
+    *     a semantics [[Ranking.withPartitionedRunningSums]]'s
+    *     row-level prefix does not reproduce under order ties; tie
+    *     attribution inside ROWS follows the pipeline's
+    *     arbitrary-but-consistent order, the same latitude SQL gives
+    *     the naive plan);
+    *   - same bounded-child / WindowGroupLimit / filter-consumed
+    *     guards as the unpartitioned leg.
+    *
+    * Disable independently with
+    * `spark.graft.distributePartitionedWindow=false`.
+    */
+  private def rewritePartitioned(w: Window): Option[LogicalPlan] = {
+    if (!conf.getConfString(PartitionedConfKey, "true").toBoolean)
+      return None
+    if (w.orderSpec.isEmpty || w.windowExpressions.isEmpty) return None
+    if (!w.child.resolved || w.child.maxRows.isDefined) return None
+    if (w.child.isInstanceOf[WindowGroupLimit]) return None
+    def integralKey(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val key = w.partitionSpec match {
+      case Seq(a: Attribute) if integralKey(a.dataType) => a
+      case _ => return None
+    }
+    val stats = w.child.stats
+    val ndv = stats.attributeStats.get(key).flatMap(_.distinctCount)
+      .getOrElse(return None)
+    val parts = conf.numShufflePartitions
+    if (ndv <= 0 || ndv * 2 > BigInt(parts)) return None
+    val so = w.orderSpec.head
+    val oAttr = so.child match {
+      case a: Attribute => a
+      case _ => return None
+    }
+    val oStat = stats.attributeStats.get(oAttr).getOrElse(return None)
+    def statNum(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    val oMin = oStat.min.flatMap(statNum).getOrElse(return None)
+    val oMax = oStat.max.flatMap(statNum).getOrElse(return None)
+    if (!(oMax >= oMin)) return None
+    // data-side numeric view of the order column, on the SAME scale as
+    // the stats values (days for dates, micros for timestamps)
+    import org.apache.spark.sql.functions.{col => fcol, greatest => fgreatest, least => fleast, unix_micros}
+    val oCol = GraftColumnBridge.column(oAttr)
+    val oNum: Column = oAttr.dataType match {
+      case _: NumericType => oCol.cast("double")
+      case DateType => datediff(oCol, lit("1970-01-01").cast("date"))
+        .cast("double")
+      case TimestampType => unix_micros(oCol).cast("double")
+      case TimestampNTZType =>
+        unix_micros(oCol.cast(TimestampType)).cast("double")
+      case _ => return None
+    }
+    sealed trait PFn
+    case object PRowNum extends PFn
+    case class PSum(value: Expression, dt: DataType) extends PFn
+    case class PCount(value: Option[Expression], dt: DataType) extends PFn
+    case class PAvg(value: Expression, dt: DataType) extends PFn
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val funcs: Seq[(String, ExprId, PFn)] = w.windowExpressions.map {
+      case a @ Alias(WindowExpression(f, spec), n)
+          if spec.partitionSpec == w.partitionSpec &&
+            spec.orderSpec == w.orderSpec =>
+        f match {
+          case RowNumber() => (n, a.exprId, PRowNum)
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            spec.frameSpecification match {
+              case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                CurrentRow) => // explicit ROWS prefix only (see scaladoc)
+              case _ => return None
+            }
+            val fn: PFn = ae.aggregateFunction match {
+              case s: Sum if s.evalContext.evalMode != EvalMode.TRY &&
+                  integral(s.child.dataType) =>
+                PSum(s.child, ae.dataType)
+              case c: Count
+                  if c.children.forall(ch => ch.foldable && !ch.nullable) =>
+                PCount(None, ae.dataType)
+              case c: Count if c.children.size == 1 =>
+                PCount(Some(c.children.head), ae.dataType)
+              case av: Average if av.evalMode != EvalMode.TRY &&
+                  integral(av.child.dataType) =>
+                PAvg(av.child, ae.dataType)
+              case _ => return None
+            }
+            (n, a.exprId, fn)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // the stats-furnished range proxy: key + clamped in-key fraction.
+    // Fraction orientation follows the order direction; null/NaN fills
+    // follow their sort placement (nulls-first → 0, NaN greatest → 1−ε
+    // ascending / 0 descending). All fills are balance-only.
+    val spark = SparkSession.active
+    val childDf = GraftColumnBridge.ofRows(spark, w.child)
+    val keyCol = GraftColumnBridge.column(key)
+    val span = oMax - oMin + 1.0
+    val frac0 =
+      if (so.direction == Descending) (lit(oMax) - oNum) / lit(span)
+      else (oNum - lit(oMin)) / lit(span)
+    val hi = 1.0 - 1e-9
+    val nanFill = if (so.direction == Descending) 0.0 else hi
+    val nullFill = if (so.nullOrdering == NullsFirst) 0.0 else hi
+    val frac = coalesce(
+      nanvl(fleast(fgreatest(frac0, lit(0.0)), lit(hi)), lit(nanFill)),
+      lit(nullFill))
+    val rangeKey = coalesce(keyCol.cast("double"), lit(Double.MinValue)) +
+      frac
+    val orderCols = w.orderSpec.map(sortCol)
+    val tmpRank = "__graft_auto_prn"
+    // keyed by canonicalized form so every reference to the same value
+    // expression — across window functions and the later output
+    // mapping — resolves to the one registered prefix column
+    val sums = scala.collection.mutable.LinkedHashMap
+      .empty[(Boolean, Option[Expression]), (Option[Expression], String)]
+    def sumOut(indicator: Boolean, v: Option[Expression]): String = {
+      val k = (indicator, v.map(_.canonicalized))
+      sums.getOrElseUpdate(k, (v, s"__graft_auto_ps_${sums.size}"))._2
+    }
+    // register the needed prefix sums (avg = its sum + its count)
+    funcs.foreach {
+      case (_, _, PSum(v, _)) => sumOut(indicator = false, Some(v))
+      case (_, _, PCount(v, _)) => sumOut(indicator = true, v)
+      case (_, _, PAvg(v, _)) =>
+        sumOut(indicator = false, Some(v)); sumOut(indicator = true, Some(v))
+      case _ =>
+    }
+    def valueCol(e: Expression): Column = GraftColumnBridge.column(e)
+    val sumSpecs: Seq[(Column, String)] = sums.toSeq.map {
+      case ((ind, _), (v, out)) =>
+        val c =
+          if (ind) v.map(e => valueCol(e).isNotNull.cast("long"))
+            .getOrElse(lit(1L))
+          else valueCol(v.get).cast("long")
+        (c, out)
+    }
+    // ONE combined prefix pass for rank + every sum (chaining the two
+    // per-quantity entry points would recompute the first pass's DAG
+    // several times through the second's self-join lineage — measured
+    // 20× on this probe); base broadcast is safe: ≤ NDV rows, proven
+    val wantRank = funcs.exists(_._3 == PRowNum)
+    var ranked = Ranking.withPartitionedPrefix(childDf, Seq(keyCol),
+      orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
+      Some(rangeKey), broadcastBase = true)
+    val outNames = funcs.map(_._1)
+    funcs.foreach { case (nm, _, fn) =>
+      import org.apache.spark.sql.functions.{coalesce => fcoalesce}
+      val c: Column = fn match {
+        case PRowNum => fcol(tmpRank).cast("int")
+        case PSum(v, dt) =>
+          fcol(sumOut(indicator = false, Some(v))).cast(dt)
+        case PCount(v, dt) =>
+          // count is 0 where sum-gating says "no rows yet", never null
+          fcoalesce(fcol(sumOut(indicator = true, v)), lit(0L)).cast(dt)
+        case PAvg(v, dt) =>
+          (fcol(sumOut(indicator = false, Some(v))).cast("double") /
+            fcol(sumOut(indicator = true, Some(v))).cast("double")).cast(dt)
+      }
+      ranked = ranked.withColumn(nm, c)
+    }
+    ranked = ranked.drop(
+      (if (funcs.exists(_._3 == PRowNum)) Seq(tmpRank) else Nil) ++
+        sums.values.toSeq.map(_._2): _*)
+    val analyzed = ranked.queryExecution.optimizedPlan
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val outAttrs = outNames.map(n => byName.getOrElse(n, return None))
+    val childAttrs = analyzed.output.filterNot(a => outNames.contains(a.name))
+    if (childAttrs.size != w.child.output.size) return None
+    val restored = w.child.output.zip(childAttrs).map { case (orig, got) =>
+      if (orig.exprId == got.exprId) got
+      else Alias(got, orig.name)(exprId = orig.exprId)
+    }
+    val ranks = funcs.zip(outAttrs).map { case ((name, id, _), attr) =>
+      Alias(attr, name)(exprId = id)
+    }
+    logInfo(s"distributing ${funcs.size} partitioned window function(s) " +
+      s"over ${key.sql} (stats NDV=$ndv, partitions=$parts)")
     Some(Project(restored ++ ranks, analyzed))
   }
 

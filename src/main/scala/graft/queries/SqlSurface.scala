@@ -810,6 +810,71 @@ object SqlSurface {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** The stats-gated partitioned-window rewrite, demonstrated
+    * end-to-end ([[graft.plans.DistributeGlobalRank]]'s partitioned
+    * leg): naive per-`l_linenumber` rank + running cents SQL over the
+    * ANALYZE'd catalog lineitem. NDV(l_linenumber) = 7 ≪ 32 shuffle
+    * partitions, so the catalog stats PROVE the naive window's per-key
+    * sorts serialize at ≤ 7-way parallelism at any cluster width — the
+    * rule swaps in [[graft.ops.Ranking.withPartitionedPrefix]] (one
+    * range-split pass for rank + sum together, key-frame bases,
+    * broadcast join-back), with the in-key split bounds furnished by
+    * `l_orderkey`'s min/max stats. The window reads cents
+    * PRE-AGGREGATED to the (l_linenumber, l_orderkey) grain — the
+    * testdata generator does not enforce the TPC-H primary key, and
+    * an order tie would put row_number and the ROWS-frame sum inside
+    * SQL's engine-order latitude (found as a 13%-of-rows oracle
+    * cascade at sf0.01); the GROUP BY makes the grain unique, keeps
+    * both outputs deterministic, and — the part worth pinning — the
+    * stats PROPAGATE through the Aggregate under CBO (group-column
+    * NDV/min/max survive), so the rewrite still proves its gate one
+    * node above the scan. Same bounded-collect contract as
+    * [[cboJoinReorder]]: the flags and the rewrite live at optimization
+    * time, so the sampled result (1/37 of orderkeys) is collected
+    * inside the scoped conf. DistributeGlobalRankSpec pins the rewrite,
+    * every refusal (stats-absent, CBO-off, high-NDV, RANGE-frame), and
+    * the NDV gate arithmetic.
+    */
+  def windowPartitionedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.ops.CatalogStats.ensureStarStats(spark, dir)
+    val sql =
+      s"""SELECT l_orderkey, l_linenumber, rn, cum FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    row_number() OVER (PARTITION BY l_linenumber
+         |                       ORDER BY l_orderkey) AS rn,
+         |    sum(l_cents) OVER (PARTITION BY l_linenumber
+         |      ORDER BY l_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT l_linenumber, l_orderkey,
+         |          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+         |            AS BIGINT) AS l_cents
+         |        FROM ${t("lineitem")} GROUP BY 1, 2))
+         |WHERE l_orderkey % 37 = 0
+         |ORDER BY l_linenumber, l_orderkey""".stripMargin
+    val (rows, schema) = graft.ops.CatalogStats.withCbo(spark) {
+      val df = spark.sql(sql)
+      (df.collect().toSeq, df.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  val windowPartitionedAutoSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(rn AS INTEGER) AS rn,
+      |  CAST(cum AS BIGINT) AS cum FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    row_number() OVER (PARTITION BY l_linenumber
+      |                       ORDER BY l_orderkey) AS rn,
+      |    sum(l_cents) OVER (PARTITION BY l_linenumber
+      |      ORDER BY l_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT l_linenumber, l_orderkey,
+      |          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+      |            AS BIGINT) AS l_cents
+      |        FROM lineitem GROUP BY 1, 2))
+      |WHERE l_orderkey % 37 = 0
+      |ORDER BY l_linenumber, l_orderkey""".stripMargin
+
   val cboJoinReorderSql: String =
     """SELECT l_returnflag, count(*) AS n_rows,
       |  CAST(sum(l_quantity) AS BIGINT) AS qty_total,
@@ -822,6 +887,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cbo_join_reorder" -> cboJoinReorder,
+    "window_partitioned_auto" -> windowPartitionedAuto,
     "global_share_auto" -> globalShareAuto,
     "global_offset_auto" -> globalOffsetAuto,
     "global_rank_dense" -> globalRankDense,
@@ -844,6 +910,7 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "cbo_join_reorder" -> cboJoinReorderSql,
+    "window_partitioned_auto" -> windowPartitionedAutoSql,
     "global_share_auto" -> globalShareAutoSql,
     "global_offset_auto" -> globalOffsetAutoSql,
     "global_rank_dense" -> globalRankDenseSql,

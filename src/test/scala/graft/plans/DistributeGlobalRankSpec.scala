@@ -363,4 +363,133 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     val auto = withRule(true)(spark.sql(sql).as[(Long, Int)].collect().head)
     assert(auto === ((400L, 400)))
   }
+
+  // ---------------- partitioned leg (stats-gated) ----------------
+
+  /** A stats-bearing catalog table with a PROVEN low-NDV integral key
+    * (3 values over 300 rows), a unique-within-key order column, and
+    * ~15% nulls in the summed value — the fixture for every
+    * partitioned-leg path (sum-null, count-0, avg-null included).
+    */
+  private lazy val partTable: String = {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val v: java.lang.Long =
+        if (rnd.nextDouble() < 0.15) null else rnd.nextInt(100).toLong
+      (i % 3, i.toLong, v)
+    }
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_part"
+    rows.toDF("k", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_part_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k, ord")
+    name
+  }
+
+  private val partSql =
+    """SELECT k, ord,
+      |  row_number() OVER (PARTITION BY k ORDER BY ord) AS rn,
+      |  sum(v) OVER (PARTITION BY k ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  count(v) OVER (PARTITION BY k ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_v,
+      |  count(*) OVER (PARTITION BY k ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+      |  avg(v) OVER (PARTITION BY k ORDER BY ord
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+      |FROM TBL""".stripMargin
+
+  /** A WindowExec partitioned by a USER key — the skew-bound shape the
+    * leg removes. Ranking's internal per-range window (partitioned by
+    * `__graft_pid`, ~n/P rows per partition by construction) is the
+    * replacement, not the problem, so `__graft`-keyed windows pass.
+    */
+  private def hasPartitionedWindow(df: DataFrame): Boolean =
+    PlanLint.initialPlan(df).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.nonEmpty &&
+          !w.partitionSpec.forall(_.references.forall(
+            _.name.startsWith("__graft")))
+      case _ => false
+    }
+
+  private def collectPart(df: DataFrame) =
+    df.orderBy("k", "ord")
+      .as[(Int, Long, Int, Option[Long], Long, Long, Option[Double])]
+      .collect().toSeq
+
+  /** The test session runs 4 shuffle partitions, where NDV=3 is NOT
+    * provably skewed (2·3 > 4 — and the gate correctly refused there
+    * before this scope existed); the gate's intended regime needs the
+    * key far below the partition count.
+    */
+  private def withParts[T](n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  test("partitioned windows rewrite when catalog stats prove low key NDV") {
+    val sql = partSql.replace("TBL", partTable)
+    withParts(32) {
+    graft.ops.CatalogStats.withCbo(spark) {
+      val naive = withRule(false)(collectPart(spark.sql(sql)))
+      withRule(true) {
+        val df = spark.sql(sql)
+        assert(df.queryExecution.optimizedPlan.toString.contains("__graft"),
+          "stats-proven low-NDV partitioned window was not rewritten")
+        assert(!hasPartitionedWindow(df),
+          "rewritten plan still contains a partitioned WindowExec")
+        assert(collectPart(df) == naive)
+      }
+    }
+    }
+  }
+
+  test("the NDV gate itself: 2·NDV must clear the partition count") {
+    val sql = partSql.replace("TBL", partTable)
+    // at 4 partitions, NDV=3 is not provably skew-bound → naive kept
+    withParts(4) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        withRule(true) {
+          assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
+            .contains("__graft"), "rewrote when 2*NDV > partitions")
+        }
+      }
+    }
+  }
+
+  test("partitioned leg refuses without stats, without CBO, on high-NDV " +
+    "keys, and on default RANGE frames") {
+    val catalogSql = partSql.replace("TBL", partTable)
+    // CBO off → size-only stats → naive kept even on the analyzed table
+    withRule(true) {
+      assert(!spark.sql(catalogSql).queryExecution.optimizedPlan.toString
+        .contains("__graft"), "rewrote without cost-based stats")
+    }
+    graft.ops.CatalogStats.withCbo(spark) {
+      withRule(true) {
+        // path-based read: no column stats at all
+        spark.read.parquet(graft.ops.Bucketing.scratchRoot() + "/dgr_part")
+          .createOrReplaceTempView("dgr_part_raw")
+        assert(!spark.sql(partSql.replace("TBL", "dgr_part_raw"))
+          .queryExecution.optimizedPlan.toString.contains("__graft"),
+          "rewrote a stats-less path read")
+        // high-NDV key (ord: 300 distinct ≫ partitions/2): proven NOT skewed
+        val highNdv =
+          s"""SELECT ord, row_number() OVER (PARTITION BY ord ORDER BY k)
+             |AS rn FROM $partTable""".stripMargin
+        assert(!spark.sql(highNdv).queryExecution.optimizedPlan.toString
+          .contains("__graft"), "rewrote a high-NDV partition key")
+        // default RANGE frame shares values across order ties — refused
+        val rangeFrame =
+          s"""SELECT k, sum(v) OVER (PARTITION BY k ORDER BY ord) AS cum
+             |FROM $partTable""".stripMargin
+        assert(!spark.sql(rangeFrame).queryExecution.optimizedPlan.toString
+          .contains("__graft"), "rewrote a RANGE-frame running sum")
+      }
+    }
+  }
 }

@@ -37,6 +37,7 @@ class LazyConstructionSpec extends AnyFunSuite {
     "jsonl_roundtrip", // writes the JSONL files it quarantine-reads
     "orc_roundtrip", // writes the ORC files it reads back
     "cbo_join_reorder", // ANALYZE scans + the CBO-scoped bounded collect
+    "window_partitioned_auto", // same CBO-scoped bounded-collect contract
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's
     // exchange stages when the RDD is resolved at construction. The

@@ -593,19 +593,36 @@ object CurationQueries {
           col("units"), col("tokens"))
     }
 
+    // stage 5: domain mixing — the per-source sampling budgets of the
+    // standalone `domain_mix` key (suffix mod 3 → 10000/5000/2000 bps,
+    // decided by the same deterministic md5 hash bucket) applied to the
+    // DECONTAMINATED SURVIVORS, not the raw corpus: production funnels
+    // end with mixing, and composing it after dedup is where budget
+    // bugs hide (a budget computed pre-dedup over-samples every domain
+    // whose duplicates were removed). Map-only — one hash per row, no
+    // exchange.
     val kept4Docs = docs.join(kept4, Seq("doc_id"), "left_semi")
-    val chunkRow = Curation.chunkTokens(kept4Docs.select("doc_id", "text"),
+    val mixSuffix = regexp_extract(col("source"), "([0-9]+)", 1).cast("long")
+    val mixBps = when(mixSuffix % 3 === 0, 10000L)
+      .when(mixSuffix % 3 === 1, 5000L).otherwise(2000L)
+    val kept5 = kept4Docs
+      .filter(graft.ops.Sampling.weightedKeep(col("doc_id"), mixBps))
+      .select("doc_id")
+      .localCheckpoint(false)
+
+    val kept5Docs = docs.join(kept5, Seq("doc_id"), "left_semi")
+    val chunkRow = Curation.chunkTokens(kept5Docs.select("doc_id", "text"),
         "doc_id", "text", ChunkSize, ChunkStride)
       .agg(count(lit(1)).as("units"),
         coalesce(sum("n_tokens"), lit(0L)).as("tokens"))
-      .select(lit(5).as("stage_ord"), lit("chunks").as("stage"),
+      .select(lit(6).as("stage_ord"), lit("chunks").as("stage"),
         col("units"), col("tokens"))
     val shardRow = Curation.packShards(
-        meta.join(kept4, Seq("doc_id"), "left_semi"),
+        meta.join(kept5, Seq("doc_id"), "left_semi"),
         col("lang"), col("doc_id"), col("n_tokens"), ShardBudget)
       .agg(count_distinct(struct(col("lang"), col("shard"))).as("units"),
         coalesce(sum("n_tokens"), lit(0L)).as("tokens"))
-      .select(lit(6).as("stage_ord"), lit("shards").as("stage"),
+      .select(lit(7).as("stage_ord"), lit("shards").as("stage"),
         col("units"), col("tokens"))
 
     stageRow(0, "raw", None)
@@ -613,6 +630,7 @@ object CurationQueries {
       .unionByName(stageRow(2, "exact_dedup", Some(kept2)))
       .unionByName(stageRow(3, "near_dedup", Some(kept3)))
       .unionByName(stageRow(4, "decontaminated", Some(kept4)))
+      .unionByName(stageRow(5, "mixed", Some(kept5)))
       .unionByName(chunkRow)
       .unionByName(shardRow)
       .orderBy("stage_ord")
@@ -689,6 +707,13 @@ object CurationQueries {
        |  SELECT t.doc_id FROM ctot t LEFT JOIN chit h USING (doc_id)
        |  WHERE round(coalesce(h.n_hit, 0)::DOUBLE / t.n_sh, 6) < 0.5::DOUBLE
        |),
+       |kept5 AS (
+       |  SELECT d.doc_id FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM kept4)
+       |    AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+       |      < (CASE regexp_extract(d.source, '([0-9]+)', 1)::BIGINT % 3
+       |         WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 2000 END)::BIGINT
+       |),
        |tok AS (
        |  SELECT doc_id, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -696,7 +721,7 @@ object CurationQueries {
        |),
        |kt AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
-       |  WHERE doc_id IN (SELECT doc_id FROM kept4)
+       |  WHERE doc_id IN (SELECT doc_id FROM kept5)
        |),
        |ch AS (
        |  SELECT doc_id, n,
@@ -710,7 +735,7 @@ object CurationQueries {
        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum_tokens
-       |  FROM tok WHERE doc_id IN (SELECT doc_id FROM kept4)
+       |  FROM tok WHERE doc_id IN (SELECT doc_id FROM kept5)
        |),
        |pk2 AS (
        |  SELECT lang, n_tokens,
@@ -738,11 +763,15 @@ object CurationQueries {
        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
        |  WHERE doc_id IN (SELECT doc_id FROM kept4)
        |  UNION ALL
-       |  SELECT 5, 'chunks', CAST(count(*) AS BIGINT),
+       |  SELECT 5, 'mixed', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM tok
+       |  WHERE doc_id IN (SELECT doc_id FROM kept5)
+       |  UNION ALL
+       |  SELECT 6, 'chunks', CAST(count(*) AS BIGINT),
        |    CAST(coalesce(sum(least($ChunkSize, n - chunk_id * $ChunkStride)), 0)
        |      AS BIGINT) FROM ch
        |  UNION ALL
-       |  SELECT 6, 'shards',
+       |  SELECT 7, 'shards',
        |    (SELECT CAST(count(*) AS BIGINT)
        |     FROM (SELECT DISTINCT lang, shard FROM pk2)),
        |    (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM pk2)

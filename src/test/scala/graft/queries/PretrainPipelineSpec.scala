@@ -19,7 +19,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    by the contrast run where the partner is padded to pass quality and
   *    the same doc then IS dropped;
   *  - stage 4 drops the contaminated doc AND the benchmark's own docs;
-  *  - chunk/shard rows follow the survivors' token arithmetic.
+  *  - stage 5 applies the per-SOURCE mix budgets to the POST-DEDUP
+  *    survivors (the base corpus rides a keep-all domain so the earlier
+  *    pins stay sharp; the dedicated budget test plants a 20%-budget
+  *    domain with externally-computed md5 buckets, including a doc
+  *    whose exact twin was deduped first — membership pinned to the
+  *    row by distinct token counts);
+  *  - chunk/shard rows follow the MIXED survivors' token arithmetic.
   */
 class PretrainPipelineSpec extends AnyFunSuite {
 
@@ -45,22 +51,22 @@ class PretrainPipelineSpec extends AnyFunSuite {
   // the base corpus; doc 11 (19 tokens, quality-rejected) is goodC's only
   // near-dup partner
   private val base: Seq[(Long, String, String, String)] = Seq(
-    (1L, "en", "src1", goodA),
-    (2L, "en", "src1", goodA.replace("alpha7", "ALPHA7")), // exact twin mod case
-    (3L, "en", "src1", goodB),
-    (4L, "en", "src1", goodB.replace("it", "at")), // near-dup: last token edited
-    (5L, "en", "src1", "too short and thin"), // quality: too_short
-    (6L, "en", "src1", Seq.fill(25)("spam").mkString(" ")), // quality: low TTR
-    (7L, "en", "src1", (1 to 24).map(i => s"rare$i").mkString(" ")), // no stopwords
+    (1L, "en", "src3", goodA),
+    (2L, "en", "src3", goodA.replace("alpha7", "ALPHA7")), // exact twin mod case
+    (3L, "en", "src3", goodB),
+    (4L, "en", "src3", goodB.replace("it", "at")), // near-dup: last token edited
+    (5L, "en", "src3", "too short and thin"), // quality: too_short
+    (6L, "en", "src3", Seq.fill(25)("spam").mkString(" ")), // quality: low TTR
+    (7L, "en", "src3", (1 to 24).map(i => s"rare$i").mkString(" ")), // no stopwords
     (8L, "en", "src0", bench), // the benchmark doc itself
     // contaminated: 12/20 of its trigrams come from bench (prefix + the
     // shared stopword tail), yet trigram-Jaccard vs doc 8 is 12/30 < 0.5
     // so stage 3 can NOT claim it - only decontamination catches it
-    (9L, "en", "src1",
+    (9L, "en", "src3",
       bench.split(" ").take(12).mkString(" ") + " the and of it " +
         (1 to 6).map(i => s"novel$i").mkString(" ")),
-    (10L, "en", "src1", goodC),
-    (11L, "en", "src1", goodC.split(" ").take(19).mkString(" "))) // rejected partner
+    (10L, "en", "src3", goodC),
+    (11L, "en", "src3", goodC.split(" ").take(19).mkString(" "))) // rejected partner
 
   test("every stage drops exactly its planted docs") {
     val f = funnel(base)
@@ -77,6 +83,8 @@ class PretrainPipelineSpec extends AnyFunSuite {
     assert(f("decontaminated")._1 === 3L)
     val survivorTokens = tokens(goodA) + tokens(goodB) + tokens(goodC)
     assert(f("decontaminated")._2 === survivorTokens)
+    // src3 → suffix 3 mod 3 = 0 → 10000 bps: the mix stage keeps ALL
+    assert(f("mixed") === f("decontaminated"))
     // all survivors are < ChunkSize tokens: one chunk each, full coverage
     assert(f("chunks")._1 === 3L)
     assert(f("chunks")._2 === survivorTokens)
@@ -100,5 +108,42 @@ class PretrainPipelineSpec extends AnyFunSuite {
     // stage 3 now drops BOTH doc 4 and doc 11
     assert(f("near_dedup")._1 === 5L)
     assert(f("decontaminated")._1 === 3L)
+  }
+
+  test("mix budgets are honored over the POST-dedup survivors, " +
+    "per domain, by the pinned md5 buckets") {
+    // src2 → suffix 2 mod 3 = 2 → 2000 bps (20% budget); src3 → keep-all.
+    // md5 buckets (computed externally, not via the op under test):
+    //   20→5096  21→1988  22→130  23→3772  24→4823
+    // so of the post-dedup src2 survivors {20,21,22,23} the budget keeps
+    // exactly {21, 22}. Doc 24 is an exact case-twin of doc 21: it dies
+    // at exact-dedup BEFORE the budget — its bucket (4823, a discard)
+    // never gets to veto doc 21's slot, which is precisely the
+    // budget-after-dedup contract. Distinct token counts per doc make
+    // the mixed tokens sum identify the kept SET, not just its size.
+    val w20 = sentence("u")                      // 24 tokens
+    val w21 = sentence("v") + " extraone"        // 25
+    val w22 = sentence("w") + " extraone extratwo" // 26
+    val w23 = sentence("x") + " extraone extratwo extrathree" // 27
+    val rows: Seq[(Long, String, String, String)] = Seq(
+      (1L, "en", "src3", goodA),
+      (3L, "en", "src3", goodB),
+      (8L, "en", "src0", bench),
+      (20L, "en", "src2", w20),
+      (21L, "en", "src2", w21),
+      (22L, "en", "src2", w22),
+      (23L, "en", "src2", w23),
+      (24L, "en", "src2", w21.replace("v7", "V7"))) // exact twin of 21
+    val f = funnel(rows)
+    assert(f("quality")._1 === 8L)
+    assert(f("exact_dedup")._1 === 7L) // doc 24 folds into 21
+    assert(f("near_dedup")._1 === 7L)
+    assert(f("decontaminated")._1 === 6L) // bench doc 8 drops
+    assert(f("mixed")._1 === 4L) // src3: 1,3; src2 budget: 21,22
+    assert(f("mixed")._2 ===
+      tokens(goodA) + tokens(goodB) + tokens(w21) + tokens(w22))
+    // chunks/shards read the MIXED survivors
+    assert(f("chunks")._2 === f("mixed")._2)
+    assert(f("shards")._2 === f("mixed")._2)
   }
 }

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // present rank windows without their top-k filters and the rewrite
     // would fire on shapes it must leave alone (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => DistributeGlobalRank)
+    // as-of before the rank rule: the lateral idiom's decorrelated form
+    // contains a top-k-filtered PARTITIONED window, which the rank rule
+    // already leaves alone, but the order makes the intent explicit
+    ext.injectOptimizerRule(_ => RewriteLateralAsOf)
 
     ext.injectFunction((
       FunctionIdentifier("float_array_dot"),

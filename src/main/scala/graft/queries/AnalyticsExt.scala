@@ -497,6 +497,35 @@ object AnalyticsExt {
       |WHERE c.event_type = 'click'
       |ORDER BY c.event_id""".stripMargin
 
+  /** The as-of SQL surface ([[graft.plans.RewriteLateralAsOf]]): the
+    * SPARK SIDE of this key is raw SQL TEXT — the LATERAL-LIMIT-1 idiom,
+    * the only way analyst SQL expresses merge_asof — and the optimizer
+    * rule swaps Spark's decorrelated domain-join plan (a
+    * BroadcastNestedLoopJoin of |distinct click ts| × |purchases| pairs:
+    * measured NOT FINISHING in 10 min at sf0.1) for the
+    * [[AsOfJoin.backward]] union-window plan (0.9s warm, same scale).
+    * Results are oracle-identical to the `join_asof` key because both
+    * run the same idiom — here BOTH engines run it as written.
+    */
+  def joinAsofLateralSql(spark: SparkSession, dir: String): DataFrame = {
+    Readers.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  p.event_id AS purchase_event_id,
+        |  p.ts AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.ts, e.value
+        |  FROM events e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |    AND e.ts <= c.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC
+        |  LIMIT 1) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin)
+  }
+
   // intervals must be CLAMPED, not open-ended: an interval explodes into
   // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
   // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
@@ -1195,6 +1224,7 @@ object AnalyticsExt {
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest_tolerance" -> joinAsofNearestTolerance,
+    "join_asof_lateral_sql" -> joinAsofLateralSql,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
@@ -1233,6 +1263,7 @@ object AnalyticsExt {
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_nearest_tolerance" -> joinAsofNearestToleranceSql,
+    "join_asof_lateral_sql" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,

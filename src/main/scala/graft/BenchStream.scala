@@ -141,6 +141,9 @@ object BenchStream {
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .map(e => AsOfStream.AsOfEvent(e.user_id, e.event_type == "click",
         e.ts, e.ts.getTime * 1000L, e.event_id, e.value))
+    run("asof_backward_stream", asofEvents, "append")(
+      ds => AsOfStream.backwardWithin(ds,
+        horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
     run("asof_forward_stream", asofEvents, "append")(
       ds => AsOfStream.forwardWithin(ds,
         horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())

@@ -3,15 +3,20 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming twins of the FORWARD and NEAREST as-of joins
-  * ([[graft.ops.AsOfJoin.forwardWithin]] / `nearestWithin`) — the two
-  * directions a stream cannot answer row-at-a-time, because the match is
-  * in the FUTURE: a forward match for a left row at `t` may arrive any
-  * time until the watermark passes `t + horizon`. So left rows BUFFER in
-  * keyed state until their horizon closes, then resolve against the
-  * buffered right rows and emit exactly once (append mode) — the same
-  * watermark-buffered-emit discipline `StatefulOps.sessionizeStream`
-  * uses to close gap sessions.
+/** Streaming twins of the as-of join family
+  * ([[graft.ops.AsOfJoin.backwardWithin]] / `forwardWithin` /
+  * `nearestWithin`). Forward and nearest cannot be answered
+  * row-at-a-time because the match is in the FUTURE: a forward match
+  * for a left row at `t` may arrive any time until the watermark passes
+  * `t + horizon`. Backward is subtler than it looks: its match is in
+  * the past, but a right row with `rt ≤ t` is ON TIME (not
+  * late-dropped) until the watermark passes `rt` — so emitting before
+  * `watermark > t` could miss a better match still legitimately in
+  * flight. All three therefore BUFFER left rows in keyed state until
+  * their resolution point, then resolve against the buffered right rows
+  * and emit exactly once (append mode) — the same watermark-buffered-
+  * emit discipline `StatefulOps.sessionizeStream` uses to close gap
+  * sessions; they differ only in the horizon arithmetic.
   *
   * The horizon is load-bearing, not a convenience: an UNBOUNDED forward
   * as-of would have to hold every unmatched left row forever (the match
@@ -75,13 +80,32 @@ object AsOfStream {
   case class Buffers(l_ts: Seq[Long], l_id: Seq[Long],
                      r_ts: Seq[Long], r_id: Seq[Long], r_val: Seq[Double])
 
+  private[streaming] sealed trait Mode
+  private[streaming] case object Backward extends Mode
+  private[streaming] case object Forward extends Mode
+  private[streaming] case object Nearest extends Mode
+
+  /** Backward as-of over a stream: each left row matched to the latest
+    * right row in `[t − horizonMicros, t]` on the same key — completing
+    * the streaming triple. Backward needs no future rows, but it DOES
+    * need the watermark: a left row resolves only once
+    * `watermark > t`, because a right row with `rt ≤ t` is on time (not
+    * late-dropped) until the watermark passes `rt` — emitting earlier
+    * could miss a better match still legitimately in flight. So even
+    * the "easy" direction buffers, just with the shortest horizon of
+    * the three (`t`, not `t + horizon`).
+    */
+  def backwardWithin(events: Dataset[AsOfEvent], horizonMicros: Long,
+                     watermarkDelay: String): Dataset[AsOfMatch] =
+    run(events, horizonMicros, Backward, watermarkDelay)
+
   /** Forward as-of over a stream: each left row matched to the earliest
     * right row in `[t, t + horizonMicros]` on the same key, emitted once
     * the watermark proves no earlier-qualifying right can still arrive.
     */
   def forwardWithin(events: Dataset[AsOfEvent], horizonMicros: Long,
                     watermarkDelay: String): Dataset[AsOfMatch] =
-    run(events, horizonMicros, nearestMode = false, watermarkDelay)
+    run(events, horizonMicros, Forward, watermarkDelay)
 
   /** Nearest as-of over a stream: the closer of the backward and forward
     * matches within `horizonMicros`, ties to backward, `asof_side`
@@ -89,7 +113,7 @@ object AsOfStream {
     */
   def nearestWithin(events: Dataset[AsOfEvent], horizonMicros: Long,
                     watermarkDelay: String): Dataset[AsOfMatch] =
-    run(events, horizonMicros, nearestMode = true, watermarkDelay)
+    run(events, horizonMicros, Nearest, watermarkDelay)
 
   /** Resolve every buffered left whose horizon the watermark has passed
     * (plus — late-left handling — any left already past it on arrival)
@@ -97,19 +121,31 @@ object AsOfStream {
     * Shared by the streaming operator and direct unit tests, like
     * `StatefulOps.foldSessions`.
     */
+  /** A left row's resolution point: backward matches are complete once
+    * the watermark passes `t` itself; forward/nearest wait out the full
+    * look-ahead horizon.
+    */
+  private def dueAt(mode: Mode, t: Long, horizon: Long): Long = mode match {
+    case Backward => t
+    case _ => t + horizon
+  }
+
   private[streaming] def resolve(uid: Long, horizon: Long,
-                                 nearestMode: Boolean, wmUs: Long,
+                                 mode: Mode, wmUs: Long,
                                  st: Buffers)
   : (Seq[AsOfMatch], Buffers) = {
     val lefts = st.l_ts.zip(st.l_id)
     val rights = st.r_ts.lazyZip(st.r_id).lazyZip(st.r_val).toSeq
-    val (due, pending) = lefts.partition { case (t, _) => t + horizon < wmUs }
+    val (due, pending) = lefts.partition { case (t, _) =>
+      dueAt(mode, t, horizon) < wmUs
+    }
     val out = due.sorted.map { case (t, lid) =>
       // forward: earliest (r, id) at-or-after t within horizon
-      val fwd = rights.filter(r => r._1 >= t && r._1 - t <= horizon)
-        .sortBy(r => (r._1, r._2)).headOption
+      val fwd = if (mode == Backward) None
+        else rights.filter(r => r._1 >= t && r._1 - t <= horizon)
+          .sortBy(r => (r._1, r._2)).headOption
       // backward: latest (r, id) at-or-before t within horizon
-      val bwd = if (!nearestMode) None
+      val bwd = if (mode == Forward) None
         else rights.filter(r => r._1 <= t && t - r._1 <= horizon)
           .sortBy(r => (r._1, r._2)).lastOption
       val chosen: Option[((Long, Long, Double), String)] = (bwd, fwd) match {
@@ -117,26 +153,33 @@ object AsOfStream {
           if (t - b._1 <= f._1 - t) Some((b, "backward"))
           else Some((f, "forward"))
         case (Some(b), None) => Some((b, "backward"))
-        case (None, Some(f)) =>
-          Some((f, if (nearestMode) "forward" else null))
+        case (None, Some(f)) => Some((f, "forward"))
         case (None, None) => None
       }
       AsOfMatch(uid, lid, t,
         chosen.map(_._1._2), chosen.map(_._1._1), chosen.map(_._1._3),
-        chosen.flatMap(c => Option(c._2)).filter(_ => nearestMode))
+        chosen.map(_._2).filter(_ => mode == Nearest))
     }
-    val horizonBack = if (nearestMode) 2 * horizon else horizon
-    val keptRights = rights.filter(_._1 >= wmUs - horizonBack)
+    val keptRights = rights.filter(_._1 >= wmUs - backHorizon(mode, horizon))
     (out, Buffers(pending.map(_._1), pending.map(_._2),
       keptRights.map(_._1), keptRights.map(_._2), keptRights.map(_._3)))
   }
 
+  /** How long a right row can still serve an unresolved left: one
+    * horizon behind the watermark for the directional modes, two for
+    * nearest (a right at `r` backs lefts up to `r + horizon`, which
+    * resolve at `r + 2·horizon`).
+    */
+  private def backHorizon(mode: Mode, horizon: Long): Long = mode match {
+    case Nearest => 2 * horizon
+    case _ => horizon
+  }
+
   private def run(events: Dataset[AsOfEvent], horizonMicros: Long,
-                  nearestMode: Boolean, watermarkDelay: String)
+                  mode: Mode, watermarkDelay: String)
   : Dataset[AsOfMatch] = {
     implicit val outEnc = Encoders.product[AsOfMatch]
     implicit val stEnc = Encoders.product[Buffers]
-    val horizonBack = if (nearestMode) 2 * horizonMicros else horizonMicros
     events
       .withWatermark("ts", watermarkDelay)
       .as(Encoders.product[AsOfEvent])
@@ -155,7 +198,7 @@ object AsOfStream {
             prior.r_ts ++ rs.map(_.ts_micros),
             prior.r_id ++ rs.map(_.event_id),
             prior.r_val ++ rs.map(_.value))
-          val (out, kept) = resolve(uid, horizonMicros, nearestMode,
+          val (out, kept) = resolve(uid, horizonMicros, mode,
             wmUs, merged)
           if (kept.l_ts.isEmpty && kept.r_ts.isEmpty) {
             if (state.exists) state.remove()
@@ -165,8 +208,8 @@ object AsOfStream {
             // only rights left, when the last of them becomes evictable.
             // Timeouts must sit strictly past the current watermark.
             val dueUs =
-              if (kept.l_ts.nonEmpty) kept.l_ts.min + horizonMicros
-              else kept.r_ts.max + horizonBack
+              if (kept.l_ts.nonEmpty) dueAt(mode, kept.l_ts.min, horizonMicros)
+              else kept.r_ts.max + backHorizon(mode, horizonMicros)
             state.setTimeoutTimestamp(math.max(dueUs / 1000L + 1L,
               state.getCurrentWatermarkMs() + 1L))
           }

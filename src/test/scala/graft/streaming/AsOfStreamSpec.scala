@@ -37,7 +37,7 @@ class AsOfStreamSpec extends AnyFunSuite {
       r_id = Seq(1L, 2L, 3L),
       r_val = Seq(1.0, 2.0, 3.0))
     // watermark past 700+600 but not 5000+600
-    val (out, kept) = AsOfStream.resolve(9L, HorizonUs, nearestMode = true,
+    val (out, kept) = AsOfStream.resolve(9L, HorizonUs, AsOfStream.Nearest,
       wmUs = us(1400), st)
     val byId = out.map(m => m.event_id -> m).toMap
     // left@700: backward candidates 100(out of tolerance: 600s exactly?
@@ -61,7 +61,7 @@ class AsOfStreamSpec extends AnyFunSuite {
       l_ts = Seq(us(200), us(300)), l_id = Seq(10L, 11L),
       r_ts = Seq(us(200), us(200), us(400), us(400)),
       r_id = Seq(1L, 2L, 5L, 6L), r_val = Seq(1.0, 2.0, 5.0, 6.0))
-    val (out, _) = AsOfStream.resolve(9L, HorizonUs, nearestMode = true,
+    val (out, _) = AsOfStream.resolve(9L, HorizonUs, AsOfStream.Nearest,
       wmUs = us(1000), st)
     val byId = out.map(m => m.event_id -> m).toMap
     // equal-ts tie at distance 0 → backward leg, LARGEST id
@@ -71,11 +71,19 @@ class AsOfStreamSpec extends AnyFunSuite {
     assert(byId(11L).asof_event_id.contains(2L))
     assert(byId(11L).asof_side.contains("backward"))
     // forward-only mode: earliest ≥ 300 is ts 400, SMALLEST id 5
-    val (fo, _) = AsOfStream.resolve(9L, HorizonUs, nearestMode = false,
+    val (fo, _) = AsOfStream.resolve(9L, HorizonUs, AsOfStream.Forward,
       wmUs = us(1000), st)
     val f = fo.map(m => m.event_id -> m).toMap
     assert(f(11L).asof_event_id.contains(5L))
     assert(f(11L).asof_side.isEmpty)
+    // backward-only mode: latest ≤ 300 is ts 200, LARGEST id 2; resolves
+    // as soon as the watermark passes t itself (not t + horizon)
+    val (bo, _) = AsOfStream.resolve(9L, HorizonUs, AsOfStream.Backward,
+      wmUs = us(250), st)
+    val bm = bo.map(m => m.event_id -> m).toMap
+    assert(bm.keySet == Set(10L), "backward due condition is wm > t")
+    assert(bm(10L).asof_event_id.contains(2L))
+    assert(bm(10L).asof_side.isEmpty)
   }
 
   /** Seeded random frame: ~25 users, clicks and purchases over 2 hours,
@@ -102,13 +110,18 @@ class AsOfStreamSpec extends AnyFunSuite {
     (clicks, purchases)
   }
 
-  private def runStream(events: Seq[AsOfEvent], nearest: Boolean,
+  private def runStream(events: Seq[AsOfEvent], mode: AsOfStream.Mode,
                         name: String): Map[Long, AsOfMatch] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[AsOfEvent]
-    val ds =
-      if (nearest) AsOfStream.nearestWithin(mem.toDS(), HorizonUs, "5 seconds")
-      else AsOfStream.forwardWithin(mem.toDS(), HorizonUs, "5 seconds")
+    val ds = mode match {
+      case AsOfStream.Nearest =>
+        AsOfStream.nearestWithin(mem.toDS(), HorizonUs, "5 seconds")
+      case AsOfStream.Forward =>
+        AsOfStream.forwardWithin(mem.toDS(), HorizonUs, "5 seconds")
+      case AsOfStream.Backward =>
+        AsOfStream.backwardWithin(mem.toDS(), HorizonUs, "5 seconds")
+    }
     val q = ds.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -135,12 +148,29 @@ class AsOfStreamSpec extends AnyFunSuite {
       .select("event_id", "asof_event_id", "asof_value")
       .as[(Long, Option[Long], Option[Double])].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
-    val got = runStream(events, nearest = false, "asof_fwd_stream")
+    val got = runStream(events, AsOfStream.Forward, "asof_fwd_stream")
     assert(got.keySet == expect.keySet,
       s"left-row sets differ: ${got.keySet.size} vs ${expect.keySet.size}")
     expect.foreach { case (id, (mid, mval)) =>
       assert(got(id).asof_event_id == mid && got(id).asof_value == mval,
         s"forward mismatch at left $id: got ${got(id)}, want ($mid, $mval)")
+    }
+  }
+
+  test("MemoryStream parity with batch backwardWithin on a random frame") {
+    val events = randomEvents()
+    val (clicks, purchases) = batchFrames(events)
+    val expect = AsOfJoin.backwardWithin(clicks, purchases, "user_id",
+        "ts", "ts", Seq("event_id", "value"), "event_id",
+        toleranceMicros = HorizonUs)
+      .select("event_id", "asof_event_id", "asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val got = runStream(events, AsOfStream.Backward, "asof_bwd_stream")
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (mid, mval)) =>
+      assert(got(id).asof_event_id == mid && got(id).asof_value == mval,
+        s"backward mismatch at left $id: got ${got(id)}, want ($mid, $mval)")
     }
   }
 
@@ -153,7 +183,7 @@ class AsOfStreamSpec extends AnyFunSuite {
       .select("event_id", "asof_event_id", "asof_value", "asof_side")
       .as[(Long, Option[Long], Option[Double], Option[String])].collect()
       .map(t => t._1 -> (t._2, t._3, t._4)).toMap
-    val got = runStream(events, nearest = true, "asof_near_stream")
+    val got = runStream(events, AsOfStream.Nearest, "asof_near_stream")
     assert(got.keySet == expect.keySet)
     expect.foreach { case (id, (mid, mval, side)) =>
       val g = got(id)

@@ -174,9 +174,21 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
       case _ => return None
     }.toSet != Set(rkey.exprId, d.exprId)) return None
 
+    // the idiom decorrelates in two variants: the ORDER BY lands either
+    // on the Window itself (plain as-of, WindowGroupLimit inferred) or
+    // — when the subquery carries a tolerance predicate — as a GLOBAL
+    // Sort beneath an order-less Window (top-1 = first row in child
+    // order; the rewrite makes that top-1 tiebreak-deterministic, which
+    // is the intent the LIMIT 1 was generated from)
+    val (orderSpec, belowOrder) =
+      if (w.orderSpec.nonEmpty) (w.orderSpec, w.child)
+      else peel(w.child) match {
+        case s: Sort if s.global => (s.order, s.child)
+        case _ => return None
+      }
     // direction from the ORDER BY: (rt DESC, tie DESC) = backward,
     // (rt ASC, tie ASC) = forward; exactly one tiebreak
-    val (rt, tie, fwd) = w.orderSpec match {
+    val (rt, tie, fwd) = orderSpec match {
       case Seq(SortOrder(r: Attribute, Descending, _, _),
                SortOrder(t: Attribute, Descending, _, _)) => (r, t, false)
       case Seq(SortOrder(r: Attribute, Ascending, _, _),
@@ -186,8 +198,9 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
     if (!timeTypeOk(rt.dataType)) return None
 
     // beneath: the domain join — Aggregate([g], [g AS d]) against the
-    // right plan, on exactly the directional inequality rt ◦ d
-    val domainJoin = peel(w.child) match {
+    // right plan, on the directional inequality rt ◦ d plus an optional
+    // merge_asof tolerance gate (rt within an interval of d)
+    val domainJoin = peel(belowOrder) match {
       case dj: Join if dj.joinType == Inner => dj
       case _ => return None
     }
@@ -205,16 +218,60 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
       if (isDomainAgg(domainJoin.left)) domainJoin.right
       else if (isDomainAgg(domainJoin.right)) domainJoin.left
       else return None
-    val ineqOk = domainJoin.condition match {
-      case Some(LessThanOrEqual(a: Attribute, b: Attribute)) =>
+    val dconds = domainJoin.condition match {
+      case Some(c) =>
+        def split(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => split(a) ++ split(b)
+          case other => Seq(other)
+        }
+        split(c)
+      case None => return None
+    }
+    def isBase(e: Expression): Boolean = e match {
+      case LessThanOrEqual(a: Attribute, b: Attribute) =>
         (!fwd && a.exprId == rt.exprId && b.exprId == d.exprId) ||
           (fwd && a.exprId == d.exprId && b.exprId == rt.exprId)
-      case Some(GreaterThanOrEqual(a: Attribute, b: Attribute)) =>
+      case GreaterThanOrEqual(a: Attribute, b: Attribute) =>
         (fwd && a.exprId == rt.exprId && b.exprId == d.exprId) ||
           (!fwd && a.exprId == d.exprId && b.exprId == rt.exprId)
       case _ => false
     }
-    if (!ineqOk) return None
+    // `rt >= d - tol` (backward) / `rt <= d + tol` (forward): the SQL
+    // spelling of merge_asof's tolerance. Day-time intervals only — a
+    // year-month interval has no fixed microsecond width.
+    def intervalMicros(e: Expression): Option[Long] = e match {
+      case TimestampAddInterval(a: Attribute,
+          Literal(m: Long, _: DayTimeIntervalType), _)
+          if a.exprId == d.exprId => Some(m)
+      case _ => None
+    }
+    def asTolerance(e: Expression): Option[Long] = e match {
+      case GreaterThanOrEqual(a: Attribute, x) if !fwd &&
+          a.exprId == rt.exprId =>
+        intervalMicros(x).filter(_ < 0).map(-_)
+      case LessThanOrEqual(x, a: Attribute) if !fwd &&
+          a.exprId == rt.exprId =>
+        intervalMicros(x).filter(_ < 0).map(-_)
+      case LessThanOrEqual(a: Attribute, x) if fwd &&
+          a.exprId == rt.exprId =>
+        intervalMicros(x).filter(_ > 0)
+      case GreaterThanOrEqual(x, a: Attribute) if fwd &&
+          a.exprId == rt.exprId =>
+        intervalMicros(x).filter(_ > 0)
+      case _ => None
+    }
+    val (baseConds, rest) = dconds.partition(isBase)
+    if (baseConds.size != 1) return None
+    val tolerance: Option[Long] = rest match {
+      case Seq() => None
+      case Seq(t) => Some(asTolerance(t).getOrElse(return None))
+      case _ => return None
+    }
+    // tolerance arithmetic happens in microseconds — only true
+    // timestamp columns carry that unit
+    if (tolerance.isDefined &&
+      !Seq[DataType](TimestampType, TimestampNTZType).contains(rt.dataType))
+      return None
     // everything the Window needs must come from the right plan
     val rOut = rightPlan.outputSet
     if (!rOut.contains(rt) || !rOut.contains(tie) || !rOut.contains(rkey))
@@ -255,11 +312,16 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
         case (a, nm) => GraftColumnBridge.column(a).as(nm)
       }: _*)
     val pay = (Seq(rName(rt)) ++ payload.map(rName)).distinct
-    val joined =
-      if (fwd) AsOfJoin.forward(leftDf, rightDf, lKeyName, lTsName,
-        rName(rt), pay, rName(tie))
-      else AsOfJoin.backward(leftDf, rightDf, lKeyName, lTsName,
-        rName(rt), pay, rName(tie))
+    val joined = (fwd, tolerance) match {
+      case (true, None) => AsOfJoin.forward(leftDf, rightDf, lKeyName,
+        lTsName, rName(rt), pay, rName(tie))
+      case (false, None) => AsOfJoin.backward(leftDf, rightDf, lKeyName,
+        lTsName, rName(rt), pay, rName(tie))
+      case (true, Some(t)) => AsOfJoin.forwardWithin(leftDf, rightDf,
+        lKeyName, lTsName, rName(rt), pay, rName(tie), t)
+      case (false, Some(t)) => AsOfJoin.backwardWithin(leftDf, rightDf,
+        lKeyName, lTsName, rName(rt), pay, rName(tie), t)
+    }
     // SQL's inequality never matches a NULL left time (`rt >= null` is
     // never true), but AsOfJoin sorts a null `_t` FIRST — harmless
     // backward (nothing precedes), but the FORWARD frame would see

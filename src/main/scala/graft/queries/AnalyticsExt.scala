@@ -526,6 +526,33 @@ object AnalyticsExt {
         |ORDER BY c.event_id""".stripMargin)
   }
 
+  /** The tolerance leg of the as-of SQL surface: the same LATERAL idiom
+    * with the `e.ts >= c.ts - INTERVAL 1 HOUR` gate — which decorrelates
+    * into the ALTERNATE shape (order-less Window over a global Sort)
+    * [[graft.plans.RewriteLateralAsOf]] also recognizes, and rewrites to
+    * [[AsOfJoin.backwardWithin]]. Oracle = the `join_asof_tolerance`
+    * text (same idiom, both engines run it as written).
+    */
+  def joinAsofToleranceLateralSql(spark: SparkSession, dir: String)
+  : DataFrame = {
+    Readers.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  p.event_id AS purchase_event_id,
+        |  p.value AS purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.value
+        |  FROM events e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |    AND e.ts <= c.ts
+        |    AND e.ts >= c.ts - INTERVAL 1 HOUR
+        |  ORDER BY e.ts DESC, e.event_id DESC
+        |  LIMIT 1) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin)
+  }
+
   // intervals must be CLAMPED, not open-ended: an interval explodes into
   // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
   // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
@@ -1225,6 +1252,7 @@ object AnalyticsExt {
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest_tolerance" -> joinAsofNearestTolerance,
     "join_asof_lateral_sql" -> joinAsofLateralSql,
+    "join_asof_tolerance_lateral_sql" -> joinAsofToleranceLateralSql,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
     "fuzzy_name_pairs" -> fuzzyNamePairs,
@@ -1264,6 +1292,7 @@ object AnalyticsExt {
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_nearest_tolerance" -> joinAsofNearestToleranceSql,
     "join_asof_lateral_sql" -> joinAsofSql,
+    "join_asof_tolerance_lateral_sql" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,

@@ -107,6 +107,38 @@ class RewriteLateralAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance idiom rewrites to the *Within twins, rows identical") {
+    view
+    // backward: purchases more than 30 minutes behind are no match —
+    // this decorrelates into the ALTERNATE shape (order-less Window
+    // over a global Sort) the matcher also recognizes
+    val bwdTol = bwdSql.replace(
+      "AND e.ts <= c.ts",
+      "AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTES")
+    val naiveB = withRule(false)(rows(spark.sql(bwdTol)))
+    withRule(true) {
+      val df = spark.sql(bwdTol)
+      assert(rewritten(df), "backward tolerance idiom was not rewritten")
+      assert(rows(df) == naiveB)
+      // click 1 at 10:00: the 09:00 purchases are out of tolerance now
+      val byId = df.collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.toString)).toMap
+      assert(byId(1L).isEmpty)
+      assert(byId(2L).contains("5")) // equal-ts match: distance 0, kept
+    }
+    val fwdTol = bwdSql
+      .replace("AND e.ts <= c.ts",
+        "AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTES")
+      .replace("ORDER BY e.ts DESC, e.event_id DESC",
+        "ORDER BY e.ts ASC, e.event_id ASC")
+    val naiveF = withRule(false)(rows(spark.sql(fwdTol)))
+    withRule(true) {
+      val df = spark.sql(fwdTol)
+      assert(rewritten(df), "forward tolerance idiom was not rewritten")
+      assert(rows(df) == naiveF)
+    }
+  }
+
   test("near-miss shapes keep Spark's plan") {
     view
     withRule(true) {
@@ -118,11 +150,10 @@ class RewriteLateralAsOfSpec extends AnyFunSuite {
       assert(!rewritten(spark.sql(bwdSql.replace(
         "ORDER BY e.ts DESC, e.event_id DESC",
         "ORDER BY e.ts DESC, e.event_id ASC"))))
-      // a tolerance predicate in the subquery: extra conjunct on the
-      // domain join — left to the (future) tolerance matcher
+      // a YEAR-MONTH tolerance has no fixed microsecond width — refused
       assert(!rewritten(spark.sql(bwdSql.replace(
         "AND e.ts <= c.ts",
-        "AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 1 HOUR"))))
+        "AND e.ts <= c.ts AND e.ts >= c.ts - INTERVAL 1 MONTH"))))
       // double time column: NaN <=> vs sort-order semantics — refused
       assert(!rewritten(spark.sql(bwdSql
         .replace("e.ts <= c.ts", "e.value <= c.value")

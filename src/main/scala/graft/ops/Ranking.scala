@@ -499,7 +499,7 @@ object Ranking {
     * epoch-day number. Everything else keeps the raw column; a type the
     * cast rejects outright fails analysis loudly, which is fine.
     */
-  private def defaultRangeProxy(df: DataFrame, h: Column): Column = {
+  private[ops] def defaultRangeProxy(df: DataFrame, h: Column): Column = {
     import org.apache.spark.sql.types._
     df.select(h).schema.head.dataType match {
       case StringType => stringPrefixFraction(h)

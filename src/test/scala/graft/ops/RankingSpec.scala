@@ -258,4 +258,27 @@ class RankingSpec extends AnyFunSuite {
         .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("default range proxy: string/ntz/date leading keys split into " +
+    "MULTIPLE ranges instead of silently casting to null") {
+    // before the r11 fix, a string leading key cast to double = null for
+    // every row → one distinct proxy value → ONE range → the single-task
+    // sort this module exists to remove, invisibly. The proxy must give
+    // distinct keys distinct (or at least plural) values.
+    val sdf = Seq("apple", "banana", "cherry", "grape", "melon")
+      .toDF("s")
+    val sVals = sdf.select(Ranking.defaultRangeProxy(sdf, col("s"))
+      .cast("double")).as[Double].collect().toSet
+    assert(sVals.size > 1, s"string proxy collapsed: $sVals")
+    val ddf = Seq("2024-01-01", "2024-06-01", "2025-01-01")
+      .toDF("x").select(col("x").cast("date").as("d"))
+    val dVals = ddf.select(Ranking.defaultRangeProxy(ddf, col("d"))
+      .cast("double")).as[Double].collect().toSet
+    assert(dVals.size == 3, s"date proxy collapsed: $dVals")
+    val ntz = Seq("2024-01-01 10:00:00", "2024-01-02 10:00:00")
+      .toDF("x").select(col("x").cast("timestamp_ntz").as("t"))
+    val nVals = ntz.select(Ranking.defaultRangeProxy(ntz, col("t"))
+      .cast("double")).as[Double].collect().toSet
+    assert(nVals.size == 2, s"ntz proxy collapsed: $nVals")
+  }
 }

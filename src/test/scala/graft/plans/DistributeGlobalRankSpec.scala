@@ -448,6 +448,44 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("stale stats clamp the in-key split — balance degrades, ranks never") {
+    // append rows whose order values lie OUTSIDE the analyzed min/max
+    // (and a new key value), without re-analyzing: the rewrite still
+    // fires on the stale stats, the out-of-bounds fractions clamp into
+    // [0, 1), and the results must still equal the naive plan exactly
+    val name = partTable
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_part"
+    val extra = (0 until 60).map(i => (i % 4, 100000L + i, // ord ≫ max(299)
+      java.lang.Long.valueOf(i.toLong)))
+    extra.toDF("k", "ord", "v").write.mode("append").parquet(path)
+    try {
+      spark.catalog.refreshTable(name)
+      val sql = partSql.replace("TBL", name)
+      withParts(32) {
+        graft.ops.CatalogStats.withCbo(spark) {
+          val naive = withRule(false)(collectPart(spark.sql(sql)))
+          withRule(true) {
+            val df = spark.sql(sql)
+            assert(df.queryExecution.optimizedPlan.toString
+              .contains("__graft"), "stale stats stopped the rewrite")
+            assert(collectPart(df) == naive,
+              "stale-bounds clamp changed a rank or sum")
+          }
+        }
+      }
+    } finally {
+      // restore the fixture for any later test: rewrite the original rows
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 300).map { i =>
+        val v: java.lang.Long =
+          if (rnd.nextDouble() < 0.15) null else rnd.nextInt(100).toLong
+        (i % 3, i.toLong, v)
+      }
+      rows.toDF("k", "ord", "v").write.mode("overwrite").parquet(path)
+      spark.catalog.refreshTable(name)
+    }
+  }
+
   test("the NDV gate itself: 2·NDV must clear the partition count") {
     val sql = partSql.replace("TBL", partTable)
     // at 4 partitions, NDV=3 is not provably skew-bound → naive kept

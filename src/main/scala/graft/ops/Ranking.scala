@@ -385,6 +385,67 @@ object Ranking {
     * the per-key SQL `sum` total is itself null for an all-null key, so
     * the exclusive combine skips it exactly like the row-level form).
     */
+  /** Per-key running sums with the DEFAULT RANGE frame semantics —
+    * `sum(v) OVER (PARTITION BY k ORDER BY o)`, where PEERS (rows tying
+    * on the full order tuple) SHARE one value — computed without a
+    * hash-partitioned window and TIE-EXACT at any scale (unlike a ROWS
+    * rewrite, which would attribute tied rows in pipeline order):
+    *
+    *   1. per-(key, order-tuple) group totals, aggregated map-side
+    *      (a hot key collapses before its exchange);
+    *   2. a [[withPartitionedRunningSums]] prefix over the
+    *      one-row-per-group frame (groups are unique per tuple, so its
+    *      ROWS prefix IS the RANGE prefix);
+    *   3. a null-safe equi-join back on (key, order tuple) — a JOIN,
+    *      not a window, so residual key skew is AQE-splittable.
+    *
+    * `orderKeys` carry (column, ascending) — grouping ignores
+    * direction, the prefix honors it. `orderFraction` maps the LEADING
+    * order column to a monotone [0, 1) fraction for the inner range
+    * split (the stats-furnished in-key proxy of
+    * [[graft.plans.DistributeGlobalRank]]'s partitioned leg); without
+    * it the inner pass splits on the partition key alone, which is only
+    * balanced when the key cardinality clears the partition count.
+    * Null contract matches the SQL window aggregate: a group prefix
+    * whose values are all null is null (the per-group SQL `sum` is
+    * itself null there, and the inner pass's count bases skip it).
+    */
+  def withPartitionedRangeSums(df: DataFrame, partKeys: Seq[Column],
+                               orderKeys: Seq[(Column, Boolean)],
+                               sums: Seq[(Column, String)],
+                               orderFraction: Option[Column => Column] = None)
+  : DataFrame = {
+    require(partKeys.nonEmpty && orderKeys.nonEmpty && sums.nonEmpty,
+      "needs partition keys, order keys, and at least one sum spec")
+    val kNames = partKeys.indices.map(i => s"__graft_rgs_k_$i")
+    val oNames = orderKeys.indices.map(i => s"__graft_rgs_o_$i")
+    val tots = sums.indices.map(i => s"__graft_rgs_t_$i")
+    val outs = sums.map(_._2)
+    val withK = (kNames.zip(partKeys) ++ oNames.zip(orderKeys.map(_._1)))
+      .foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
+    val group = withK.groupBy((kNames ++ oNames).map(col): _*)
+      .agg(sum(sums.head._1).as(tots.head),
+        sums.tail.zip(tots.tail).map { case ((v, _), t) =>
+          sum(v).as(t)
+        }: _*)
+    val ordered = oNames.zip(orderKeys.map(_._2)).map {
+      case (nm, asc) => if (asc) col(nm).asc_nulls_first
+        else col(nm).desc_nulls_last
+    }
+    val rangeKey = orderFraction.map { f =>
+      coalesce(partKeys.indices.map(i => col(kNames(i))).head
+        .cast("double"), lit(Double.MinValue)) + f(col(oNames.head))
+    }
+    val prefixed = withPartitionedPrefix(group, kNames.map(col), ordered,
+        None, tots.zip(outs).map { case (t, o) => (col(t), o) }, rangeKey)
+      .select((kNames ++ oNames).map(c => col(c).as(c + "_d")) ++
+        outs.map(col): _*)
+    val cond = (kNames ++ oNames)
+      .map(c => withK(c) <=> prefixed(c + "_d")).reduce(_ && _)
+    withK.join(prefixed, cond)
+      .drop((kNames ++ oNames ++ (kNames ++ oNames).map(_ + "_d")): _*)
+  }
+
   def withPartitionedPrefix(df: DataFrame, partKeys: Seq[Column],
                             order: Seq[Column], rankOut: Option[String],
                             sums: Seq[(Column, String)],

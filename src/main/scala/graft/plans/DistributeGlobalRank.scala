@@ -681,15 +681,20 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     *     this leg never fires outside a stats-bearing catalog table
     *     (the stats-absent refusal PlanLintSpec-style pinned in
     *     DistributeRankSpec);
-    *   - functions: `row_number()`, and explicit ROWS-frame running
-    *     `sum`/`count`/`avg` (integral sum/avg — the distributed
-    *     subtraction re-associates, exact only for integers; ROWS
-    *     only — the default RANGE frame shares values across peers,
-    *     a semantics [[Ranking.withPartitionedRunningSums]]'s
-    *     row-level prefix does not reproduce under order ties; tie
-    *     attribution inside ROWS follows the pipeline's
-    *     arbitrary-but-consistent order, the same latitude SQL gives
-    *     the naive plan);
+    *   - functions: `row_number()`, and running `sum`/`count`/`avg`
+    *     (integral sum/avg — the distributed subtraction
+    *     re-associates, exact only for integers) in BOTH frame
+    *     spellings: an explicit ROWS prefix rides the per-row
+    *     [[Ranking.withPartitionedPrefix]] pass (tie attribution
+    *     follows the pipeline's arbitrary-but-consistent order — the
+    *     same latitude SQL gives the naive plan), and the DEFAULT
+    *     RANGE frame — peers share one value — computes per distinct
+    *     (key, order tuple) via [[Ranking.withPartitionedRangeSums]]
+    *     (group totals → prefix over the group frame → null-safe
+    *     join-back), TIE-EXACT at any scale. The RANGE path
+    *     additionally needs plain attribute order keys with default
+    *     null placement; a node MIXING the two grains stays naive
+    *     (two pipelines + two join-backs would beat no plan);
     *   - same bounded-child / WindowGroupLimit / filter-consumed
     *     guards as the unpartitioned leg.
     *
@@ -730,23 +735,31 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val oMax = oStat.max.flatMap(statNum).getOrElse(return None)
     if (!(oMax >= oMin)) return None
     // data-side numeric view of the order column, on the SAME scale as
-    // the stats values (days for dates, micros for timestamps)
+    // the stats values (days for dates, micros for timestamps) — as a
+    // FUNCTION, because the range path applies it to a renamed copy
     import org.apache.spark.sql.functions.{col => fcol, greatest => fgreatest, least => fleast, unix_micros}
     val oCol = GraftColumnBridge.column(oAttr)
-    val oNum: Column = oAttr.dataType match {
-      case _: NumericType => oCol.cast("double")
-      case DateType => datediff(oCol, lit("1970-01-01").cast("date"))
+    if (!(oAttr.dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+        true
+      case _ => false
+    })) return None
+    def numOf(c: Column): Column = oAttr.dataType match {
+      case DateType => datediff(c, lit("1970-01-01").cast("date"))
         .cast("double")
-      case TimestampType => unix_micros(oCol).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
       case TimestampNTZType =>
-        unix_micros(oCol.cast(TimestampType)).cast("double")
-      case _ => return None
+        unix_micros(c.cast(TimestampType)).cast("double")
+      case _ => c.cast("double")
     }
     sealed trait PFn
     case object PRowNum extends PFn
-    case class PSum(value: Expression, dt: DataType) extends PFn
-    case class PCount(value: Option[Expression], dt: DataType) extends PFn
-    case class PAvg(value: Expression, dt: DataType) extends PFn
+    case class PSum(value: Expression, dt: DataType,
+                    range: Boolean) extends PFn
+    case class PCount(value: Option[Expression], dt: DataType,
+                      range: Boolean) extends PFn
+    case class PAvg(value: Expression, dt: DataType,
+                    range: Boolean) extends PFn
     def integral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -759,23 +772,28 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           case RowNumber() => (n, a.exprId, PRowNum)
           case ae: AggregateExpression
               if !ae.isDistinct && ae.filter.isEmpty =>
-            spec.frameSpecification match {
+            // explicit ROWS prefix rides the row-level pass; the
+            // DEFAULT RANGE prefix (peers share values) computes per
+            // distinct (key, order-tuple) group — tie-exact at any scale
+            val range = spec.frameSpecification match {
               case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-                CurrentRow) => // explicit ROWS prefix only (see scaladoc)
+                CurrentRow) => false
+              case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding,
+                CurrentRow) => true
               case _ => return None
             }
             val fn: PFn = ae.aggregateFunction match {
               case s: Sum if s.evalContext.evalMode != EvalMode.TRY &&
                   integral(s.child.dataType) =>
-                PSum(s.child, ae.dataType)
+                PSum(s.child, ae.dataType, range)
               case c: Count
                   if c.children.forall(ch => ch.foldable && !ch.nullable) =>
-                PCount(None, ae.dataType)
+                PCount(None, ae.dataType, range)
               case c: Count if c.children.size == 1 =>
-                PCount(Some(c.children.head), ae.dataType)
+                PCount(Some(c.children.head), ae.dataType, range)
               case av: Average if av.evalMode != EvalMode.TRY &&
                   integral(av.child.dataType) =>
-                PAvg(av.child, ae.dataType)
+                PAvg(av.child, ae.dataType, range)
               case _ => return None
             }
             (n, a.exprId, fn)
@@ -791,19 +809,45 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val childDf = GraftColumnBridge.ofRows(spark, w.child)
     val keyCol = GraftColumnBridge.column(key)
     val span = oMax - oMin + 1.0
-    val frac0 =
-      if (so.direction == Descending) (lit(oMax) - oNum) / lit(span)
-      else (oNum - lit(oMin)) / lit(span)
     val hi = 1.0 - 1e-9
     val nanFill = if (so.direction == Descending) 0.0 else hi
     val nullFill = if (so.nullOrdering == NullsFirst) 0.0 else hi
-    val frac = coalesce(
-      nanvl(fleast(fgreatest(frac0, lit(0.0)), lit(hi)), lit(nanFill)),
-      lit(nullFill))
+    def fracOf(c: Column): Column = {
+      val n = numOf(c)
+      val frac0 =
+        if (so.direction == Descending) (lit(oMax) - n) / lit(span)
+        else (n - lit(oMin)) / lit(span)
+      coalesce(
+        nanvl(fleast(fgreatest(frac0, lit(0.0)), lit(hi)), lit(nanFill)),
+        lit(nullFill))
+    }
     val rangeKey = coalesce(keyCol.cast("double"), lit(Double.MinValue)) +
-      frac
+      fracOf(oCol)
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_prn"
+    // grain split: RANGE aggregates compute per distinct (key, order
+    // tuple); row-level functions (row_number, ROWS aggregates) ride the
+    // per-row prefix. A node mixing both grains would need two pipelines
+    // and two join-backs — refused, the naive plan keeps it in one sort.
+    def isRange(f: PFn): Boolean = f match {
+      case PSum(_, _, r) => r
+      case PCount(_, _, r) => r
+      case PAvg(_, _, r) => r
+      case _ => false
+    }
+    val anyRange = funcs.exists(f => isRange(f._3))
+    if (anyRange && funcs.exists(f => !isRange(f._3))) return None
+    if (anyRange) {
+      // the group-and-join-back path needs plain attribute order keys
+      // with DEFAULT null placement (the helper's grouping and the SQL
+      // peer definition must agree on where nulls land)
+      val ok = w.orderSpec.forall { so2 =>
+        so2.child.isInstanceOf[Attribute] &&
+          ((so2.direction == Ascending && so2.nullOrdering == NullsFirst) ||
+            (so2.direction == Descending && so2.nullOrdering == NullsLast))
+      }
+      if (!ok) return None
+    }
     // keyed by canonicalized form so every reference to the same value
     // expression — across window functions and the later output
     // mapping — resolves to the one registered prefix column
@@ -815,9 +859,9 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     }
     // register the needed prefix sums (avg = its sum + its count)
     funcs.foreach {
-      case (_, _, PSum(v, _)) => sumOut(indicator = false, Some(v))
-      case (_, _, PCount(v, _)) => sumOut(indicator = true, v)
-      case (_, _, PAvg(v, _)) =>
+      case (_, _, PSum(v, _, _)) => sumOut(indicator = false, Some(v))
+      case (_, _, PCount(v, _, _)) => sumOut(indicator = true, v)
+      case (_, _, PAvg(v, _, _)) =>
         sumOut(indicator = false, Some(v)); sumOut(indicator = true, Some(v))
       case _ =>
     }
@@ -830,25 +874,31 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           else valueCol(v.get).cast("long")
         (c, out)
     }
-    // ONE combined prefix pass for rank + every sum (chaining the two
-    // per-quantity entry points would recompute the first pass's DAG
-    // several times through the second's self-join lineage — measured
-    // 20× on this probe); base broadcast is safe: ≤ NDV rows, proven
+    // ONE combined pass per grain (chaining per-quantity entry points
+    // would recompute the first pass's DAG several times through the
+    // second's self-join lineage — measured 20× on this probe); base
+    // broadcast is safe: ≤ NDV rows, proven
     val wantRank = funcs.exists(_._3 == PRowNum)
-    var ranked = Ranking.withPartitionedPrefix(childDf, Seq(keyCol),
-      orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
-      Some(rangeKey), broadcastBase = true)
+    var ranked =
+      if (anyRange)
+        Ranking.withPartitionedRangeSums(childDf, Seq(keyCol),
+          w.orderSpec.map(so2 => (GraftColumnBridge.column(so2.child),
+            so2.direction == Ascending)),
+          sumSpecs, orderFraction = Some(fracOf))
+      else Ranking.withPartitionedPrefix(childDf, Seq(keyCol),
+        orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
+        Some(rangeKey), broadcastBase = true)
     val outNames = funcs.map(_._1)
     funcs.foreach { case (nm, _, fn) =>
       import org.apache.spark.sql.functions.{coalesce => fcoalesce}
       val c: Column = fn match {
         case PRowNum => fcol(tmpRank).cast("int")
-        case PSum(v, dt) =>
+        case PSum(v, dt, _) =>
           fcol(sumOut(indicator = false, Some(v))).cast(dt)
-        case PCount(v, dt) =>
+        case PCount(v, dt, _) =>
           // count is 0 where sum-gating says "no rows yet", never null
           fcoalesce(fcol(sumOut(indicator = true, v)), lit(0L)).cast(dt)
-        case PAvg(v, dt) =>
+        case PAvg(v, dt, _) =>
           (fcol(sumOut(indicator = false, Some(v))).cast("double") /
             fcol(sumOut(indicator = true, Some(v))).cast("double")).cast(dt)
       }

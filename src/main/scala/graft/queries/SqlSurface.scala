@@ -859,6 +859,55 @@ object SqlSurface {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** The RANGE-frame leg of the partitioned rewrite, on the RAW
+    * lineitem: `sum(cents) OVER (PARTITION BY l_linenumber ORDER BY
+    * l_orderkey)` — the DEFAULT frame analysts actually write. No
+    * pre-aggregate is needed here: peers (duplicate (linenumber,
+    * orderkey) rows — the testdata has them) SHARE the cumulative
+    * value by RANGE semantics, so the result is deterministic under
+    * ties, and the rewrite computes exactly that via per-distinct-
+    * tuple group totals + a prefix over the group frame + a null-safe
+    * join-back ([[graft.ops.Ranking.withPartitionedRangeSums]]).
+    * Same stats gate and bounded-collect contract as
+    * [[windowPartitionedAuto]].
+    */
+  def windowPartitionedRangeAuto(spark: SparkSession, dir: String)
+  : DataFrame = {
+    val t = graft.ops.CatalogStats.ensureStarStats(spark, dir)
+    val sql =
+      s"""SELECT l_orderkey, l_linenumber, cum, cnt FROM (
+         |  SELECT l_orderkey, l_linenumber,
+         |    sum(l_cents) OVER (PARTITION BY l_linenumber
+         |                       ORDER BY l_orderkey) AS cum,
+         |    count(*) OVER (PARTITION BY l_linenumber
+         |                   ORDER BY l_orderkey) AS cnt
+         |  FROM (SELECT l_orderkey, l_linenumber,
+         |          CAST(round(l_extendedprice*100) AS BIGINT) AS l_cents
+         |        FROM ${t("lineitem")}))
+         |WHERE l_orderkey % 41 = 0
+         |ORDER BY l_linenumber, l_orderkey, cum""".stripMargin
+    val (rows, schema) = graft.ops.CatalogStats.withCbo(spark) {
+      val df = spark.sql(sql)
+      (df.collect().toSeq, df.schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  val windowPartitionedRangeAutoSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(cum AS BIGINT) AS cum,
+      |  CAST(cnt AS BIGINT) AS cnt FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    sum(l_cents) OVER (PARTITION BY l_linenumber
+      |                       ORDER BY l_orderkey) AS cum,
+      |    count(*) OVER (PARTITION BY l_linenumber
+      |                   ORDER BY l_orderkey) AS cnt
+      |  FROM (SELECT l_orderkey, l_linenumber,
+      |          CAST(round(l_extendedprice*100) AS BIGINT) AS l_cents
+      |        FROM lineitem))
+      |WHERE l_orderkey % 41 = 0
+      |ORDER BY l_linenumber, l_orderkey, cum""".stripMargin
+
   val windowPartitionedAutoSql: String =
     """SELECT l_orderkey, l_linenumber, CAST(rn AS INTEGER) AS rn,
       |  CAST(cum AS BIGINT) AS cum FROM (
@@ -888,6 +937,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cbo_join_reorder" -> cboJoinReorder,
     "window_partitioned_auto" -> windowPartitionedAuto,
+    "window_partitioned_range_auto" -> windowPartitionedRangeAuto,
     "global_share_auto" -> globalShareAuto,
     "global_offset_auto" -> globalOffsetAuto,
     "global_rank_dense" -> globalRankDense,
@@ -911,6 +961,7 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "cbo_join_reorder" -> cboJoinReorderSql,
     "window_partitioned_auto" -> windowPartitionedAutoSql,
+    "window_partitioned_range_auto" -> windowPartitionedRangeAutoSql,
     "global_share_auto" -> globalShareAutoSql,
     "global_offset_auto" -> globalOffsetAutoSql,
     "global_rank_dense" -> globalRankDenseSql,

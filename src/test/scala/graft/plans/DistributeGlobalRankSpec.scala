@@ -486,6 +486,56 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("default RANGE frames rewrite per distinct order value — " +
+    "tie-exact where a ROWS rewrite would be engine latitude") {
+    // planted TIES: several rows share (k, ord), including an all-null
+    // group — peers must SHARE the cumulative value exactly
+    val rows = Seq(
+      (0, 10L, Some(1L)), (0, 10L, Some(2L)), (0, 10L, None), // tied peers
+      (0, 20L, None), (0, 20L, None),                          // all-null grp
+      (0, 30L, Some(5L)),
+      (1, 10L, None), (1, 10L, None),   // key whose FIRST group is all-null
+      (1, 20L, Some(7L)), (1, 20L, Some(7L)),
+      (2, 10L, Some(4L))
+    ).map { case (k, o, v) =>
+      (k, o, v.map(java.lang.Long.valueOf).orNull) }
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_range"
+    rows.toDF("k", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_range_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k, ord")
+    val sql =
+      s"""SELECT k, ord,
+         |  sum(v) OVER (PARTITION BY k ORDER BY ord) AS cum,
+         |  count(v) OVER (PARTITION BY k ORDER BY ord) AS cnt_v,
+         |  count(*) OVER (PARTITION BY k ORDER BY ord) AS cnt,
+         |  avg(v) OVER (PARTITION BY k ORDER BY ord) AS av
+         |FROM $name""".stripMargin
+    def collectR(df: DataFrame) = df.orderBy("k", "ord", "cum")
+      .as[(Int, Long, Option[Long], Long, Long, Option[Double])]
+      .collect().toSeq
+    withParts(32) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        val naive = withRule(false)(collectR(spark.sql(sql)))
+        withRule(true) {
+          val df = spark.sql(sql)
+          assert(df.queryExecution.optimizedPlan.toString.contains("__graft"),
+            "RANGE-frame partitioned window was not rewritten")
+          assert(!hasPartitionedWindow(df))
+          assert(collectR(df) == naive)
+          // DESC order also rewrites (fraction flips with the direction)
+          val desc = sql.replace("ORDER BY ord", "ORDER BY ord DESC")
+          val dfd = spark.sql(desc)
+          assert(dfd.queryExecution.optimizedPlan.toString
+            .contains("__graft"), "DESC RANGE frame was not rewritten")
+          assert(collectR(dfd) ==
+            withRule(false)(collectR(spark.sql(desc))))
+        }
+      }
+    }
+  }
+
   test("the NDV gate itself: 2·NDV must clear the partition count") {
     val sql = partSql.replace("TBL", partTable)
     // at 4 partitions, NDV=3 is not provably skew-bound → naive kept
@@ -500,7 +550,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
   }
 
   test("partitioned leg refuses without stats, without CBO, on high-NDV " +
-    "keys, and on default RANGE frames") {
+    "keys, and on mixed-grain nodes") {
     val catalogSql = partSql.replace("TBL", partTable)
     // CBO off → size-only stats → naive kept even on the analyzed table
     withRule(true) {
@@ -521,12 +571,14 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
              |AS rn FROM $partTable""".stripMargin
         assert(!spark.sql(highNdv).queryExecution.optimizedPlan.toString
           .contains("__graft"), "rewrote a high-NDV partition key")
-        // default RANGE frame shares values across order ties — refused
-        val rangeFrame =
-          s"""SELECT k, sum(v) OVER (PARTITION BY k ORDER BY ord) AS cum
+        // a node MIXING row-level and RANGE grains stays naive (two
+        // pipelines + two join-backs would beat no plan)
+        val mixed =
+          s"""SELECT k, row_number() OVER (PARTITION BY k ORDER BY ord)
+             |AS rn, sum(v) OVER (PARTITION BY k ORDER BY ord) AS cum
              |FROM $partTable""".stripMargin
-        assert(!spark.sql(rangeFrame).queryExecution.optimizedPlan.toString
-          .contains("__graft"), "rewrote a RANGE-frame running sum")
+        assert(!spark.sql(mixed).queryExecution.optimizedPlan.toString
+          .contains("__graft"), "rewrote a mixed-grain window node")
       }
     }
   }

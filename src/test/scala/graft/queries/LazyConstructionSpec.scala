@@ -38,6 +38,7 @@ class LazyConstructionSpec extends AnyFunSuite {
     "orc_roundtrip", // writes the ORC files it reads back
     "cbo_join_reorder", // ANALYZE scans + the CBO-scoped bounded collect
     "window_partitioned_auto", // same CBO-scoped bounded-collect contract
+    "window_partitioned_range_auto", // same contract, RANGE-frame leg
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's
     // exchange stages when the RDD is resolved at construction. The

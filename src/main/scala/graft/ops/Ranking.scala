@@ -400,12 +400,16 @@ object Ranking {
     *      not a window, so residual key skew is AQE-splittable.
     *
     * `orderKeys` carry (column, ascending) — grouping ignores
-    * direction, the prefix honors it. `orderFraction` maps the LEADING
-    * order column to a monotone [0, 1) fraction for the inner range
-    * split (the stats-furnished in-key proxy of
-    * [[graft.plans.DistributeGlobalRank]]'s partitioned leg); without
-    * it the inner pass splits on the partition key alone, which is only
-    * balanced when the key cardinality clears the partition count.
+    * direction, the prefix honors it. `rangeProxy` builds the inner
+    * range-split proxy from (the key columns, the leading order
+    * column), all AS SEEN INSIDE the helper (renamed copies) — e.g. the
+    * stats-furnished packed-key + order-fraction proxy of
+    * [[graft.plans.DistributeGlobalRank]]'s partitioned leg. It must be
+    * weakly monotone in the (keys…, order) lexicographic order — which
+    * is why it takes EVERY key column: a head-key-only proxy plus an
+    * order fraction would invert against a second key. Without it the
+    * inner pass splits on the leading key alone, which is only balanced
+    * when the key cardinality clears the partition count.
     * Null contract matches the SQL window aggregate: a group prefix
     * whose values are all null is null (the per-group SQL `sum` is
     * itself null there, and the inner pass's count bases skip it).
@@ -413,7 +417,7 @@ object Ranking {
   def withPartitionedRangeSums(df: DataFrame, partKeys: Seq[Column],
                                orderKeys: Seq[(Column, Boolean)],
                                sums: Seq[(Column, String)],
-                               orderFraction: Option[Column => Column] = None)
+                               rangeProxy: Option[(Seq[Column], Column) => Column] = None)
   : DataFrame = {
     require(partKeys.nonEmpty && orderKeys.nonEmpty && sums.nonEmpty,
       "needs partition keys, order keys, and at least one sum spec")
@@ -432,10 +436,8 @@ object Ranking {
       case (nm, asc) => if (asc) col(nm).asc_nulls_first
         else col(nm).desc_nulls_last
     }
-    val rangeKey = orderFraction.map { f =>
-      coalesce(partKeys.indices.map(i => col(kNames(i))).head
-        .cast("double"), lit(Double.MinValue)) + f(col(oNames.head))
-    }
+    val rangeKey = rangeProxy.map(f =>
+      f(kNames.map(col), col(oNames.head)))
     val prefixed = withPartitionedPrefix(group, kNames.map(col), ordered,
         None, tots.zip(outs).map { case (t, o) => (col(t), o) }, rangeKey)
       .select((kNames ++ oNames).map(c => col(c).as(c + "_d")) ++

@@ -672,10 +672,14 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     * balance degrades, never a rank.
     *
     * Guards (each refusal keeps the naive plan):
-    *   - stats must exist and prove it: a single integral-typed
-    *     attribute key whose distinctCount satisfies `2·NDV ≤ shuffle
-    *     partitions` (integral: the key-to-key proxy gap is ≥ 1, so
-    *     the within-key fraction can never reorder keys), and a
+    *   - stats must exist and prove it: one or more integral-typed
+    *     attribute keys whose distinctCount PRODUCT satisfies
+    *     `2·Πndv ≤ shuffle partitions` (the product upper-bounds the
+    *     composite cardinality whatever the correlation; integral: the
+    *     key-to-key proxy gap is ≥ 1, so the within-key fraction can
+    *     never reorder keys — multiple keys pack lexicographically
+    *     from their min/max stats, refusing when the slot-span product
+    *     exceeds 2^52 exact-double territory), and a
     *     leading order column with known min/max of a numeric /
     *     date / timestamp type — path-based reads carry neither, so
     *     this leg never fires outside a stats-bearing catalog table
@@ -711,15 +715,24 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    val key = w.partitionSpec match {
-      case Seq(a: Attribute) if integralKey(a.dataType) => a
+    // one OR MORE integral attribute keys: the NDV PRODUCT is an upper
+    // bound on the composite key's true cardinality (2·Πndv ≤ parts ⇒
+    // 2·NDV(combined) ≤ parts — sound whatever the correlation), and
+    // the per-key min/max stats let the keys pack LEXICOGRAPHICALLY
+    // into one numeric proxy below
+    val keys: Seq[Attribute] = w.partitionSpec.map {
+      case a: Attribute if integralKey(a.dataType) => a
       case _ => return None
     }
+    if (keys.isEmpty) return None
     val stats = w.child.stats
-    val ndv = stats.attributeStats.get(key).flatMap(_.distinctCount)
-      .getOrElse(return None)
+    val keyStats = keys.map(k =>
+      stats.attributeStats.get(k).getOrElse(return None))
+    val ndvs = keyStats.map(_.distinctCount.getOrElse(return None))
+    if (ndvs.exists(_ <= 0)) return None
+    val ndv = ndvs.product
     val parts = conf.numShufflePartitions
-    if (ndv <= 0 || ndv * 2 > BigInt(parts)) return None
+    if (ndv * 2 > BigInt(parts)) return None
     val so = w.orderSpec.head
     val oAttr = so.child match {
       case a: Attribute => a
@@ -737,7 +750,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // data-side numeric view of the order column, on the SAME scale as
     // the stats values (days for dates, micros for timestamps) — as a
     // FUNCTION, because the range path applies it to a renamed copy
-    import org.apache.spark.sql.functions.{col => fcol, greatest => fgreatest, least => fleast, unix_micros}
+    import org.apache.spark.sql.functions.{col => fcol, greatest => fgreatest, least => fleast, unix_micros, when => fwhen}
     val oCol = GraftColumnBridge.column(oAttr)
     if (!(oAttr.dataType match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType =>
@@ -807,22 +820,67 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // ascending / 0 descending). All fills are balance-only.
     val spark = SparkSession.active
     val childDf = GraftColumnBridge.ofRows(spark, w.child)
-    val keyCol = GraftColumnBridge.column(key)
+    val keyCols = keys.map(GraftColumnBridge.column)
     val span = oMax - oMin + 1.0
     val hi = 1.0 - 1e-9
     val nanFill = if (so.direction == Descending) 0.0 else hi
     val nullFill = if (so.nullOrdering == NullsFirst) 0.0 else hi
+    // CAUTION: Spark's greatest/least SKIP nulls (they return the
+    // non-null argument) and treat NaN as largest — so the null fill
+    // must be an explicit isNotNull gate (greatest(null, 0) = 0 would
+    // silently merge nulls with the minimum) and nanvl must run BEFORE
+    // the clamp (least(NaN, hi) = hi would override a 0.0 NaN fill on
+    // descending orders, inverting NaN's nulls-like placement)
     def fracOf(c: Column): Column = {
       val n = numOf(c)
       val frac0 =
         if (so.direction == Descending) (lit(oMax) - n) / lit(span)
         else (n - lit(oMin)) / lit(span)
+      val filled = nanvl(frac0, lit(nanFill))
       coalesce(
-        nanvl(fleast(fgreatest(frac0, lit(0.0)), lit(hi)), lit(nanFill)),
+        fwhen(n.isNotNull,
+          fleast(fgreatest(filled, lit(0.0)), lit(hi))),
         lit(nullFill))
     }
-    val rangeKey = coalesce(keyCol.cast("double"), lit(Double.MinValue)) +
-      fracOf(oCol)
+    // lexicographic key packing from the stats bounds: fold
+    // packed = packed · span_i + clamp(k_i − min_i, [−1, span_i−1]),
+    // null → −1 (nulls sort FIRST within their slot, like the plain
+    // ascending key copies the prefix machinery sorts by). Clamping
+    // keeps stale out-of-bounds values weakly monotone (they collapse
+    // onto the block edge — ties, balance-only). For MULTIPLE keys the
+    // slot product must stay exactly representable (≤ 2^52): a rounded
+    // product could collapse two adjacent k₁ blocks and let the next
+    // slot's value INVERT the lexicographic order — so wide-span
+    // composites refuse rather than risk a rank.
+    def statLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val keyBounds = keyStats.map { st =>
+      val mn = st.min.flatMap(statLong).getOrElse(return None)
+      val mx = st.max.flatMap(statLong).getOrElse(return None)
+      if (mx < mn) return None
+      (mn, mx)
+    }
+    if (keys.size > 1) {
+      val spanProduct = keyBounds.map { case (mn, mx) =>
+        BigInt(mx) - BigInt(mn) + 1
+      }.product
+      if (spanProduct > (BigInt(1L) << 52)) return None
+    }
+    def packedOf(cols: Seq[Column]): Column =
+      keys.indices.foldLeft(lit(0.0)) { (acc, i) =>
+        val (mn, mx) = keyBounds(i)
+        val kSpan = (BigInt(mx) - BigInt(mn) + 1).toDouble
+        // explicit null gate (see fracOf): a null key slot must land
+        // BELOW every value slot, like the ascending-nulls-first key
+        // copies the prefix machinery sorts by
+        val ci = fwhen(cols(i).isNotNull,
+          fleast(fgreatest(cols(i).cast("double") - lit(mn.toDouble),
+            lit(0.0)), lit(kSpan - 1.0)))
+        acc * lit(kSpan) + coalesce(ci, lit(-1.0))
+      }
+    val rangeKey = packedOf(keyCols) + fracOf(oCol)
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_prn"
     // grain split: RANGE aggregates compute per distinct (key, order
@@ -881,11 +939,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val wantRank = funcs.exists(_._3 == PRowNum)
     var ranked =
       if (anyRange)
-        Ranking.withPartitionedRangeSums(childDf, Seq(keyCol),
+        Ranking.withPartitionedRangeSums(childDf, keyCols,
           w.orderSpec.map(so2 => (GraftColumnBridge.column(so2.child),
             so2.direction == Ascending)),
-          sumSpecs, orderFraction = Some(fracOf))
-      else Ranking.withPartitionedPrefix(childDf, Seq(keyCol),
+          sumSpecs,
+          rangeProxy = Some((ks, o) => packedOf(ks) + fracOf(o)))
+      else Ranking.withPartitionedPrefix(childDf, keyCols,
         orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
         Some(rangeKey), broadcastBase = true)
     val outNames = funcs.map(_._1)
@@ -920,7 +979,8 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       Alias(attr, name)(exprId = id)
     }
     logInfo(s"distributing ${funcs.size} partitioned window function(s) " +
-      s"over ${key.sql} (stats NDV=$ndv, partitions=$parts)")
+      s"over ${keys.map(_.sql).mkString(", ")} " +
+      s"(stats NDV<=$ndv, partitions=$parts)")
     Some(Project(restored ++ ranks, analyzed))
   }
 

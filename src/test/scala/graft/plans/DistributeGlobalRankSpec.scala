@@ -536,6 +536,82 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("composite partition keys: NDV product gates, packed proxy splits, " +
+    "null key slots group like SQL") {
+    // two keys (k1 NDV 2 incl null, k2 NDV 3): product 6, 2·6 ≤ 32 —
+    // provable; null keys form their own SQL partitions and must rank
+    // within them
+    val rows = (0 until 240).map { i =>
+      val k1: java.lang.Integer = if (i % 7 == 0) null else i % 2
+      val v: java.lang.Long =
+        if (i % 5 == 0) null else java.lang.Long.valueOf((i % 97).toLong)
+      (k1, i % 3, i.toLong, v)
+    }
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_multi"
+    rows.toDF("k1", "k2", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_multi_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(
+      s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k1, k2, ord")
+    val rowsSql =
+      s"""SELECT k1, k2, ord,
+         |  row_number() OVER (PARTITION BY k1, k2 ORDER BY ord) AS rn,
+         |  sum(v) OVER (PARTITION BY k1, k2 ORDER BY ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |FROM $name""".stripMargin
+    val rangeSql =
+      s"""SELECT k1, k2, ord,
+         |  sum(v) OVER (PARTITION BY k1, k2 ORDER BY ord) AS cum
+         |FROM $name""".stripMargin
+    withParts(32) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        def rowsOf(q: String) = spark.sql(q)
+          .orderBy("k1", "k2", "ord").collect().map(_.toString).toSeq
+        val naiveRows = withRule(false)(rowsOf(rowsSql))
+        val naiveRange = withRule(false)(rowsOf(rangeSql))
+        withRule(true) {
+          val dfR = spark.sql(rowsSql)
+          assert(dfR.queryExecution.optimizedPlan.toString
+            .contains("__graft"), "composite ROWS window was not rewritten")
+          assert(!hasPartitionedWindow(dfR))
+          assert(rowsOf(rowsSql) == naiveRows)
+          assert(spark.sql(rangeSql).queryExecution.optimizedPlan.toString
+            .contains("__graft"), "composite RANGE window was not rewritten")
+          assert(rowsOf(rangeSql) == naiveRange)
+        }
+      }
+    }
+  }
+
+  test("composite keys refuse when the packed span product leaves exact " +
+    "double territory") {
+    // two keys whose stats spans multiply past 2^52: packing could
+    // round two adjacent blocks together and invert the order — refuse
+    val rows = Seq(
+      (0L, 0L, 1L, 1L), ((1L << 40), (1L << 40), 2L, 2L),
+      (0L, (1L << 40), 3L, 3L), ((1L << 40), 0L, 4L, 4L))
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_widespan"
+    rows.toDF("k1", "k2", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_widespan_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(
+      s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k1, k2, ord")
+    withParts(32) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        withRule(true) {
+          val q =
+            s"""SELECT k1, row_number()
+               |OVER (PARTITION BY k1, k2 ORDER BY ord) AS rn
+               |FROM $name""".stripMargin
+          assert(!spark.sql(q).queryExecution.optimizedPlan.toString
+            .contains("__graft"), "rewrote a wide-span composite key")
+        }
+      }
+    }
+  }
+
   test("the NDV gate itself: 2·NDV must clear the partition count") {
     val sql = partSql.replace("TBL", partTable)
     // at 4 partitions, NDV=3 is not provably skew-bound → naive kept

@@ -193,6 +193,49 @@ class AsOfStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("buffered as-of state survives a stop/restart cycle through the " +
+    "checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_asof_ckpt").toString
+    val results = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[AsOfMatch]())
+    val mem = MemoryStream[AsOfEvent]
+    def start() = AsOfStream.nearestWithin(mem.toDS(), HorizonUs, "5 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AsOfMatch],
+                       _: Long) => b.collect().foreach(results.add) }
+      .start()
+    val q1 = start()
+    try {
+      // a pending left with BOTH directional candidates buffered; the
+      // watermark has not passed t + horizon, so nothing may emit yet
+      mem.addData(ev(1L, 1000, isLeft = true, 10L),
+        ev(1L, 800, isLeft = false, 20L, value = 5.0),
+        ev(1L, 1100, isLeft = false, 21L, value = 7.0))
+      q1.processAllAvailable()
+      assert(results.isEmpty, "emitted before the horizon closed")
+    } finally q1.stop()
+    // restart from the same checkpoint: the buffers must rehydrate, and
+    // advancing the watermark must resolve the left from RESTORED state
+    // (nearest: forward 1100 at distance 100 beats backward 800 at 200)
+    val q2 = start()
+    try {
+      mem.addData(ev(9L, 3000, isLeft = false, 90L))
+      q2.processAllAvailable()
+      mem.addData(ev(9L, 3010, isLeft = false, 91L))
+      q2.processAllAvailable()
+      val got = results.toArray(Array.empty[AsOfMatch])
+        .filter(_.user_id == 1L).toSeq
+      assert(got.map(m =>
+        (m.event_id, m.asof_event_id, m.asof_side)) ==
+        Seq((10L, Some(21L), Some("forward"))),
+        s"state did not survive the restart: $got")
+    } finally q2.stop()
+  }
+
   test("late rows are dropped by the engine: a late right never reopens " +
     "a resolved left, a late left emits nothing") {
     implicit val sqlCtx = spark.sqlContext

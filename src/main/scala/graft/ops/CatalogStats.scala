@@ -70,12 +70,47 @@ object CatalogStats {
     * any effect.
     */
   def withCbo[T](spark: SparkSession)(body: => T): T = {
+    withCboImpl(spark)(body)
+  }
+
+  /** Build a DataFrame under CBO and return a frame whose LOGICAL PLAN
+    * IS the CBO-optimized plan. Spark reads the CBO flags at
+    * OPTIMIZATION time and every ACTION builds a fresh QueryExecution
+    * over the frame's logical plan — so merely forcing
+    * `queryExecution.executedPlan` inside the scope pins nothing for a
+    * later `.write`/`.count`, which re-optimizes the ANALYZED plan with
+    * the restored (CBO-off) conf. Splicing the memoized
+    * `optimizedPlan` back in as the logical plan makes the CBO-chosen
+    * shape what every downstream action re-uses (stats-gated rewrites
+    * are already applied; re-optimization cannot un-apply them, and
+    * [[graft.plans.DistributeGlobalRank]] cannot re-fire on the
+    * replacement — its windows are range-id-partitioned with no column
+    * stats, or sit above structural limits). Unlike the old
+    * collect-inside-the-scope contract this stays LAZY and
+    * unbounded-safe: nothing is materialized on the driver, so a
+    * linear-in-data result flows executor-to-sink at any scale.
+    */
+  def cboOptimized(spark: SparkSession)(build: => org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val optimized = withCboImpl(spark)(build.queryExecution.optimizedPlan)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, optimized)
+  }
+
+  private def withCboImpl[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")(body)
+
+  /** Run `body` with the given session-conf settings, restoring each
+    * key's previous value (or unset state) after. Same optimization-time
+    * caveat as [[withCbo]]: conf-sensitive work must be FORCED inside
+    * `body`.
+    */
+  def withConf[T](spark: SparkSession, settings: (String, String)*)
+                 (body: => T): T = {
     val conf = spark.conf
-    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
-      .map(k => k -> conf.getOption(k))
+    val prev = settings.map { case (k, _) => k -> conf.getOption(k) }
     try {
-      conf.set("spark.sql.cbo.enabled", "true")
-      conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      settings.foreach { case (k, v) => conf.set(k, v) }
       body
     } finally prev.foreach {
       case (k, Some(v)) => conf.set(k, v)

@@ -112,6 +112,21 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.distributeGlobalRank"
   val PartitionedConfKey = "spark.graft.distributePartitionedWindow"
 
+  /** Cost floor for the partitioned leg: refuse unless stats prove at
+    * least this many rows per key (rowCount / Πndv — a LOWER bound on
+    * the true rows-per-key, since the NDV product over-counts the
+    * composite cardinality). The cap proof alone says the naive plan's
+    * parallelism is bounded; it does not say the bound HURTS — at small
+    * rows-per-key the ≤NDV single-task sorts are trivially cheap and
+    * the distributed form pays its multi-stage floor (measured: naive
+    * 1.32s vs rewritten 2.64s on 86k rows/key at sf0.1; the crossover
+    * bracket is in NOTES_r12.md). Set to 0 to disable (the demo query
+    * keys do, to exercise the rewritten plan at test scale).
+    */
+  val PartitionedMinRowsKey =
+    "spark.graft.distributePartitionedWindow.minRowsPerKey"
+  val DefaultMinRowsPerKey = 4000000L
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
     if (!plan.resolved) return plan
@@ -685,6 +700,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     *     this leg never fires outside a stats-bearing catalog table
     *     (the stats-absent refusal PlanLintSpec-style pinned in
     *     DistributeRankSpec);
+    *   - stats must also prove the rewrite WORTH IT: rowCount / Πndv
+    *     (a lower bound on rows-per-key) must clear
+    *     [[PartitionedMinRowsKey]] — a proven cap over trivially small
+    *     per-key sorts is not a bottleneck, and the naive plan wins
+    *     below the measured crossover (refusal spec-pinned; floor 0
+    *     disables for the demo keys);
     *   - functions: `row_number()`, and running `sum`/`count`/`avg`
     *     (integral sum/avg — the distributed subtraction
     *     re-associates, exact only for integers) in BOTH frame
@@ -733,6 +754,18 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val ndv = ndvs.product
     val parts = conf.numShufflePartitions
     if (ndv * 2 > BigInt(parts)) return None
+    // cost gate (see [[PartitionedMinRowsKey]]): a PROVEN parallelism
+    // cap only matters when each key carries enough rows for its
+    // single-task sort to dominate the distributed form's multi-stage
+    // floor. rowCount / ndv lower-bounds rows-per-key; absent row-count
+    // stats nothing is provable, so refuse (naive plan kept).
+    val minRowsPerKey = conf
+      .getConfString(PartitionedMinRowsKey, DefaultMinRowsPerKey.toString)
+      .toLong
+    if (minRowsPerKey > 0) {
+      val rowCount = stats.rowCount.getOrElse(return None)
+      if (rowCount < BigInt(minRowsPerKey) * ndv) return None
+    }
     val so = w.orderSpec.head
     val oAttr = so.child match {
       case a: Attribute => a
@@ -862,12 +895,17 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       if (mx < mn) return None
       (mn, mx)
     }
-    if (keys.size > 1) {
-      val spanProduct = keyBounds.map { case (mn, mx) =>
-        BigInt(mx) - BigInt(mn) + 1
-      }.product
-      if (spanProduct > (BigInt(1L) << 52)) return None
-    }
+    // the span check applies to a SINGLE key too: packedOf casts the key
+    // to double, and past 2^52 two adjacent distinct longs can collapse
+    // onto one double — fracOf's within-key fraction (< 1) would then
+    // INVERT the (key, order) lexicographic order, silently corrupting
+    // ranks (snowflake-scale IDs with stats-proven low NDV are exactly
+    // this shape). Weak monotonicity is the proxy's correctness
+    // contract, so wide spans refuse whatever the key count.
+    val spanProduct = keyBounds.map { case (mn, mx) =>
+      BigInt(mx) - BigInt(mn) + 1
+    }.product
+    if (spanProduct > (BigInt(1L) << 52)) return None
     def packedOf(cols: Seq[Column]): Column =
       keys.indices.foldLeft(lit(0.0)) { (acc, i) =>
         val (mn, mx) = keyBounds(i)

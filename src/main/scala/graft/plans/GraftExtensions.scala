@@ -18,14 +18,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveDedupKeepFirst)
+    // as-of BEFORE the rank rule (injection order = in-batch run order):
+    // the lateral idiom's decorrelated form contains a top-k-filtered
+    // PARTITIONED window, which the rank rule already leaves alone, but
+    // running the as-of match first makes the intent structural rather
+    // than dependent on the rank rule's filter guard
+    ext.injectOptimizerRule(_ => RewriteLateralAsOf)
     // late optimizer, NOT analyzer: incremental DataFrame analysis would
     // present rank windows without their top-k filters and the rewrite
     // would fire on shapes it must leave alone (see the rule's scaladoc)
     ext.injectOptimizerRule(_ => DistributeGlobalRank)
-    // as-of before the rank rule: the lateral idiom's decorrelated form
-    // contains a top-k-filtered PARTITIONED window, which the rank rule
-    // already leaves alone, but the order makes the intent explicit
-    ext.injectOptimizerRule(_ => RewriteLateralAsOf)
 
     ext.injectFunction((
       FunctionIdentifier("float_array_dot"),

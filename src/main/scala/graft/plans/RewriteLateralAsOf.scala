@@ -99,34 +99,46 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
   /** Strip the operator noise between the Window and the domain join:
-    * WindowGroupLimit nodes, IsNotNull-only filters (the optimizer's
-    * null-key prune — re-applied in the replacement), and
-    * attribute-only Projects.
+    * WindowGroupLimit nodes, filters made ONLY of `IsNotNull(attr)`
+    * conjuncts (the optimizer's null prune), and attribute-only
+    * Projects. Every dropped IsNotNull attribute accumulates into
+    * `dropped`: after the full match, the caller verifies they
+    * reference only the matched time/domain/key attributes — those are
+    * implied by the join conditions the replacement reinstates, whereas
+    * an IsNotNull on any OTHER column would be a genuine predicate the
+    * rewrite must not discard. A bare boolean-attribute condition is
+    * NOT peelable (it is a real filter, not null-prune noise) — the
+    * peel stops at it and the surrounding match then refuses.
     */
   @scala.annotation.tailrec
-  private def peel(p: LogicalPlan): LogicalPlan = p match {
-    case WindowGroupLimit(_, _, _, _, child) => peel(child)
-    case Filter(cond, child)
-        if cond.collect { case e => e }.forall {
-          case _: IsNotNull | _: AttributeReference | _: And => true
-          case _ => false
-        } => peel(child)
+  private def peel(p: LogicalPlan,
+                   dropped: scala.collection.mutable.Buffer[Attribute])
+  : LogicalPlan = p match {
+    case WindowGroupLimit(_, _, _, _, child) => peel(child, dropped)
+    case f @ Filter(cond, child) =>
+      val cs = splitConjuncts(cond)
+      if (cs.forall {
+        case IsNotNull(_: Attribute) => true
+        case _ => false
+      }) {
+        dropped ++= cs.collect { case IsNotNull(a: Attribute) => a }
+        peel(child, dropped)
+      } else f
     case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
-      peel(child)
+      peel(child, dropped)
     case other => other
   }
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
     val Join(left, lateral, LeftOuter, Some(cond), _) = j: @unchecked
     // outer condition: exactly (d <=> lts) AND (rkey = lkey)
-    val conj = {
-      def split(e: Expression): Seq[Expression] = e match {
-        case And(a, b) => split(a) ++ split(b)
-        case other => Seq(other)
-      }
-      split(cond)
-    }
+    val conj = splitConjuncts(cond)
     if (conj.size != 2) return None
     def sides(a: Expression, b: Expression): Option[(Attribute, Attribute)] =
       (a, b) match {
@@ -180,9 +192,10 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
     // Sort beneath an order-less Window (top-1 = first row in child
     // order; the rewrite makes that top-1 tiebreak-deterministic, which
     // is the intent the LIMIT 1 was generated from)
+    val droppedNotNull = scala.collection.mutable.Buffer.empty[Attribute]
     val (orderSpec, belowOrder) =
       if (w.orderSpec.nonEmpty) (w.orderSpec, w.child)
-      else peel(w.child) match {
+      else peel(w.child, droppedNotNull) match {
         case s: Sort if s.global => (s.order, s.child)
         case _ => return None
       }
@@ -200,10 +213,17 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
     // beneath: the domain join — Aggregate([g], [g AS d]) against the
     // right plan, on the directional inequality rt ◦ d plus an optional
     // merge_asof tolerance gate (rt within an interval of d)
-    val domainJoin = peel(belowOrder) match {
+    val domainJoin = peel(belowOrder, droppedNotNull) match {
       case dj: Join if dj.joinType == Inner => dj
       case _ => return None
     }
+    // the peeled IsNotNull conjuncts must be exactly the null prunes the
+    // matched join conditions imply (time, domain, key) — an IsNotNull
+    // on any other column is a user predicate the replacement would
+    // silently drop, so its presence refuses the whole match
+    val impliedNotNull = Set(rt.exprId, d.exprId, rkey.exprId)
+    if (droppedNotNull.exists(a => !impliedNotNull.contains(a.exprId)))
+      return None
     def isDomainAgg(p: LogicalPlan): Boolean = p match {
       case Aggregate(Seq(g: Attribute), Seq(out), _, _) =>
         out match {
@@ -219,12 +239,7 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
       else if (isDomainAgg(domainJoin.right)) domainJoin.left
       else return None
     val dconds = domainJoin.condition match {
-      case Some(c) =>
-        def split(e: Expression): Seq[Expression] = e match {
-          case And(a, b) => split(a) ++ split(b)
-          case other => Seq(other)
-        }
-        split(c)
+      case Some(c) => splitConjuncts(c)
       case None => return None
     }
     def isBase(e: Expression): Boolean = e match {

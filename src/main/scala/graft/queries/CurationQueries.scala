@@ -267,7 +267,7 @@ object CurationQueries {
       |    % 10000 < keep_bps THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM (
       |  SELECT source, doc_id,
-      |    CASE regexp_extract(source, '([0-9]+)', 1)::BIGINT % 3
+      |    CASE TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
       |      WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 2000 END::BIGINT
       |      AS keep_bps
       |  FROM documents
@@ -711,7 +711,7 @@ object CurationQueries {
        |  SELECT d.doc_id FROM documents d
        |  WHERE d.doc_id IN (SELECT doc_id FROM kept4)
        |    AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
-       |      < (CASE regexp_extract(d.source, '([0-9]+)', 1)::BIGINT % 3
+       |      < (CASE TRY_CAST(regexp_extract(d.source, '([0-9]+)', 1) AS BIGINT) % 3
        |         WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 2000 END)::BIGINT
        |),
        |tok AS (

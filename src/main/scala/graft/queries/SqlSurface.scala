@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.etl.Readers
+import graft.plans.DistributeGlobalRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Correlated-subquery + classic-planner SQL surface: TPC-H
@@ -828,12 +829,18 @@ object SqlSurface {
     * both outputs deterministic, and — the part worth pinning — the
     * stats PROPAGATE through the Aggregate under CBO (group-column
     * NDV/min/max survive), so the rewrite still proves its gate one
-    * node above the scan. Same bounded-collect contract as
-    * [[cboJoinReorder]]: the flags and the rewrite live at optimization
-    * time, so the sampled result (1/37 of orderkeys) is collected
-    * inside the scoped conf. DistributeGlobalRankSpec pins the rewrite,
-    * every refusal (stats-absent, CBO-off, high-NDV, RANGE-frame), and
-    * the NDV gate arithmetic.
+    * node above the scan. Unlike [[cboJoinReorder]]'s ≤3-row final
+    * aggregate, this result is LINEAR in the data — collecting it
+    * inside the scoped conf would materialize billions of rows on the
+    * driver at the 100 TB design point — so the CBO-optimized plan is
+    * spliced back in as the frame's logical plan instead
+    * ([[graft.ops.CatalogStats.cboOptimized]]): the frame stays lazy
+    * and unbounded-safe, and every downstream write re-uses the
+    * rewritten shape. DistributeGlobalRankSpec pins the rewrite, every
+    * refusal (stats-absent, CBO-off, high-NDV, RANGE-frame, wide span,
+    * rows-per-key floor), and the NDV gate arithmetic; the splice
+    * contract (rewrite present in the RETURNED frame's executed plan,
+    * conf restored) is pinned in CboJoinReorderSpec.
     */
   def windowPartitionedAuto(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.ops.CatalogStats.ensureStarStats(spark, dir)
@@ -851,12 +858,15 @@ object SqlSurface {
          |        FROM ${t("lineitem")} GROUP BY 1, 2))
          |WHERE l_orderkey % 37 = 0
          |ORDER BY l_linenumber, l_orderkey""".stripMargin
-    val (rows, schema) = graft.ops.CatalogStats.withCbo(spark) {
-      val df = spark.sql(sql)
-      (df.collect().toSeq, df.schema)
+    // floor 0: this key EXERCISES the rewritten plan tri-scale (that is
+    // what it demonstrates and what the bench tracks); the production
+    // default refuses below the measured rows-per-key crossover, where
+    // the naive plan wins — honest cost: ~2× slower than naive at sf0.1,
+    // near-flat vs naive's NDV(7)-capped linear growth (NOTES_r11/12)
+    graft.ops.CatalogStats.withConf(spark,
+      DistributeGlobalRank.PartitionedMinRowsKey -> "0") {
+      graft.ops.CatalogStats.cboOptimized(spark)(spark.sql(sql))
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** The RANGE-frame leg of the partitioned rewrite, on the RAW
@@ -868,8 +878,9 @@ object SqlSurface {
     * ties, and the rewrite computes exactly that via per-distinct-
     * tuple group totals + a prefix over the group frame + a null-safe
     * join-back ([[graft.ops.Ranking.withPartitionedRangeSums]]).
-    * Same stats gate and bounded-collect contract as
-    * [[windowPartitionedAuto]].
+    * Same stats gate and lazy plan-splice contract as
+    * [[windowPartitionedAuto]] — the linear result never touches the
+    * driver.
     */
   def windowPartitionedRangeAuto(spark: SparkSession, dir: String)
   : DataFrame = {
@@ -886,12 +897,11 @@ object SqlSurface {
          |        FROM ${t("lineitem")}))
          |WHERE l_orderkey % 41 = 0
          |ORDER BY l_linenumber, l_orderkey, cum""".stripMargin
-    val (rows, schema) = graft.ops.CatalogStats.withCbo(spark) {
-      val df = spark.sql(sql)
-      (df.collect().toSeq, df.schema)
+    // floor 0 for the same demo reason as [[windowPartitionedAuto]]
+    graft.ops.CatalogStats.withConf(spark,
+      DistributeGlobalRank.PartitionedMinRowsKey -> "0") {
+      graft.ops.CatalogStats.cboOptimized(spark)(spark.sql(sql))
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
   }
 
   val windowPartitionedRangeAutoSql: String =

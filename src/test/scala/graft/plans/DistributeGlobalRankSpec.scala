@@ -431,9 +431,18 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     try f finally spark.conf.set(key, old)
   }
 
+  /** The toy fixtures run ~100 rows per key — far below the production
+    * rows-per-key cost floor (which exists precisely so shapes THIS
+    * small keep their naive plan). Tests exercising the rewrite itself
+    * scope the floor down; the floor's own refusal test runs defaults.
+    */
+  private def withFloor[T](n: Long)(f: => T): T =
+    graft.ops.CatalogStats.withConf(spark,
+      DistributeGlobalRank.PartitionedMinRowsKey -> n.toString)(f)
+
   test("partitioned windows rewrite when catalog stats prove low key NDV") {
     val sql = partSql.replace("TBL", partTable)
-    withParts(32) {
+    withParts(32) { withFloor(1) {
     graft.ops.CatalogStats.withCbo(spark) {
       val naive = withRule(false)(collectPart(spark.sql(sql)))
       withRule(true) {
@@ -445,7 +454,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
         assert(collectPart(df) == naive)
       }
     }
-    }
+    } }
   }
 
   test("stale stats clamp the in-key split — balance degrades, ranks never") {
@@ -461,7 +470,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     try {
       spark.catalog.refreshTable(name)
       val sql = partSql.replace("TBL", name)
-      withParts(32) {
+      withParts(32) { withFloor(1) {
         graft.ops.CatalogStats.withCbo(spark) {
           val naive = withRule(false)(collectPart(spark.sql(sql)))
           withRule(true) {
@@ -472,7 +481,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
               "stale-bounds clamp changed a rank or sum")
           }
         }
-      }
+      } }
     } finally {
       // restore the fixture for any later test: rewrite the original rows
       val rnd = new scala.util.Random(11)
@@ -515,7 +524,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     def collectR(df: DataFrame) = df.orderBy("k", "ord", "cum")
       .as[(Int, Long, Option[Long], Long, Long, Option[Double])]
       .collect().toSeq
-    withParts(32) {
+    withParts(32) { withFloor(1) {
       graft.ops.CatalogStats.withCbo(spark) {
         val naive = withRule(false)(collectR(spark.sql(sql)))
         withRule(true) {
@@ -533,7 +542,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
             withRule(false)(collectR(spark.sql(desc))))
         }
       }
-    }
+    } }
   }
 
   test("composite partition keys: NDV product gates, packed proxy splits, " +
@@ -564,7 +573,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
       s"""SELECT k1, k2, ord,
          |  sum(v) OVER (PARTITION BY k1, k2 ORDER BY ord) AS cum
          |FROM $name""".stripMargin
-    withParts(32) {
+    withParts(32) { withFloor(1) {
       graft.ops.CatalogStats.withCbo(spark) {
         def rowsOf(q: String) = spark.sql(q)
           .orderBy("k1", "k2", "ord").collect().map(_.toString).toSeq
@@ -581,16 +590,17 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
           assert(rowsOf(rangeSql) == naiveRange)
         }
       }
-    }
+    } }
   }
 
   test("composite keys refuse when the packed span product leaves exact " +
     "double territory") {
-    // two keys whose stats spans multiply past 2^52: packing could
-    // round two adjacent blocks together and invert the order — refuse
+    // k1's span alone (2^53+1) leaves exact-double territory, and the
+    // two keys' span product does too: packing could round two adjacent
+    // blocks together and invert the order — refuse in BOTH shapes
     val rows = Seq(
-      (0L, 0L, 1L, 1L), ((1L << 40), (1L << 40), 2L, 2L),
-      (0L, (1L << 40), 3L, 3L), ((1L << 40), 0L, 4L, 4L))
+      (0L, 0L, 1L, 1L), ((1L << 53), (1L << 40), 2L, 2L),
+      (0L, (1L << 40), 3L, 3L), ((1L << 53), 0L, 4L, 4L))
     val path = graft.ops.Bucketing.scratchRoot() + "/dgr_widespan"
     rows.toDF("k1", "k2", "ord", "v").write.mode("overwrite").parquet(path)
     val name = "graft_dgr_widespan_fixture"
@@ -598,7 +608,9 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
     spark.sql(
       s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k1, k2, ord")
-    withParts(32) {
+    // floor scoped to 1: the SPAN gate must be what refuses here, not
+    // the cost floor (4 rows would trip the floor first)
+    withParts(32) { withFloor(1) {
       graft.ops.CatalogStats.withCbo(spark) {
         withRule(true) {
           val q =
@@ -607,19 +619,55 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
                |FROM $name""".stripMargin
           assert(!spark.sql(q).queryExecution.optimizedPlan.toString
             .contains("__graft"), "rewrote a wide-span composite key")
+          // the same hazard exists for a SINGLE wide-span key: past 2^52
+          // the key's double cast can collapse adjacent distinct values
+          // and the in-key fraction would invert the order — refuse too
+          val q1 =
+            s"""SELECT k1, row_number()
+               |OVER (PARTITION BY k1 ORDER BY ord) AS rn
+               |FROM $name""".stripMargin
+          assert(!spark.sql(q1).queryExecution.optimizedPlan.toString
+            .contains("__graft"), "rewrote a single wide-span key")
         }
       }
-    }
+    } }
   }
 
   test("the NDV gate itself: 2·NDV must clear the partition count") {
     val sql = partSql.replace("TBL", partTable)
     // at 4 partitions, NDV=3 is not provably skew-bound → naive kept
-    withParts(4) {
+    // (floor scoped to 1 so the NDV gate is the one refusing)
+    withParts(4) { withFloor(1) {
       graft.ops.CatalogStats.withCbo(spark) {
         withRule(true) {
           assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
             .contains("__graft"), "rewrote when 2*NDV > partitions")
+        }
+      }
+    } }
+  }
+
+  test("the cost floor: a proven cap over trivially small per-key sorts " +
+    "keeps the naive plan") {
+    val sql = partSql.replace("TBL", partTable)
+    withParts(32) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        withRule(true) {
+          // production default (millions of rows per key): 100 rows/key
+          // is far below — naive kept even though the cap is proven
+          assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
+            .contains("__graft"),
+            "rewrote a toy-scale window under the default cost floor")
+          // the gate arithmetic is rowCount ≥ floor · Πndv: 300 rows,
+          // NDV 3 → fires at exactly 100 rows/key, refuses at 101
+          withFloor(100) {
+            assert(spark.sql(sql).queryExecution.optimizedPlan.toString
+              .contains("__graft"), "floor=rows/key should rewrite")
+          }
+          withFloor(101) {
+            assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
+              .contains("__graft"), "floor just above rows/key should refuse")
+          }
         }
       }
     }
@@ -634,7 +682,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
         .contains("__graft"), "rewrote without cost-based stats")
     }
     graft.ops.CatalogStats.withCbo(spark) {
-      withRule(true) {
+      withRule(true) { withFloor(1) {
         // path-based read: no column stats at all
         spark.read.parquet(graft.ops.Bucketing.scratchRoot() + "/dgr_part")
           .createOrReplaceTempView("dgr_part_raw")
@@ -655,7 +703,7 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
              |FROM $partTable""".stripMargin
         assert(!spark.sql(mixed).queryExecution.optimizedPlan.toString
           .contains("__graft"), "rewrote a mixed-grain window node")
-      }
+      } }
     }
   }
 }

@@ -45,4 +45,53 @@ class CboJoinReorderSpec extends AnyFunSuite {
     assert(on === off)
     assert(spark.conf.get("spark.sql.cbo.enabled") === "false")
   }
+
+  /** The `cboOptimized` splice contract behind the two
+    * `window_partitioned_*` keys: the returned frame is LAZY (no driver
+    * collect of the linear-in-data result), yet actions taken AFTER the
+    * conf restore still execute the CBO-gated rewrite — because the
+    * CBO-optimized plan IS the frame's logical plan, re-optimized but
+    * never un-rewritten. The old contract collected inside the scope:
+    * correct, but a driver-side materialization that grows linearly
+    * with the data — a scale-killer in the wrapper of exactly the keys
+    * that demonstrate scale-safety.
+    */
+  test("window_partitioned_auto: lazy splice keeps the rewrite in the " +
+    "post-restore executed plan, with no partitioned WindowExec") {
+    // construction happens with DEFAULT session conf except shuffle
+    // partitions: the test session runs 4, where NDV(l_linenumber)=7
+    // correctly fails the 2·NDV ≤ partitions proof — scope up to the
+    // production 32 for the optimization (the helper scopes CBO and the
+    // demo floor internally and must restore both)
+    val df = CatalogStats.withConf(spark,
+      "spark.sql.shuffle.partitions" -> "32") {
+      SqlSurface.windowPartitionedAuto(spark, dir)
+    }
+    assert(spark.conf.get("spark.sql.cbo.enabled") === "false")
+    assert(spark.conf
+      .getOption(graft.plans.DistributeGlobalRank.PartitionedMinRowsKey)
+      .isEmpty, "demo floor leaked out of the scoped conf")
+    // the returned frame's logical plan is the spliced rewrite: forcing
+    // the EXECUTED plan here (outside the scope, fresh QueryExecution
+    // over that logical plan) must still show Ranking's machinery and
+    // no user-keyed window sort
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("__graft"),
+      "the CBO-on rewrite did not survive the conf restore")
+    val hasUserWindow = graft.plans.PlanLint.initialPlan(df).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.nonEmpty &&
+          !w.partitionSpec.forall(_.references.forall(
+            _.name.startsWith("__graft")))
+      case _ => false
+    }
+    assert(!hasUserWindow,
+      "spliced plan still sorts a user-keyed window partition")
+    // and the splice changes no values: equal to the plain naive SQL
+    val t = CatalogStats.ensureStarStats(spark, dir)
+    val naive = spark.sql(SqlSurface.windowPartitionedAutoSql
+      .replace("FROM lineitem", s"FROM ${t("lineitem")}"))
+    assert(df.orderBy("l_linenumber", "l_orderkey").collect().toSeq ===
+      naive.collect().toSeq)
+  }
 }

@@ -37,7 +37,9 @@ class LazyConstructionSpec extends AnyFunSuite {
     "jsonl_roundtrip", // writes the JSONL files it quarantine-reads
     "orc_roundtrip", // writes the ORC files it reads back
     "cbo_join_reorder", // ANALYZE scans + the CBO-scoped bounded collect
-    "window_partitioned_auto", // same CBO-scoped bounded-collect contract
+    "window_partitioned_auto", // ANALYZE scans (memoized) + the CBO-scoped
+                               // optimization forced at construction; the
+                               // RESULT is lazy (r12: collect removed)
     "window_partitioned_range_auto", // same contract, RANGE-frame leg
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's

@@ -118,14 +118,20 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     * composite cardinality). The cap proof alone says the naive plan's
     * parallelism is bounded; it does not say the bound HURTS — at small
     * rows-per-key the ≤NDV single-task sorts are trivially cheap and
-    * the distributed form pays its multi-stage floor (measured: naive
-    * 1.32s vs rewritten 2.64s on 86k rows/key at sf0.1; the crossover
-    * bracket is in NOTES_r12.md). Set to 0 to disable (the demo query
-    * keys do, to exercise the rewritten plan at test scale).
+    * the distributed form pays its multi-stage floor. Measured bracket
+    * (local[32], NDV=7 lineitem replicas, NOTES_r12.md): the
+    * naive/rewritten ratio closes monotonically from 3.6× at 86k
+    * rows/key to 1.14× at 5.5M rows/key as the single-task sorts go
+    * superlinear — crossing extrapolates to ~10M rows/key, which is
+    * the default. Above it the cap is also an OPERATIONAL hazard, not
+    * just a slowdown: per-key sort data approaches single-task memory
+    * and the 2 GB shuffle-block ceiling, where the naive plan stops
+    * completing at all. Set to 0 to disable (the demo query keys do,
+    * to exercise the rewritten plan at test scale).
     */
   val PartitionedMinRowsKey =
     "spark.graft.distributePartitionedWindow.minRowsPerKey"
-  val DefaultMinRowsPerKey = 4000000L
+  val DefaultMinRowsPerKey = 10000000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan

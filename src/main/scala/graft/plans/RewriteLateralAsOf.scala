@@ -299,15 +299,24 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
       a.exprId != d.exprId && a.exprId != rkey.exprId)) return None
 
     // ---- build the replacement with uniquely-named frames ----
+    // POSITIONAL renames (toDF), never exprId-referencing selects: when
+    // this rule composes on top of its own fresh splice (the two-lateral
+    // nearest spelling rewrites the backward lateral first, then matches
+    // the forward join whose LEFT is that splice), re-analysis of the
+    // spliced subtree can re-alias its output ids — a select by the old
+    // ids then fails analysis (MISSING_ATTRIBUTES) and the forward leg
+    // silently kept its quadratic domain join. Output POSITIONS survive
+    // re-aliasing; ids do not.
     val spark = SparkSession.active
-    val leftDf0 = GraftColumnBridge.ofRows(spark, left)
     val lNames = left.output.indices.map(i => s"__graft_asof_l_$i")
-    val leftDf = leftDf0.select(left.output.zip(lNames).map {
-      case (a, nm) => GraftColumnBridge.column(a).as(nm)
-    }: _*)
+    val leftDf = GraftColumnBridge.ofRows(spark, left).toDF(lNames: _*)
     val lKeyName = lNames(left.output.indexWhere(_.exprId == lkey.exprId))
     val lTsName = lNames(left.output.indexWhere(_.exprId == lts.exprId))
-    val rightDf0 = GraftColumnBridge.ofRows(spark, rightPlan)
+    val rPosNames = rightPlan.output.indices.map(i => s"__graft_asof_rp_$i")
+    val rightDfAll =
+      GraftColumnBridge.ofRows(spark, rightPlan).toDF(rPosNames: _*)
+    def posName(a: Attribute): String =
+      rPosNames(rightPlan.output.indexWhere(_.exprId == a.exprId))
     // SQL equality never matches null keys; AsOfJoin groups them — the
     // right side must shed them (left rows keep their outer-join nulls)
     val rAttrs = (Seq(rkey, rt, tie) ++ payload)
@@ -321,10 +330,10 @@ object RewriteLateralAsOf extends Rule[LogicalPlan] {
     }
     def rName(a: Attribute): String =
       rNames(rAttrs.indexWhere(_.exprId == a.exprId))
-    val rightDf = rightDf0
-      .filter(GraftColumnBridge.column(rkey).isNotNull)
+    val rightDf = rightDfAll
+      .filter(col(posName(rkey)).isNotNull)
       .select(rAttrs.zip(rNames).map {
-        case (a, nm) => GraftColumnBridge.column(a).as(nm)
+        case (a, nm) => col(posName(a)).as(nm)
       }: _*)
     val pay = (Seq(rName(rt)) ++ payload.map(rName)).distinct
     val joined = (fwd, tolerance) match {

@@ -553,6 +553,117 @@ object AnalyticsExt {
         |ORDER BY c.event_id""".stripMargin)
   }
 
+  /** The FORWARD spelling of the as-of SQL surface: ASC-ORDER-LIMIT-1
+    * over `e.ts >= c.ts` — the "next event after" idiom. Same contract
+    * as [[joinAsofLateralSql]]: the Spark side is raw SQL text, and
+    * [[graft.plans.RewriteLateralAsOf]] swaps the quadratic decorrelated
+    * domain-join plan for [[AsOfJoin.forward]]'s union-window plan
+    * (direction read off the ORDER BY; RewriteLateralAsOfSpec pins the
+    * rewrite and row parity). Oracle = the `join_asof_forward` text —
+    * both engines run the same idiom as written.
+    */
+  def joinAsofForwardLateralSql(spark: SparkSession, dir: String)
+  : DataFrame = {
+    Readers.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  p.event_id AS purchase_event_id,
+        |  p.ts AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.ts, e.value
+        |  FROM events e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |    AND e.ts >= c.ts
+        |  ORDER BY e.ts ASC, e.event_id ASC
+        |  LIMIT 1) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin)
+  }
+
+  /** The NEAREST as-of in analyst SQL — via the TWO-LATERAL spelling,
+    * because the one-lateral spelling does not exist in Spark: `ORDER BY
+    * abs(e.ts - c.ts)` inside the subquery is a correlated reference
+    * outside WHERE/HAVING, which Spark refuses at ANALYSIS
+    * (`UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE`,
+    * probed this round) — so there is no naive plan for a rule to
+    * recognize, and "teach the rule the nearest idiom" resolves to: the
+    * expressible spelling is one backward LATERAL + one forward LATERAL
+    * + an outer least-distance CASE, and BOTH laterals already ride
+    * [[graft.plans.RewriteLateralAsOf]] independently — two
+    * single-exchange as-of plans instead of two quadratic domain joins,
+    * with no new matcher surface. Ties prefer the backward candidate
+    * (distance comparison is `<=`), spelled out in the SQL itself so
+    * both engines evaluate the same rule. Timestamp subtraction yields
+    * a comparable day-time interval in BOTH engines, so no epoch
+    * function is needed.
+    */
+  def joinAsofNearestLateralSql(spark: SparkSession, dir: String)
+  : DataFrame = {
+    Readers.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN pick_b THEN b_event_id ELSE f_event_id END
+        |    AS nearest_event_id,
+        |  CASE WHEN pick_b THEN b_value ELSE f_value END AS nearest_value,
+        |  CASE WHEN pick_b THEN 'backward'
+        |       WHEN f_event_id IS NOT NULL THEN 'forward' END AS side
+        |FROM (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    b.event_id AS b_event_id, b.value AS b_value,
+        |    f.event_id AS f_event_id, f.value AS f_value,
+        |    b.event_id IS NOT NULL AND (f.event_id IS NULL OR
+        |      c.ts - b.ts <= f.ts - c.ts) AS pick_b
+        |  FROM events c
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id, e.ts, e.value FROM events e
+        |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |      AND e.ts <= c.ts
+        |    ORDER BY e.ts DESC, e.event_id DESC
+        |    LIMIT 1) b ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id, e.ts, e.value FROM events e
+        |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |      AND e.ts >= c.ts
+        |    ORDER BY e.ts ASC, e.event_id ASC
+        |    LIMIT 1) f ON true
+        |  WHERE c.event_type = 'click')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val joinAsofNearestLateralSqlOracle: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN pick_b THEN b_event_id ELSE f_event_id END
+      |    AS nearest_event_id,
+      |  CASE WHEN pick_b THEN b_value ELSE f_value END AS nearest_value,
+      |  CASE WHEN pick_b THEN 'backward'
+      |       WHEN f_event_id IS NOT NULL THEN 'forward' END AS side
+      |FROM (
+      |  SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+      |    b.event_id AS b_event_id, b.value AS b_value,
+      |    f.event_id AS f_event_id, f.value AS f_value,
+      |    b.event_id IS NOT NULL AND (f.event_id IS NULL OR
+      |      CAST(c.ts AS TIMESTAMP) - b.ts <= f.ts - CAST(c.ts AS TIMESTAMP))
+      |      AS pick_b
+      |  FROM events c
+      |  LEFT JOIN LATERAL (
+      |    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+      |    FROM events e
+      |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      |      AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |    ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC
+      |    LIMIT 1) b ON true
+      |  LEFT JOIN LATERAL (
+      |    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+      |    FROM events e
+      |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      |      AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |    ORDER BY CAST(e.ts AS TIMESTAMP) ASC, e.event_id ASC
+      |    LIMIT 1) f ON true
+      |  WHERE c.event_type = 'click')
+      |ORDER BY event_id""".stripMargin
+
   // intervals must be CLAMPED, not open-ended: an interval explodes into
   // (hi-lo)/bucketWidth bucket rows in the grid join — a 1e9 "no upper
   // bound" sentinel would generate ~2M rows for one dim row. Tiers cover
@@ -1252,6 +1363,8 @@ object AnalyticsExt {
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest_tolerance" -> joinAsofNearestTolerance,
     "join_asof_lateral_sql" -> joinAsofLateralSql,
+    "join_asof_forward_lateral_sql" -> joinAsofForwardLateralSql,
+    "join_asof_nearest_lateral_sql" -> joinAsofNearestLateralSql,
     "join_asof_tolerance_lateral_sql" -> joinAsofToleranceLateralSql,
     "join_range" -> joinRange,
     "sample_hash" -> sampleHash,
@@ -1292,6 +1405,8 @@ object AnalyticsExt {
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_nearest_tolerance" -> joinAsofNearestToleranceSql,
     "join_asof_lateral_sql" -> joinAsofSql,
+    "join_asof_forward_lateral_sql" -> joinAsofForwardSql,
+    "join_asof_nearest_lateral_sql" -> joinAsofNearestLateralSqlOracle,
     "join_asof_tolerance_lateral_sql" -> joinAsofToleranceSql,
     "join_range" -> joinRangeSql,
     "sample_hash" -> sampleHashSql,

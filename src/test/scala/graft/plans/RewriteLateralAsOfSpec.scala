@@ -139,6 +139,78 @@ class RewriteLateralAsOfSpec extends AnyFunSuite {
     }
   }
 
+  /** The nearest idiom has NO one-lateral spelling in Spark — `ORDER BY
+    * abs(e.ts - c.ts)` is a correlated reference outside WHERE/HAVING
+    * and fails ANALYSIS — so the expressible form is two laterals
+    * (backward + forward candidates) + an outer least-distance CASE.
+    * Both laterals must ride the rewrite independently: two
+    * single-exchange as-of plans, zero quadratic domain joins.
+    */
+  test("two-lateral nearest spelling: both laterals rewrite, no BNLJ, " +
+    "rows identical; the one-lateral spelling fails analysis") {
+    view
+    val nearSql =
+      """SELECT event_id,
+        |  CASE WHEN pick_b THEN b_id ELSE f_id END AS near_id,
+        |  CASE WHEN pick_b THEN 'b'
+        |       WHEN f_id IS NOT NULL THEN 'f' END AS side
+        |FROM (
+        |  SELECT c.event_id, b.event_id AS b_id, f.event_id AS f_id,
+        |    b.event_id IS NOT NULL AND (f.event_id IS NULL OR
+        |      c.ts - b.ts <= f.ts - c.ts) AS pick_b
+        |  FROM lat_asof c
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id, e.ts FROM lat_asof e
+        |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |      AND e.ts <= c.ts
+        |    ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) b ON true
+        |  LEFT JOIN LATERAL (
+        |    SELECT e.event_id, e.ts FROM lat_asof e
+        |    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |      AND e.ts >= c.ts
+        |    ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) f ON true
+        |  WHERE c.event_type = 'click')
+        |ORDER BY event_id""".stripMargin
+    val naive = withRule(false)(rows(spark.sql(nearSql)))
+    withRule(true) {
+      val df = spark.sql(nearSql)
+      val opt = df.queryExecution.optimizedPlan.toString
+      // BOTH directions spliced: each rewrite mints its own
+      // __graft_asof_l_0 attribute, so two distinct exprIds must appear
+      // (an unrewritten lateral would instead leave a BNLJ domain join,
+      // caught below)
+      assert("""__graft_asof_l_0#\d+""".r.findAllIn(opt).toSet.size >= 2,
+        "both laterals should rewrite: " + opt.take(500))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoop"),
+        "a quadratic domain join survived")
+      assert(rows(df) == naive)
+      // first principles: click 1 at 10:00 — backward 09:00 (dist 1h,
+      // id 4 wins tie) vs forward 12:00 (dist 2h) → backward; click 2
+      // at 12:00 — equal-ts purchase 5 both ways, tie prefers backward
+      val byId = df.collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.getString(2)))).toMap
+      assert(byId(1L) == (Some("4"), Some("b")))
+      assert(byId(2L) == (Some("5"), Some("b")))
+      assert(byId(6L) == (None, None)) // null key: no candidates
+      assert(byId(8L) == (None, None)) // null ts: no candidates
+    }
+    // and the one-lateral spelling is not a missing rewrite — it is
+    // unplannable: Spark refuses the correlated ORDER BY at analysis
+    val oneLateral =
+      """SELECT c.event_id FROM lat_asof c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id FROM lat_asof e
+        |  WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+        |  ORDER BY abs(unix_micros(e.ts) - unix_micros(c.ts)) ASC,
+        |    e.event_id ASC
+        |  LIMIT 1) p ON true""".stripMargin
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(oneLateral).queryExecution.optimizedPlan
+    }
+    assert(err.getMessage.contains("CORRELATED_REFERENCE"))
+  }
+
   test("near-miss shapes keep Spark's plan") {
     view
     withRule(true) {

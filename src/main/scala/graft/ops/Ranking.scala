@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed global ranking: total-order `row_number`/`ntile` without an
   * unpartitioned Window.
@@ -313,11 +314,15 @@ object Ranking {
     * Keys order nulls-first within the global order — SQL PARTITION BY
     * groups nulls as one partition, and the join back matches
     * null-safely, so null keys rank exactly like the naive window.
-    * Contract: same leading-key range-proxy rules as
-    * [[withGlobalRowNumber]] (pass `rangeKey` for a descending leading
-    * key; a string leading key auto-falls-back to
-    * [[stringPrefixFraction]] — a lossy proxy degrades balance, never a
-    * rank).
+    * Contract: ascending orders only without an explicit `rangeKey`
+    * (pass one for a descending leading key). For INTEGRAL keys —
+    * single or composite — the default proxy packs every key
+    * lexicographically from runtime min/max bounds and refines by the
+    * leading order column, so a low-NDV or composite leading key no
+    * longer collapses the range split (see the packing block in
+    * [[withPartitionedPrefix]]); non-integral keys keep the head-only
+    * default (a string head via [[stringPrefixFraction]]). Every proxy
+    * choice is balance-only — it can degrade parallelism, never a rank.
     */
   def withPartitionedRowNumber(df: DataFrame, partKeys: Seq[Column],
                                order: Seq[Column], out: String,
@@ -480,11 +485,96 @@ object Ranking {
         RunningSpec(v.isNotNull.cast("long"), RunSum,
           inclusive = true, cIncl(i)))
     }
+    // ---- library-default range proxy (no explicit rangeKey) ----
+    // The old default split on the HEAD key alone, which collapses to
+    // ≤ NDV(head) ranges under a low-cardinality or composite leading
+    // key — reinstating the single-task skew this module removes. For
+    // INTEGRAL keys the default now packs EVERY key lexicographically
+    // from runtime min/max bounds (one extra map-side-combined
+    // aggregate, broadcast as one row) and refines within the last key
+    // by the leading order column normalized to [0, 1) — the same
+    // packing [[graft.plans.DistributeGlobalRank]]'s stats-gated leg
+    // builds from catalog statistics, here with EXACT bounds. Guards,
+    // all balance-only (the proxy stays weakly monotone in the
+    // (keys…, order) lexicographic order or falls back to a prefix of
+    // it):
+    //   - span PRODUCT > 2^52 → the packed double could collapse
+    //     adjacent blocks, so the whole expression falls back to the
+    //     bare head key (a data-dependent but row-uniform branch — the
+    //     guard reads the one-row bounds frame);
+    //   - null key slot → −1, BELOW every value slot (explicit
+    //     isNotNull gate: greatest/least SKIP nulls);
+    //   - order fraction only from a PLAIN (unwrapped) ascending head
+    //     of an orderable scalar type, nanvl BEFORE the clamp (NaN
+    //     sorts greatest), null → 0 (nulls-first);
+    //   - non-integral keys keep the old head-only default.
+    val autoDrop = scala.collection.mutable.ListBuffer.empty[String]
+    val (dataIn, proxyIn): (DataFrame, Option[Column]) =
+      if (rangeKey.nonEmpty) (withK, rangeKey)
+      else {
+        // the no-proxy contract stays ascending-only — the auto proxy
+        // must not silently accept orders it cannot encode
+        order.foreach(c => require(
+          !org.apache.spark.sql.GraftColumnBridge.isDescending(c),
+          "Ranking distributes ASCENDING total orders; flip the sign/" +
+            "negate the key instead of passing .desc, or pass an " +
+            "explicit rangeKey"))
+        val integral = kNames.forall(nm => withK.schema(nm).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+        if (!integral) (withK, None)
+        else {
+          val mnN = kNames.map(_ + "_bmn")
+          val mxN = kNames.map(_ + "_bmx")
+          val (oMnN, oMxN) = ("__graft_pb_omn", "__graft_pb_omx")
+          val headNum: Option[Column] = order.headOption
+            .filterNot(org.apache.spark.sql.GraftColumnBridge.isSortWrapped)
+            .flatMap { h =>
+              withK.select(h).schema.head.dataType match {
+                case _: NumericType | StringType | TimestampType |
+                     TimestampNTZType | DateType =>
+                  Some(defaultRangeProxy(withK, h).cast("double"))
+                case _ => None
+              }
+            }
+          val aggCols =
+            kNames.zip(mnN).map { case (k, m) => min(col(k)).as(m) } ++
+              kNames.zip(mxN).map { case (k, m) => max(col(k)).as(m) } ++
+              headNum.toSeq.flatMap(hn =>
+                Seq(min(hn).as(oMnN), max(hn).as(oMxN)))
+          val bounds = withK.agg(aggCols.head, aggCols.tail: _*).limit(1)
+          val withB = withK.crossJoin(broadcast(bounds))
+          autoDrop ++= mnN; autoDrop ++= mxN
+          if (headNum.isDefined) autoDrop ++= Seq(oMnN, oMxN)
+          val spans = kNames.indices.map(i =>
+            col(mxN(i)).cast("double") - col(mnN(i)).cast("double") +
+              lit(1.0))
+          val spanOk = spans.reduce(_ * _) <= lit(4503599627370496.0) // 2^52
+          val packed = kNames.indices.foldLeft(lit(0.0)) { (acc, i) =>
+            val slot = when(col(kNames(i)).isNotNull,
+              col(kNames(i)).cast("double") - col(mnN(i)).cast("double"))
+              .otherwise(lit(-1.0))
+            acc * spans(i) + slot
+          }
+          val hi = 1.0 - 1e-9
+          val frac = headNum.map { hn =>
+            val span = col(oMxN) - col(oMnN) + lit(1.0)
+            val filled = nanvl((hn - col(oMnN)) / span, lit(hi))
+            coalesce(when(hn.isNotNull,
+              least(greatest(filled, lit(0.0)), lit(hi))), lit(0.0))
+          }.getOrElse(lit(0.0))
+          val auto = when(coalesce(spanOk, lit(false)), packed + frac)
+            .otherwise(col(kNames.head).cast("double"))
+          (withB, Some(auto))
+        }
+      }
     // plain key columns sort ascending-nulls-first by default, which
     // both groups each key contiguously and keeps the head usable as
     // the range proxy
-    val ranked = withGlobalPrefix(withK, kNames.map(col) ++ order,
-      Some(tmp), None, specs, rangeKey)
+    val ranked = withGlobalPrefix(dataIn, kNames.map(col) ++ order,
+        Some(tmp), None, specs, proxyIn)
+      .drop(autoDrop.toSeq: _*)
     // base pass: per-key totals straight from the input (map-side
     // combined — a hot key collapses to partial aggregates before its
     // exchange), then an exclusive distributed prefix over the

@@ -23,6 +23,14 @@ object GraftColumnBridge {
     case _ => false
   }
 
+  /** True iff the column carries ANY explicit sort-order wrapper
+    * (`.asc*`/`.desc*`). Callers deriving a numeric range proxy from an
+    * order column (ops/Ranking's packed default) need the UNWRAPPED
+    * expression; a wrapped head simply skips the refinement.
+    */
+  def isSortWrapped(c: Column): Boolean =
+    c.node.isInstanceOf[internal.SortOrder]
+
   /** Build a DataFrame over a custom logical plan (e.g. graft's
     * DedupKeepFirst node) in the active classic session.
     */

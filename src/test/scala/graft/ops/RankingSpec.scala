@@ -194,6 +194,65 @@ class RankingSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("composite integral keys ride the packed default proxy: rank and " +
+    "running sums match naive windows with null keys, NaN order, ties") {
+    // the r12 library default: Seq(k1, k2) packs lexicographically from
+    // runtime bounds + order fraction — previously the split collapsed
+    // to NDV(k1) ranges. Parity is the contract; the fixture plants the
+    // hazards that broke earlier drafts of the rewrite-rule twin: null
+    // keys (slot −1 vs greatest/least null-skip), NaN in the order head
+    // (nanvl-before-clamp), heavy ties, an all-null value group.
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      val k1: java.lang.Integer = if (i % 11 == 0) null else i % 2
+      val k2: java.lang.Long = if (i % 13 == 0) null else (i % 3).toLong
+      val v: java.lang.Double =
+        if (i == 77) Double.NaN
+        else if (i % 7 == 0) null
+        else (rnd.nextInt(5) * 10).toDouble
+      val c: java.lang.Long =
+        if (i % 5 == 0) null else (rnd.nextInt(100) - 50).toLong
+      (i.toLong, k1, k2, v, c)
+    }
+    val df = rows.toDF("id", "k1", "k2", "v", "c")
+    val keys = Seq(col("k1"), col("k2"))
+    val order = Seq(col("v"), col("id"))
+    val gotR = Ranking.withPartitionedRowNumber(df, keys, order, "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("k1", "k2").orderBy(col("v"), col("id"))
+    val naiveR = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(gotR == naiveR)
+    val gotS = Ranking.withPartitionedRunningSums(df, keys, order,
+        Seq((col("c"), "cs")))
+      .select("id", "cs").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naiveS = df.withColumn("cs", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cs").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotS == naiveS)
+  }
+
+  test("wide-span keys fall back to the head-only proxy — parity holds " +
+    "(balance degrades, never a rank)") {
+    // span(k1) = 2^53+1 > 2^52: the packed double could collapse
+    // adjacent blocks, so the runtime guard routes every row to the
+    // bare-head fallback — results must still equal the naive window
+    val rows = (0 until 200).map { i =>
+      val k1 = if (i % 2 == 0) 0L else (1L << 53)
+      (i.toLong, k1, (i % 5).toLong)
+    }
+    val df = rows.toDF("id", "k1", "k2")
+    val got = Ranking.withPartitionedRowNumber(df,
+        Seq(col("k1"), col("k2")), Seq(col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k1", "k2").orderBy("id")).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("withGlobalPrefix matches naive windows on random tie-heavy data") {
     // the single-pass engine under DistributeGlobalRank: rank, total
     // count, inclusive sum/max and EXCLUSIVE min must all agree with

@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   * Scale notes: the window formulation is one hash-shuffle on the dedup key
   * followed by a streaming rank within each key group — the same cost as any
   * keyed aggregation, no global sort. At 100 TB the shuffle is unavoidable
-  * for exact dedup (equal keys must meet); skew on a hot key is handled by
-  * AQE skew-join/partition-split, and the rank itself never materializes a
-  * group in memory. `dropDuplicates` would be marginally cheaper
-  * (map-side partial aggregation) but keeps an *arbitrary* row — only legal
-  * when the caller proves all survivors are equivalent.
+  * for exact dedup (equal keys must meet). `dropDuplicates` would be
+  * marginally cheaper (map-side partial aggregation) but keeps an
+  * *arbitrary* row — only legal when the caller proves all survivors are
+  * equivalent.
+  *
+  * Hot-key skew is guarded STRUCTURALLY, not by a stats gate: because the
+  * `row_number()` window is consumed by an adjacent `rn = 1` filter,
+  * Spark's `InferWindowGroupLimit` plans a PARTIAL WindowGroupLimit below
+  * the exchange — each map task locally sorts its ~n/P rows (partition-
+  * sized, key-independent) and forwards at most ONE row per key, so the
+  * 100 TB crawl's empty-URL class contributes ≤ P rows (cluster metadata,
+  * not data mass) to its reducer, where the FINAL limit reduces ≤ P rows
+  * per key. No key's full mass ever crosses the wire or funnels through
+  * one sort task. DedupSkewPlanSpec pins the Partial-below-Exchange shape
+  * so an edit that breaks the filter adjacency (and with it the
+  * inference) fails loudly.
   */
 object Dedup {
 

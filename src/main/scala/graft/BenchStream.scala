@@ -49,12 +49,22 @@ object BenchStream {
     import spark.implicits._
     implicit val sqlCtx: SQLContext = spark.sqlContext
 
+    // optional 3rd arg: feed MULTIPLIER — each event replicated ×N with
+    // fresh event_ids at the SAME user_ids and timestamps (per-element,
+    // so event-time arrival order is preserved). N× rows in the same
+    // horizon = N× buffered state per key: the decade probe for the
+    // as-of family's "linear until the fold registers" claim.
+    val mult = if (args.length > 2) args(2).toInt else 1
     // events.ts is Parquet TIMESTAMP(NANOS) — always through Readers.events
-    val events = graft.etl.Readers.events(spark, sfDir)
+    val events0 = graft.etl.Readers.events(spark, sfDir)
       .select(col("ts"), col("user_id"),
         col("event_type"), col("value"), col("event_id"))
       .orderBy("ts") // arrival in event-time order, like a live feed
       .as[Ev].collect().toSeq
+    val events =
+      if (mult <= 1) events0
+      else events0.flatMap(e => (0 until mult).map(i =>
+        e.copy(event_id = e.event_id + i.toLong * 100000000L)))
     val docs = graft.etl.Readers.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))

@@ -315,14 +315,16 @@ object Ranking {
     * groups nulls as one partition, and the join back matches
     * null-safely, so null keys rank exactly like the naive window.
     * Contract: ascending orders only without an explicit `rangeKey`
-    * (pass one for a descending leading key). For INTEGRAL keys —
-    * single or composite — the default proxy packs every key
-    * lexicographically from runtime min/max bounds and refines by the
-    * leading order column, so a low-NDV or composite leading key no
-    * longer collapses the range split (see the packing block in
-    * [[withPartitionedPrefix]]); non-integral keys keep the head-only
-    * default (a string head via [[stringPrefixFraction]]). Every proxy
-    * choice is balance-only — it can degrade parallelism, never a rank.
+    * (pass one for a descending leading key). For COMPOSITE integral
+    * keys the default proxy packs every key lexicographically from
+    * runtime min/max bounds and refines by the leading order column,
+    * so a composite key no longer collapses the range split to
+    * NDV(head) (see the packing block in [[withPartitionedPrefix]]);
+    * single and non-integral keys keep the zero-extra-pass head-only
+    * default (a string head via [[stringPrefixFraction]]) — for a
+    * provably low-NDV single key pass an explicit `rangeKey`, or go
+    * through the stats-gated optimizer rule. Every proxy choice is
+    * balance-only — it can degrade parallelism, never a rank.
     */
   def withPartitionedRowNumber(df: DataFrame, partKeys: Seq[Column],
                                order: Seq[Column], out: String,
@@ -486,16 +488,22 @@ object Ranking {
           inclusive = true, cIncl(i)))
     }
     // ---- library-default range proxy (no explicit rangeKey) ----
-    // The old default split on the HEAD key alone, which collapses to
-    // ≤ NDV(head) ranges under a low-cardinality or composite leading
-    // key — reinstating the single-task skew this module removes. For
-    // INTEGRAL keys the default now packs EVERY key lexicographically
-    // from runtime min/max bounds (one extra map-side-combined
-    // aggregate, broadcast as one row) and refines within the last key
-    // by the leading order column normalized to [0, 1) — the same
-    // packing [[graft.plans.DistributeGlobalRank]]'s stats-gated leg
-    // builds from catalog statistics, here with EXACT bounds. Guards,
-    // all balance-only (the proxy stays weakly monotone in the
+    // The old default split on the HEAD key alone, which for a
+    // COMPOSITE key collapses to ≤ NDV(head) ranges whatever the other
+    // keys contribute — reinstating the single-task skew this module
+    // removes. For composite INTEGRAL keys the default now packs EVERY
+    // key lexicographically from runtime min/max bounds (one extra
+    // map-side-combined aggregate, broadcast as one row) and refines
+    // within the last key by the leading order column normalized to
+    // [0, 1) — the same packing [[graft.plans.DistributeGlobalRank]]'s
+    // stats-gated leg builds from catalog statistics, here with EXACT
+    // bounds. SINGLE keys keep the zero-extra-pass head proxy: for a
+    // high-NDV key the packing buys nothing and the bounds pass is pure
+    // cost (measured +43% on window_rank_skewfree at sf0.1, r12); for a
+    // provably low-NDV single key the caller has real options — an
+    // explicit rangeKey, or analyst SQL through the stats-gated rule,
+    // which builds this same proxy only when statistics prove the cap.
+    // Guards, all balance-only (the proxy stays weakly monotone in the
     // (keys…, order) lexicographic order or falls back to a prefix of
     // it):
     //   - span PRODUCT > 2^52 → the packed double could collapse
@@ -523,7 +531,7 @@ object Ranking {
           case ByteType | ShortType | IntegerType | LongType => true
           case _ => false
         })
-        if (!integral) (withK, None)
+        if (!integral || kNames.size == 1) (withK, None)
         else {
           val mnN = kNames.map(_ + "_bmn")
           val mxN = kNames.map(_ + "_bmx")

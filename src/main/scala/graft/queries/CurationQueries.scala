@@ -781,7 +781,104 @@ object CurationQueries {
     head + TextQueries.dedupPipelineSqlBody + afterPairs
   }
 
+  /** Per-source token budget for [[tokenBudgetSelect]] — ~half of each
+    * source's ~1.4k tokens at the 500-doc scales and ~5% at sf0.1, so
+    * BOTH branches (kept and dropped) fire at every driver scale (the
+    * r10 fixture-exercise lesson).
+    */
+  val BudgetTokens = 700L
+
+  /** Greedy token-budget selection: per source, keep the longest
+    * documents first until the source's token budget is exhausted — the
+    * curation move behind "N billion tokens per domain, best documents
+    * first" (longest-first is the policy here; any deterministic
+    * priority column slots into the same shape). The running token sum
+    * per source rides [[graft.ops.Ranking.withPartitionedRunningSums]]
+    * — the skew-free prefix machinery, so a source holding half the
+    * 100 TB crawl never funnels through one window-sort task the way
+    * `sum(n) OVER (PARTITION BY source ORDER BY …)` would; the greedy
+    * cut is then a map-only filter on the inclusive prefix, and the
+    * output is the per-source audit (docs kept, tokens kept ≤ budget).
+    * Deterministic: ties on length break by doc_id, so the kept set is
+    * stable across runs, engines, and partitionings.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+    graft.ops.Ranking.withPartitionedRunningSums(docs,
+        Seq(col("source")),
+        Seq(-col("n"), col("doc_id")),
+        Seq((col("n"), "cum")))
+      .filter(col("cum") <= BudgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetSelectSql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n) AS BIGINT) AS tokens_kept
+       |FROM (
+       |  SELECT source, doc_id, n,
+       |    sum(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT source, doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |        FROM documents))
+       |WHERE cum <= $BudgetTokens
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Shard size (docs per shard) for [[globalShuffle]]. */
+  val ShuffleShardDocs = 64L
+
+  /** Deterministic global corpus shuffle — the pass every pretraining
+    * run makes before sharding: position = the distributed global rank
+    * over a cryptographic-hash order (`md5(doc_id)`, doc_id tiebreak),
+    * then shard = position / shard-size. The hash order is uniform by
+    * construction, so [[graft.ops.Ranking.withGlobalRowNumber]]'s range
+    * split is balanced for free, and no single task ever sorts the
+    * corpus — the naive `row_number() OVER (ORDER BY md5(id))` funnels
+    * all 100 TB through ONE window task (SQL users get that shape
+    * auto-rewritten by [[graft.plans.DistributeGlobalRank]]; API users
+    * get this entry point). Deterministic across runs and engines
+    * (md5, not a seed), which makes the shuffle REPRODUCIBLE — the
+    * property training runs actually need from "random" order. A
+    * snapshot shuffle by nature: appending rows shifts positions, so
+    * incremental corpora re-shuffle per training snapshot (the
+    * append-stable alternative — hash-bucket sharding without global
+    * positions — is [[graft.ops.Sampling.hashBucket]]).
+    */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents").select("doc_id")
+    // withGlobalRowNumber is 0-BASED; the key reports SQL-style 1-based
+    // positions, and the shard id divides the 0-based rank directly
+    graft.ops.Ranking.withGlobalRowNumber(docs,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        "_pos0")
+      .withColumn("shuffle_pos", col("_pos0") + 1)
+      .withColumn("shard_id",
+        (col("_pos0") / lit(ShuffleShardDocs)).cast("long"))
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("shuffle_pos"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val globalShuffleSql: String =
+    s"""SELECT doc_id, shuffle_pos, CAST(shard_id AS BIGINT) AS shard_id
+       |FROM (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+       |                       doc_id) AS shuffle_pos,
+       |    (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+       |                        doc_id) - 1) // $ShuffleShardDocs AS shard_id
+       |  FROM documents)
+       |WHERE doc_id % 7 = 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_select" -> tokenBudgetSelect,
+    "global_shuffle" -> globalShuffle,
     "pretrain_pipeline" -> pretrainPipeline,
     "k_anonymity" -> kAnonymity,
     "group_split" -> groupSplit,
@@ -797,6 +894,8 @@ object CurationQueries {
     "len_buckets" -> lenBuckets)
 
   val oracle: Map[String, String] = Map(
+    "token_budget_select" -> tokenBudgetSelectSql,
+    "global_shuffle" -> globalShuffleSql,
     "pretrain_pipeline" -> pretrainPipelineSql,
     "k_anonymity" -> kAnonymitySql,
     "group_split" -> groupSplitSql,

@@ -555,14 +555,22 @@ object Ranking {
           val withB = withK.crossJoin(broadcast(bounds))
           autoDrop ++= mnN; autoDrop ++= mxN
           if (headNum.isDefined) autoDrop ++= Seq(oMnN, oMxN)
+          // each slot's multiplier is span + 1, with null → 0 and values
+          // shifted to [1, span]: a null slot must own its OWN position
+          // BELOW the block, not the "-1" of a span-wide multiplier —
+          // there, block ranges OVERLAP by exactly one value, so
+          // (k₁=s, k₂=max) ties with (k₁=s+1, k₂=null) and the order
+          // fraction added below INVERTS them (caught by the RankingSpec
+          // property search: ndv=1 second key with nulls)
           val spans = kNames.indices.map(i =>
             col(mxN(i)).cast("double") - col(mnN(i)).cast("double") +
-              lit(1.0))
+              lit(2.0))
           val spanOk = spans.reduce(_ * _) <= lit(4503599627370496.0) // 2^52
           val packed = kNames.indices.foldLeft(lit(0.0)) { (acc, i) =>
             val slot = when(col(kNames(i)).isNotNull,
-              col(kNames(i)).cast("double") - col(mnN(i)).cast("double"))
-              .otherwise(lit(-1.0))
+              col(kNames(i)).cast("double") - col(mnN(i)).cast("double") +
+                lit(1.0))
+              .otherwise(lit(0.0))
             acc * spans(i) + slot
           }
           val hi = 1.0 - 1e-9

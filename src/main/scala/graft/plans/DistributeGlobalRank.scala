@@ -882,15 +882,21 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         lit(nullFill))
     }
     // lexicographic key packing from the stats bounds: fold
-    // packed = packed · span_i + clamp(k_i − min_i, [−1, span_i−1]),
-    // null → −1 (nulls sort FIRST within their slot, like the plain
-    // ascending key copies the prefix machinery sorts by). Clamping
-    // keeps stale out-of-bounds values weakly monotone (they collapse
-    // onto the block edge — ties, balance-only). For MULTIPLE keys the
-    // slot product must stay exactly representable (≤ 2^52): a rounded
-    // product could collapse two adjacent k₁ blocks and let the next
-    // slot's value INVERT the lexicographic order — so wide-span
-    // composites refuse rather than risk a rank.
+    // packed = packed · (span_i + 1) + slot_i, where slot_i = 0 for a
+    // null key and clamp(k_i − min_i, [0, span_i−1]) + 1 ∈ [1, span_i]
+    // otherwise (nulls sort FIRST within their slot, like the plain
+    // ascending key copies the prefix machinery sorts by). The
+    // multiplier must be span + 1 — with a span-wide multiplier and
+    // null = −1, adjacent blocks OVERLAP by one value, (k₁=s, k₂=max)
+    // ties with (k₁=s+1, k₂=null), and the within-key fraction added
+    // below can INVERT them (found by RankingSpec's property search on
+    // the library twin of this packing; latent here for any composite
+    // whose NON-HEAD key carries nulls). Clamping keeps stale
+    // out-of-bounds values weakly monotone (they collapse onto the
+    // block edge — ties, balance-only). The slot product must stay
+    // exactly representable (≤ 2^52): a rounded product could collapse
+    // two adjacent k₁ blocks with the same inversion hazard — so
+    // wide-span keys refuse rather than risk a rank.
     def statLong(v: Any): Option[Long] = v match {
       case n: java.lang.Number => Some(n.longValue())
       case _ => None
@@ -909,7 +915,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // this shape). Weak monotonicity is the proxy's correctness
     // contract, so wide spans refuse whatever the key count.
     val spanProduct = keyBounds.map { case (mn, mx) =>
-      BigInt(mx) - BigInt(mn) + 1
+      BigInt(mx) - BigInt(mn) + 2 // span + 1: the null slot is its own
     }.product
     if (spanProduct > (BigInt(1L) << 52)) return None
     def packedOf(cols: Seq[Column]): Column =
@@ -918,11 +924,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         val kSpan = (BigInt(mx) - BigInt(mn) + 1).toDouble
         // explicit null gate (see fracOf): a null key slot must land
         // BELOW every value slot, like the ascending-nulls-first key
-        // copies the prefix machinery sorts by
+        // copies the prefix machinery sorts by — in its OWN slot 0,
+        // values shifted to [1, span] under the span+1 multiplier
         val ci = fwhen(cols(i).isNotNull,
           fleast(fgreatest(cols(i).cast("double") - lit(mn.toDouble),
-            lit(0.0)), lit(kSpan - 1.0)))
-        acc * lit(kSpan) + coalesce(ci, lit(-1.0))
+            lit(0.0)), lit(kSpan - 1.0)) + lit(1.0))
+        acc * lit(kSpan + 1.0) + coalesce(ci, lit(0.0))
       }
     val rangeKey = packedOf(keyCols) + fracOf(oCol)
     val orderCols = w.orderSpec.map(sortCol)

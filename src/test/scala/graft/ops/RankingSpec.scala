@@ -253,6 +253,49 @@ class RankingSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("packed composite default: property parity with the naive window " +
+    "over random key distributions") {
+    // the r12 packing is balance-only BY PROOF; this pins it BY SEARCH:
+    // random NDVs (incl. 1 — an all-ties key), random null rates on both
+    // keys and the value, random key OFFSETS (so slots exercise non-zero
+    // mins and negative keys), rank + running sum vs the naive window
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 160)
+      off1 <- Gen.chooseNum(-1000L, 1000L)
+      ndv1 <- Gen.chooseNum(1, 6)
+      ndv2 <- Gen.chooseNum(1, 8)
+      k1s <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0L, ndv1 - 1L)))
+      k2s <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0L, ndv2 - 1L)))
+      vs <- Gen.listOfN(n, Gen.option(Gen.chooseNum(-40L, 40L)))
+    } yield (0 until n).map { i =>
+      (i.toLong,
+        k1s(i).map(v => java.lang.Long.valueOf(v + off1)).orNull,
+        k2s(i).map(java.lang.Long.valueOf(_)).orNull,
+        vs(i).map(java.lang.Long.valueOf(_)).orNull)
+    }
+    val prop = Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.toDF("id", "k1", "k2", "v")
+      val keys = Seq(col("k1"), col("k2"))
+      val got = Ranking.withPartitionedPrefix(df, keys, Seq(col("id")),
+          Some("rn"), Seq((col("v"), "cs")))
+        .select("id", "rn", "cs").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+      val w = Window.partitionBy("k1", "k2").orderBy("id")
+      val naive = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "rn", "cs").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+      got == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12)
+        .withInitialSeed(org.scalacheck.rng.Seed(23L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("withGlobalPrefix matches naive windows on random tie-heavy data") {
     // the single-pass engine under DistributeGlobalRank: rank, total
     // count, inclusive sum/max and EXCLUSIVE min must all agree with

@@ -547,14 +547,18 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
 
   test("composite partition keys: NDV product gates, packed proxy splits, " +
     "null key slots group like SQL") {
-    // two keys (k1 NDV 2 incl null, k2 NDV 3): product 6, 2·6 ≤ 32 —
-    // provable; null keys form their own SQL partitions and must rank
-    // within them
+    // two keys (k1 NDV 2 incl null, k2 NDV 3 incl null): product 6,
+    // 2·6 ≤ 32 — provable; null keys form their own SQL partitions and
+    // must rank within them. k2 nulls are the packing's hardest case:
+    // with a span-wide multiplier and null = −1, (k1=s, k2=max) TIED
+    // with (k1=s+1, k2=null) and the order fraction inverted them —
+    // the span+1/own-null-slot packing this fixture now exercises
     val rows = (0 until 240).map { i =>
       val k1: java.lang.Integer = if (i % 7 == 0) null else i % 2
+      val k2: java.lang.Integer = if (i % 13 == 0) null else i % 3
       val v: java.lang.Long =
         if (i % 5 == 0) null else java.lang.Long.valueOf((i % 97).toLong)
-      (k1, i % 3, i.toLong, v)
+      (k1, k2, i.toLong, v)
     }
     val path = graft.ops.Bucketing.scratchRoot() + "/dgr_multi"
     rows.toDF("k1", "k2", "ord", "v").write.mode("overwrite").parquet(path)

@@ -160,6 +160,14 @@ object BenchStream {
     run("asof_nearest_stream", asofEvents, "append")(
       ds => AsOfStream.nearestWithin(ds,
         horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
+    // per-source token quota gate: state is ONE long per source, so the
+    // per-batch cost is the fold + commit floor at any feed size
+    val quotaDocs = events.zipWithIndex.map { case (e, i) =>
+      DocStreams.QuotaDoc(e.event_type, e.event_id,
+        10L + (math.abs(e.value) % 90).toLong, i.toLong)
+    }
+    run("quota_stream", quotaDocs, "append")(
+      ds => DocStreams.tokenQuotaStream(ds, budget = 1000000L).toDF())
     // SCD-2 point-in-time enrichment: stream-static join, no state store
     // — per-batch cost is the dimension re-plan + the key equi-join with
     // the interval residual (the dimension broadcasts at this size)

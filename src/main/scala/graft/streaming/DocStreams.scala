@@ -79,4 +79,60 @@ object DocStreams {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(dir)
+
+  /** A document in the quota gate: `seq` is the caller's total arrival
+    * order per source (a kafka offset, a landing-file sequence, an
+    * event id) — the fold sorts each micro-batch's group slice by it,
+    * so the decision stream is DETERMINISTIC even though
+    * `flatMapGroupsWithState` hands the group iterator in shuffle
+    * order.
+    */
+  case class QuotaDoc(source: String, doc_id: Long, n_tokens: Long,
+                      seq: Long)
+
+  /** The gate's verdict for one document: `cum_tokens` is the running
+    * token total over EVERY arrival (kept or not), `kept` the prefix
+    * rule `cum_tokens ≤ budget` — the same greedy-prefix contract as
+    * the batch `token_budget_select`, just over arrival order instead
+    * of a quality order (a stream cannot sort the future).
+    */
+  case class QuotaDecision(source: String, doc_id: Long, n_tokens: Long,
+                           kept: Boolean, cum_tokens: Long)
+
+  /** Streaming per-source token quota — the live-ingestion twin of the
+    * batch `token_budget_select`: admit documents per source until the
+    * source's token budget is exhausted, then drop. State is ONE long
+    * per source (the running total) — bounded by the DOMAIN count, not
+    * the stream: cluster metadata at any ingest rate, no watermark or
+    * eviction needed, which is what makes this the gate you can leave
+    * running for a month. Decisions are final at emit (the running
+    * total never decreases), so the output composes with the
+    * exactly-once sinks; within-batch ordering is pinned by the `seq`
+    * sort (see [[QuotaDoc]]), and cross-batch ordering by the state
+    * itself. QuotaStreamSpec certifies batch-boundary invariance,
+    * within-batch shuffle invariance, and row parity with the batch
+    * prefix rule.
+    */
+  def tokenQuotaStream(docs: org.apache.spark.sql.Dataset[QuotaDoc],
+                       budget: Long)
+  : org.apache.spark.sql.Dataset[QuotaDecision] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val decEnc = E.product[QuotaDecision]
+    implicit val longEnc = E.scalaLong
+    docs.groupByKey(_.source)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[QuotaDoc],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.seq).map { d =>
+            cum += d.n_tokens
+            QuotaDecision(source, d.doc_id, d.n_tokens,
+              kept = cum <= budget, cum_tokens = cum)
+          }
+          state.update(cum)
+          out.iterator
+        })
+  }
 }

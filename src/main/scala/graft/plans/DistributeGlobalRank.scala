@@ -693,14 +693,22 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     * balance degrades, never a rank.
     *
     * Guards (each refusal keeps the naive plan):
-    *   - stats must exist and prove it: one or more integral-typed
-    *     attribute keys whose distinctCount PRODUCT satisfies
-    *     `2·Πndv ≤ shuffle partitions` (the product upper-bounds the
-    *     composite cardinality whatever the correlation; integral: the
-    *     key-to-key proxy gap is ≥ 1, so the within-key fraction can
-    *     never reorder keys — multiple keys pack lexicographically
-    *     from their min/max stats, refusing when the slot-span product
-    *     exceeds 2^52 exact-double territory), and a
+    *   - stats must exist and prove it: one or more attribute keys of
+    *     numeric / string / date / timestamp type whose distinctCount
+    *     PRODUCT satisfies `2·Πndv ≤ shuffle partitions` (the product
+    *     upper-bounds the composite cardinality whatever the
+    *     correlation). ALL-integral keys pack lexicographically from
+    *     their min/max stats (the key-to-key proxy gap is ≥ 1, so the
+    *     within-key fraction can never reorder keys; slot-span
+    *     products past 2^52 exact-double territory refuse); any other
+    *     orderable mix — `PARTITION BY source`, the most common real
+    *     crawl shape — goes through a DENSE KEY INDEX instead: the
+    *     distinct key tuples (≤ Πndv, proven; computed from the DATA,
+    *     so stale stats can only mis-size the broadcast, never lose a
+    *     key) take a distributed rank in key order and broadcast-join
+    *     back null-safely, and `idx + fraction` is the packed proxy
+    *     with slot width 1 (the index is bijective and monotone, so
+    *     partitioning by it ≡ partitioning by the keys). Also needed: a
     *     leading order column with known min/max of a numeric /
     *     date / timestamp type — path-based reads carry neither, so
     *     this leg never fires outside a stats-bearing catalog table
@@ -742,16 +750,26 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    // one OR MORE integral attribute keys: the NDV PRODUCT is an upper
-    // bound on the composite key's true cardinality (2·Πndv ≤ parts ⇒
-    // 2·NDV(combined) ≤ parts — sound whatever the correlation), and
-    // the per-key min/max stats let the keys pack LEXICOGRAPHICALLY
-    // into one numeric proxy below
+    // a key the DENSE-INDEX path below can order: anything the
+    // withGlobalRowNumber range machinery handles as an order column
+    def indexableKey(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    // one OR MORE attribute keys: the NDV PRODUCT is an upper bound on
+    // the composite key's true cardinality (2·Πndv ≤ parts ⇒
+    // 2·NDV(combined) ≤ parts — sound whatever the correlation). ALL
+    // integral keys pack LEXICOGRAPHICALLY from their min/max stats
+    // (zero extra passes); any other orderable mix — the analyst's
+    // `PARTITION BY source` over a low-NDV STRING is the most common
+    // real shape — goes through the dense key index below instead
     val keys: Seq[Attribute] = w.partitionSpec.map {
-      case a: Attribute if integralKey(a.dataType) => a
+      case a: Attribute if indexableKey(a.dataType) => a
       case _ => return None
     }
     if (keys.isEmpty) return None
+    val allIntegral = keys.forall(k => integralKey(k.dataType))
     val stats = w.child.stats
     val keyStats = keys.map(k =>
       stats.attributeStats.get(k).getOrElse(return None))
@@ -901,12 +919,14 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
       case n: java.lang.Number => Some(n.longValue())
       case _ => None
     }
-    val keyBounds = keyStats.map { st =>
-      val mn = st.min.flatMap(statLong).getOrElse(return None)
-      val mx = st.max.flatMap(statLong).getOrElse(return None)
-      if (mx < mn) return None
-      (mn, mx)
-    }
+    val keyBounds: Seq[(Long, Long)] =
+      if (!allIntegral) Nil
+      else keyStats.map { st =>
+        val mn = st.min.flatMap(statLong).getOrElse(return None)
+        val mx = st.max.flatMap(statLong).getOrElse(return None)
+        if (mx < mn) return None
+        (mn, mx)
+      }
     // the span check applies to a SINGLE key too: packedOf casts the key
     // to double, and past 2^52 two adjacent distinct longs can collapse
     // onto one double — fracOf's within-key fraction (< 1) would then
@@ -914,10 +934,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     // ranks (snowflake-scale IDs with stats-proven low NDV are exactly
     // this shape). Weak monotonicity is the proxy's correctness
     // contract, so wide spans refuse whatever the key count.
-    val spanProduct = keyBounds.map { case (mn, mx) =>
-      BigInt(mx) - BigInt(mn) + 2 // span + 1: the null slot is its own
-    }.product
-    if (spanProduct > (BigInt(1L) << 52)) return None
+    if (allIntegral) {
+      val spanProduct = keyBounds.map { case (mn, mx) =>
+        BigInt(mx) - BigInt(mn) + 2 // span + 1: the null slot is its own
+      }.product
+      if (spanProduct > (BigInt(1L) << 52)) return None
+    }
     def packedOf(cols: Seq[Column]): Column =
       keys.indices.foldLeft(lit(0.0)) { (acc, i) =>
         val (mn, mx) = keyBounds(i)
@@ -931,7 +953,41 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
             lit(0.0)), lit(kSpan - 1.0)) + lit(1.0))
         acc * lit(kSpan + 1.0) + coalesce(ci, lit(0.0))
       }
-    val rangeKey = packedOf(keyCols) + fracOf(oCol)
+    // NON-integral (or mixed) keys cannot pack into slots — there is no
+    // "gap ≥ 1" argument for strings — but the SAME stats proof that
+    // made the rewrite worthwhile also bounds a DENSE KEY INDEX: the
+    // distinct key tuples (≤ Πndv rows, from the DATA, so stale stats
+    // cannot lose a key — only mis-size the broadcast) get a
+    // distributed 0-based rank in key order (withGlobalRowNumber — no
+    // naive window anywhere, string heads ride stringPrefixFraction)
+    // and broadcast-join back null-safely. The index is a BIJECTION
+    // onto the key tuples and monotone in their sort order, so
+    // `idx + fracOf(order)` is exactly the packed proxy with slot
+    // width 1 — and partitioning the helper BY the index column is
+    // equivalent to partitioning by the keys.
+    val idxName = "__graft_auto_kidx"
+    val (baseDf, helperKeys, proxyFn, dropAfter):
+        (org.apache.spark.sql.DataFrame, Seq[Column],
+          (Seq[Column], Column) => Column, Seq[String]) =
+      if (allIntegral)
+        (childDf, keyCols, (ks, o) => packedOf(ks) + fracOf(o), Nil)
+      else {
+        val kcopy = keys.indices.map(i => s"__graft_auto_kc_$i")
+        val distinctKeys = childDf.select(keys.zip(kcopy).map {
+          case (a, nm) => GraftColumnBridge.column(a).as(nm)
+        }: _*).distinct()
+        val idxFrame = Ranking.withGlobalRowNumber(distinctKeys,
+          kcopy.map(fcol), idxName)
+        val joinCond = keys.zip(kcopy).map { case (a, nm) =>
+          GraftColumnBridge.column(a) <=> idxFrame(nm)
+        }.reduce(_ && _)
+        val joined = childDf.join(
+            org.apache.spark.sql.functions.broadcast(idxFrame), joinCond)
+          .drop(kcopy: _*)
+        (joined, Seq(fcol(idxName)),
+          (ks, o) => ks.head.cast("double") + fracOf(o), Seq(idxName))
+      }
+    val rangeKey = proxyFn(helperKeys, oCol)
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_prn"
     // grain split: RANGE aggregates compute per distinct (key, order
@@ -990,14 +1046,15 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     val wantRank = funcs.exists(_._3 == PRowNum)
     var ranked =
       if (anyRange)
-        Ranking.withPartitionedRangeSums(childDf, keyCols,
+        Ranking.withPartitionedRangeSums(baseDf, helperKeys,
           w.orderSpec.map(so2 => (GraftColumnBridge.column(so2.child),
             so2.direction == Ascending)),
           sumSpecs,
-          rangeProxy = Some((ks, o) => packedOf(ks) + fracOf(o)))
-      else Ranking.withPartitionedPrefix(childDf, keyCols,
+          rangeProxy = Some(proxyFn))
+      else Ranking.withPartitionedPrefix(baseDf, helperKeys,
         orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
         Some(rangeKey), broadcastBase = true)
+    ranked = ranked.drop(dropAfter: _*)
     val outNames = funcs.map(_._1)
     funcs.foreach { case (nm, _, fn) =>
       import org.apache.spark.sql.functions.{coalesce => fcoalesce}

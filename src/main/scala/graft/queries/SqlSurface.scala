@@ -904,6 +904,56 @@ object SqlSurface {
     }
   }
 
+  /** The STRING-key leg of the partitioned rewrite: `PARTITION BY
+    * l_returnflag` (a 3-value string — the same shape as the analyst's
+    * `PARTITION BY source/country` over a crawl) on the pre-aggregated
+    * unique grain. Strings cannot pack into slots, so the rule routes
+    * through its DENSE KEY INDEX: distinct key tuples (≤ NDV, proven) →
+    * distributed rank in key order → broadcast join-back, proxy =
+    * idx + in-key order fraction. Same stats gate, floor scoping, and
+    * lazy plan-splice contract as [[windowPartitionedAuto]];
+    * DistributeGlobalRankSpec pins the index rewrite with null string
+    * keys and both grains.
+    */
+  def windowPartitionedStringAuto(spark: SparkSession, dir: String)
+  : DataFrame = {
+    val t = graft.ops.CatalogStats.ensureStarStats(spark, dir)
+    val sql =
+      s"""SELECT l_orderkey, l_returnflag, rn, cum FROM (
+         |  SELECT l_orderkey, l_returnflag,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |                       ORDER BY l_orderkey) AS rn,
+         |    sum(l_cents) OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT l_returnflag, l_orderkey,
+         |          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+         |            AS BIGINT) AS l_cents
+         |        FROM ${t("lineitem")} GROUP BY 1, 2))
+         |WHERE l_orderkey % 43 = 0
+         |ORDER BY l_returnflag, l_orderkey""".stripMargin
+    graft.ops.CatalogStats.withConf(spark,
+      DistributeGlobalRank.PartitionedMinRowsKey -> "0") {
+      graft.ops.CatalogStats.cboOptimized(spark)(spark.sql(sql))
+    }
+  }
+
+  val windowPartitionedStringAutoSql: String =
+    """SELECT l_orderkey, l_returnflag, CAST(rn AS INTEGER) AS rn,
+      |  CAST(cum AS BIGINT) AS cum FROM (
+      |  SELECT l_orderkey, l_returnflag,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_orderkey) AS rn,
+      |    sum(l_cents) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT l_returnflag, l_orderkey,
+      |          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+      |            AS BIGINT) AS l_cents
+      |        FROM lineitem GROUP BY 1, 2))
+      |WHERE l_orderkey % 43 = 0
+      |ORDER BY l_returnflag, l_orderkey""".stripMargin
+
   val windowPartitionedRangeAutoSql: String =
     """SELECT l_orderkey, l_linenumber, CAST(cum AS BIGINT) AS cum,
       |  CAST(cnt AS BIGINT) AS cnt FROM (
@@ -947,6 +997,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cbo_join_reorder" -> cboJoinReorder,
     "window_partitioned_auto" -> windowPartitionedAuto,
+    "window_partitioned_string_auto" -> windowPartitionedStringAuto,
     "window_partitioned_range_auto" -> windowPartitionedRangeAuto,
     "global_share_auto" -> globalShareAuto,
     "global_offset_auto" -> globalOffsetAuto,
@@ -971,6 +1022,7 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "cbo_join_reorder" -> cboJoinReorderSql,
     "window_partitioned_auto" -> windowPartitionedAutoSql,
+    "window_partitioned_string_auto" -> windowPartitionedStringAutoSql,
     "window_partitioned_range_auto" -> windowPartitionedRangeAutoSql,
     "global_share_auto" -> globalShareAutoSql,
     "global_offset_auto" -> globalOffsetAutoSql,

@@ -41,6 +41,7 @@ class LazyConstructionSpec extends AnyFunSuite {
                                // optimization forced at construction; the
                                // RESULT is lazy (r12: collect removed)
     "window_partitioned_range_auto", // same contract, RANGE-frame leg
+    "window_partitioned_string_auto", // same contract, dense-key-index leg
     // Multi-pass intermediates pinned with localCheckpoint(eager=false):
     // no DRIVER action fires, but AQE materializes the checkpoint's
     // exchange stages when the RDD is resolved at construction. The

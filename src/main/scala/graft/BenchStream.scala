@@ -61,10 +61,16 @@ object BenchStream {
         col("event_type"), col("value"), col("event_id"))
       .orderBy("ts") // arrival in event-time order, like a live feed
       .as[Ev].collect().toSeq
+    // replica stride derives from the actual max id (+1), never a fixed
+    // constant — a fixed 1e8 stride collides replica ids with other
+    // events' replicas once base ids reach it at larger scale factors,
+    // perturbing as-of tie-breaks and dedup in the stream bench
+    val stride = if (events0.isEmpty) 1L
+      else events0.map(_.event_id).max + 1L
     val events =
       if (mult <= 1) events0
       else events0.flatMap(e => (0 until mult).map(i =>
-        e.copy(event_id = e.event_id + i.toLong * 100000000L)))
+        e.copy(event_id = e.event_id + i.toLong * stride)))
     val docs = graft.etl.Readers.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))

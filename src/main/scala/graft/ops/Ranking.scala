@@ -562,14 +562,32 @@ object Ranking {
           // (k₁=s, k₂=max) ties with (k₁=s+1, k₂=null) and the order
           // fraction added below INVERTS them (caught by the RankingSpec
           // property search: ndv=1 second key with nulls)
+          // spans and slots subtract in LONG space BEFORE casting:
+          // cast(k) − cast(mn) computed in doubles collapses adjacent
+          // distinct longs once |value| > 2^53 (snowflake IDs,
+          // nanosecond epochs) even when the span itself is tiny — the
+          // double-computed span then under-sizes the multiplier and
+          // the order fraction inverts keys across a block boundary.
+          // try_subtract yields null on long overflow (a true span
+          // beyond Long range), which fails spanOk and falls back; once
+          // spanOk holds (span ≤ 2^52) k − mn is exact in long AND as a
+          // double, whatever the key magnitude. The bounds come from
+          // the data itself (min/max of this frame), so k ∈ [mn, mx]
+          // always and the slot subtraction cannot overflow when the
+          // spanOk branch is taken.
+          // (operands widen to long FIRST — exact for any integral —
+          // since byte/short arithmetic stays in the narrow type and a
+          // span wider than that type would overflow under ANSI)
+          val spansL = kNames.indices.map(i =>
+            try_subtract(col(mxN(i)).cast("long"), col(mnN(i)).cast("long")))
           val spans = kNames.indices.map(i =>
-            col(mxN(i)).cast("double") - col(mnN(i)).cast("double") +
-              lit(2.0))
-          val spanOk = spans.reduce(_ * _) <= lit(4503599627370496.0) // 2^52
+            spansL(i).cast("double") + lit(2.0))
+          val spanOk = spansL.map(_.isNotNull).reduce(_ && _) &&
+            spans.reduce(_ * _) <= lit(4503599627370496.0) // 2^52
           val packed = kNames.indices.foldLeft(lit(0.0)) { (acc, i) =>
             val slot = when(col(kNames(i)).isNotNull,
-              col(kNames(i)).cast("double") - col(mnN(i)).cast("double") +
-                lit(1.0))
+              (col(kNames(i)).cast("long") - col(mnN(i)).cast("long"))
+                .cast("double") + lit(1.0))
               .otherwise(lit(0.0))
             acc * spans(i) + slot
           }

@@ -927,13 +927,15 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         if (mx < mn) return None
         (mn, mx)
       }
-    // the span check applies to a SINGLE key too: packedOf casts the key
-    // to double, and past 2^52 two adjacent distinct longs can collapse
-    // onto one double — fracOf's within-key fraction (< 1) would then
-    // INVERT the (key, order) lexicographic order, silently corrupting
-    // ranks (snowflake-scale IDs with stats-proven low NDV are exactly
-    // this shape). Weak monotonicity is the proxy's correctness
-    // contract, so wide spans refuse whatever the key count.
+    // the span check applies to a SINGLE key too: packedOf's double
+    // result must keep every distinct (shifted) key value distinct, and
+    // past a 2^52 SPAN two adjacent slot values can collapse onto one
+    // double — fracOf's within-key fraction (< 1) would then INVERT the
+    // (key, order) lexicographic order, silently corrupting ranks. Weak
+    // monotonicity is the proxy's correctness contract, so wide SPANS
+    // refuse whatever the key count; high-MAGNITUDE keys with a proven
+    // small span (snowflake IDs, nanosecond epochs) are fine because
+    // packedOf subtracts the min in long space before casting.
     if (allIntegral) {
       val spanProduct = keyBounds.map { case (mn, mx) =>
         BigInt(mx) - BigInt(mn) + 2 // span + 1: the null slot is its own
@@ -947,10 +949,19 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         // explicit null gate (see fracOf): a null key slot must land
         // BELOW every value slot, like the ascending-nulls-first key
         // copies the prefix machinery sorts by — in its OWN slot 0,
-        // values shifted to [1, span] under the span+1 multiplier
+        // values shifted to [1, span] under the span+1 multiplier.
+        // Clamp in LONG space, subtract in LONG space, cast LAST:
+        // cast(k) − mn.toDouble computed in doubles collapses adjacent
+        // distinct longs once |value| > 2^53 (snowflake IDs with a
+        // stats-proven tiny span pass the 2^52 SPAN gate yet corrupt
+        // ranks when the fraction inverts across the collapse) — the
+        // long clamp to the stats bounds is exact at any magnitude,
+        // keeps stale out-of-bounds values weakly monotone on the block
+        // edge as before, and guarantees the subtraction ∈ [0, span−1]
+        // ≤ 2^52 so it can neither overflow nor round
         val ci = fwhen(cols(i).isNotNull,
-          fleast(fgreatest(cols(i).cast("double") - lit(mn.toDouble),
-            lit(0.0)), lit(kSpan - 1.0)) + lit(1.0))
+          (fleast(fgreatest(cols(i).cast("long"), lit(mn)), lit(mx)) -
+            lit(mn)).cast("double") + lit(1.0))
         acc * lit(kSpan + 1.0) + coalesce(ci, lit(0.0))
       }
     // NON-integral (or mixed) keys cannot pack into slots — there is no

@@ -803,9 +803,15 @@ object CurationQueries {
     * stable across runs, engines, and partitionings.
     */
   def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    // coalesce(text, '') BEFORE tokenizing, mirrored in the oracle SQL:
+    // Spark's size(split(NULL)) is -1 (legacy) where DuckDB's
+    // len(string_split(NULL)) is NULL — a null text row would diverge
+    // in both the length ordering and the cumulative sum; on '' both
+    // engines agree (one empty token)
     val docs = Readers.table(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n"))
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n"))
     graft.ops.Ranking.withPartitionedRunningSums(docs,
         Seq(col("source")),
         Seq(-col("n"), col("doc_id")),
@@ -824,7 +830,8 @@ object CurationQueries {
        |    sum(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM (SELECT source, doc_id,
-       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |          CAST(len(string_split(coalesce(text, ''), ' '))
+       |            AS BIGINT) AS n
        |        FROM documents))
        |WHERE cum <= $BudgetTokens
        |GROUP BY source ORDER BY source""".stripMargin

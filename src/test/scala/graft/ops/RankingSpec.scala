@@ -253,6 +253,43 @@ class RankingSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("high-magnitude small-span keys pack exactly (long subtract " +
+    "before cast): parity past 2^53") {
+    // snowflake-ID shape: both keys sit near 2^62 with spans ≤ 8, so
+    // the span product passes the 2^52 gate — but cast-to-double FIRST
+    // collapses all the distinct values onto one double (granularity at
+    // 2^62 is 2^10) and the order fraction then interleaves keys across
+    // range splits, corrupting ranks (the r12 ADVICE finding). The
+    // packing must subtract the min in LONG space, which is exact at
+    // any magnitude once the span gate holds.
+    val base = 1L << 62
+    val rows = (0 until 400).map { i =>
+      val k1: java.lang.Long =
+        if (i % 11 == 0) null else java.lang.Long.valueOf(base + i % 5)
+      val k2: java.lang.Long =
+        if (i % 13 == 0) null else java.lang.Long.valueOf(-base - i % 3)
+      (i.toLong, k1, k2, (i % 7).toLong)
+    }
+    val df = rows.toDF("id", "k1", "k2", "c")
+    val keys = Seq(col("k1"), col("k2"))
+    val got = Ranking.withPartitionedRowNumber(df, keys, Seq(col("id")),
+        "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("k1", "k2").orderBy("id")
+    val naive = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    val gotS = Ranking.withPartitionedRunningSums(df, keys,
+        Seq(col("id")), Seq((col("c"), "cs")))
+      .select("id", "cs").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naiveS = df.withColumn("cs", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cs").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotS == naiveS)
+  }
+
   test("packed composite default: property parity with the naive window " +
     "over random key distributions") {
     // the r12 packing is balance-only BY PROOF; this pins it BY SEARCH:
@@ -262,7 +299,10 @@ class RankingSpec extends AnyFunSuite {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val rowsGen = for {
       n <- Gen.chooseNum(1, 160)
-      off1 <- Gen.chooseNum(-1000L, 1000L)
+      // offsets include snowflake magnitude (±2^62): the long-subtract
+      // packing is exact there; cast-first would collapse the slots
+      off1 <- Gen.oneOf(Gen.chooseNum(-1000L, 1000L),
+        Gen.oneOf(1L << 62, -(1L << 62), (1L << 53) + 7L))
       ndv1 <- Gen.chooseNum(1, 6)
       ndv2 <- Gen.chooseNum(1, 8)
       k1s <- Gen.listOfN(n, Gen.option(Gen.chooseNum(0L, ndv1 - 1L)))

@@ -643,18 +643,92 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
             .contains("__graft_auto_kidx"),
             "string-keyed RANGE window was not index-rewritten")
           assert(rowsOf(rangeSql) == naiveRange)
-          // MIXED string + integral keys route through the index too
-          val mixedSql =
+          // partition EXPRESSIONS still refuse (the index leg needs
+          // plain attributes to copy and join back null-safely)
+          val exprSql =
             s"""SELECT k, row_number() OVER (
                |  PARTITION BY k, ord % 2 ORDER BY ord) AS rn
                |FROM $name""".stripMargin
-          // partition expr must be an attribute — `ord % 2` refuses;
-          // keep the mixed case on plain attributes via a view
-          spark.sql(s"SELECT k, ord, ord % 2 AS par, v FROM $name")
-            .createOrReplaceTempView("dgr_strkey_mixed")
-          val _ = mixedSql // spelled out above: non-attribute keys refuse
-          assert(!spark.sql(mixedSql).queryExecution.optimizedPlan.toString
+          assert(!spark.sql(exprSql).queryExecution.optimizedPlan.toString
             .contains("__graft"), "rewrote a non-attribute partition key")
+        }
+      }
+    } }
+  }
+
+  test("MIXED string + integral partition keys route through the dense " +
+    "key index: rank matches naive") {
+    // `PARTITION BY source, shard` — one string key forces the index
+    // leg for the whole tuple (no packing argument for strings), and
+    // the integral co-key rides along as part of the distinct tuple
+    val rows = (0 until 260).map { i =>
+      val k: String = if (i % 13 == 0) null
+        else Seq("crawl", "books", "code")(i % 3)
+      (k, (i % 2).toLong, i.toLong, (i % 89).toLong)
+    }
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_strkey_mixed"
+    rows.toDF("k", "par", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_strkey_mixed_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(
+      s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k, par, ord")
+    val q =
+      s"""SELECT k, par, ord,
+         |  row_number() OVER (PARTITION BY k, par ORDER BY ord) AS rn
+         |FROM $name""".stripMargin
+    withParts(32) { withFloor(1) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        def rowsOf() = spark.sql(q)
+          .orderBy("k", "par", "ord").collect().map(_.toString).toSeq
+        val naive = withRule(false)(rowsOf())
+        withRule(true) {
+          val df = spark.sql(q)
+          assert(df.queryExecution.optimizedPlan.toString
+            .contains("__graft_auto_kidx"),
+            "mixed string+integral key was not index-rewritten")
+          assert(!hasPartitionedWindow(df))
+          assert(rowsOf() == naive)
+        }
+      }
+    } }
+  }
+
+  test("high-magnitude integral keys with a proven small span pack " +
+    "exactly: rank matches naive past 2^53") {
+    // snowflake-ID shape: |value| ≈ 2^62 with span ≤ 100 passes the
+    // span gate — the slot must subtract min in LONG space before
+    // casting, or adjacent distinct keys collapse onto one double and
+    // the order fraction inverts them across a range split (the r12
+    // ADVICE finding; this fixture corrupts ranks under cast-first)
+    val base = 1L << 62
+    val rows = for (k <- 0 until 8; o <- 0 until 40)
+      yield (base + k.toLong, (k * 40 + o).toLong, (o % 7).toLong)
+    val path = graft.ops.Bucketing.scratchRoot() + "/dgr_himag"
+    rows.toDF("k", "ord", "v").write.mode("overwrite").parquet(path)
+    val name = "graft_dgr_himag_fixture"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS k, ord")
+    val q =
+      s"""SELECT k, ord,
+         |  row_number() OVER (PARTITION BY k ORDER BY ord) AS rn,
+         |  sum(v) OVER (PARTITION BY k ORDER BY ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |FROM $name""".stripMargin
+    withParts(32) { withFloor(1) {
+      graft.ops.CatalogStats.withCbo(spark) {
+        def rowsOf() = spark.sql(q)
+          .orderBy("k", "ord").collect().map(_.toString).toSeq
+        val naive = withRule(false)(rowsOf())
+        withRule(true) {
+          val df = spark.sql(q)
+          assert(df.queryExecution.optimizedPlan.toString
+            .contains("__graft"),
+            "high-magnitude small-span key refused (span gate should " +
+              "check span, not magnitude)")
+          assert(!hasPartitionedWindow(df))
+          assert(rowsOf() == naive)
         }
       }
     } }

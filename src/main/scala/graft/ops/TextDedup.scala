@@ -66,6 +66,53 @@ object TextDedup {
       .select(col(idCol), split(col(textCol), " ").as("__w"))
       .select(col(idCol), explode(shinglesFromWords(col("__w"), shingleN)).as("s"))
 
+  /** Exact repeated-span (substring) dedup profile — the sub-chunk-grain
+    * member of the dedup family. Suffix-array approaches ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022) find
+    * repeated spans with a global index; the distributed equivalent
+    * buckets fixed-length n-token windows by content fingerprint — any
+    * repeat of ≥ n tokens necessarily repeats one of its n-token
+    * windows, so window-grain bucketing finds every such span with
+    * explode → keyed aggregate → hash join and never an all-pairs or
+    * global-suffix-sort step. Per document: total n-token windows
+    * (`n_spans`), windows whose fingerprint occurs in at least one
+    * OTHER document (`rep_spans`), and the distinct repeated
+    * fingerprints (`rep_fps`) — what a span-removal pass prices before
+    * editing text.
+    *
+    * Scale shape: one explode (N·s rows, linear in corpus tokens), a
+    * two-level keyed aggregate — (doc, fp) then fp — both map-side
+    * combinable so a boilerplate span that floods the corpus collapses
+    * to partial counts before its exchange, and one fingerprint-keyed
+    * hash join back at (doc, fp) grain (never re-exploding text). The
+    * md5 fingerprint keys give a uniform shuffle even when one span
+    * dominates.
+    */
+  def repeatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val toks = graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("__w"))
+    val spans = toks
+      .select(col(idCol), explode(shinglesFromWords(col("__w"), n)).as("s"))
+      .select(col(idCol), md5(col("s")).as("fp"))
+    val perDocFp = spans.groupBy(col(idCol), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val docsPerFp = perDocFp.groupBy("fp")
+      .agg(count(lit(1)).as("ndocs"))
+    val rep = perDocFp.join(docsPerFp, Seq("fp"))
+      .filter(col("ndocs") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("rep_spans"), count(lit(1)).as("rep_fps"))
+    val totals = toks.select(col(idCol),
+      greatest(size(col("__w")) - lit(n - 1), lit(0))
+        .cast("long").as("n_spans"))
+    totals.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("rep_spans"), lit(0L)).as("rep_spans"),
+        coalesce(col("rep_fps"), lit(0L)).as("rep_fps"))
+  }
+
   /** MinHash signature: one row per doc, columns mh0..mh{k-1} (LongType,
     * each an unsigned 32-bit hash value).
     *

@@ -666,6 +666,57 @@ object TextQueries {
        |SELECT base.doc_id, n_chunks, min_len, max_len, sh.n_shared
        |FROM base JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Window length (tokens) for exact substring dedup — long enough that
+    * a shared span means real duplication, short enough that the sf
+    * corpora exercise BOTH branches (probed: ~1.1k of ~23k fingerprints
+    * are cross-doc at every driver scale). Lee et al. use 50 tokens at
+    * web scale; the operator takes it as a parameter.
+    */
+  val SubstringSpanTokens = 8
+
+  /** Exact substring (repeated n-token span) dedup — the sub-chunk-grain
+    * dedup family member: [[graft.ops.TextDedup.repeatedSpanProfile]]
+    * over the documents table. MinHash/SimHash/CDC/winnowing flag
+    * near-duplicate DOCUMENTS and chunks; this flags verbatim SPANS
+    * repeated across different documents (licence boilerplate, quoted
+    * passages) that a span-removal pass would cut. Explode → two
+    * map-side-combinable aggregates → fingerprint hash join; never
+    * all-pairs, no global suffix sort.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.repeatedSpanProfile(
+        Readers.table(spark, dir, "documents"), "doc_id", "text",
+        SubstringSpanTokens)
+      .orderBy("doc_id")
+
+  val dedupSubstringSql: String = {
+    val n = SubstringSpanTokens
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, md5(array_to_string(t[i+1:i+$n], ' ')) AS fp
+       |  FROM tok, unnest(range(greatest(len(t) - ${n - 1}, 0))) AS u(i)
+       |), w AS (
+       |  SELECT doc_id, fp, CAST(count(*) AS BIGINT) AS c
+       |  FROM sh GROUP BY 1, 2
+       |), f AS (SELECT fp, count(*) AS ndocs FROM w GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rep_spans,
+       |    CAST(count(*) AS BIGINT) AS rep_fps
+       |  FROM w JOIN f USING (fp) WHERE ndocs >= 2 GROUP BY 1
+       |), tot AS (
+       |  SELECT doc_id, CAST(greatest(len(t) - ${n - 1}, 0) AS BIGINT)
+       |    AS n_spans
+       |  FROM tok
+       |)
+       |SELECT doc_id, n_spans,
+       |  coalesce(rep_spans, 0::BIGINT) AS rep_spans,
+       |  coalesce(rep_fps, 0::BIGINT) AS rep_fps
+       |FROM tot LEFT JOIN rep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Vocabulary build: corpus word counts with frequency-ranked ids — the
     * tokenizer-prep step of a training pipeline. One explode + one
     * aggregate + one ranked id assignment.
@@ -988,7 +1039,8 @@ object TextQueries {
     "fingerprint_rolling" -> fingerprintRolling,
     "winnow_fingerprints" -> winnowFingerprintsQ,
     "dedup_winnowing" -> dedupWinnowing,
-    "cdc_chunk_dedup" -> cdcChunkDedup
+    "cdc_chunk_dedup" -> cdcChunkDedup,
+    "dedup_substring" -> dedupSubstring
   )
 
   val oracle: Map[String, String] = Map(
@@ -1011,6 +1063,7 @@ object TextQueries {
     "fingerprint_rolling" -> fingerprintRollingSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "dedup_winnowing" -> dedupWinnowingSql,
-    "cdc_chunk_dedup" -> cdcChunkDedupSql
+    "cdc_chunk_dedup" -> cdcChunkDedupSql,
+    "dedup_substring" -> dedupSubstringSql
   )
 }

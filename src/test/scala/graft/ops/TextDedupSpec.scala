@@ -92,6 +92,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 1L))
   }
 
+  test("repeatedSpanProfile: planted repeated spans are counted exactly, " +
+    "unique and short docs hit the zero branch") {
+    // n = 4: docs 1 and 2 share the verbatim 6-token span "the license
+    // text of this corpus" → 3 repeated 4-token windows each; doc 2
+    // additionally repeats one of those windows INSIDE itself (counts
+    // toward rep_spans but the fingerprint is cross-doc anyway); doc 3
+    // shares nothing; doc 4 is shorter than a window; doc 5 is null text
+    val docs = Seq(
+      (1L, "the license text of this corpus is standard"),
+      (2L, "prefix words the license text of this corpus " +
+        "the license text of"),
+      (3L, "entirely different vocabulary with nothing shared at all"),
+      (4L, "too short"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpanProfile(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: 8 tokens → 5 windows; 3 of them ("the license text of",
+    //   "license text of this", "text of this corpus") recur in doc 2
+    // doc 2: 12 tokens → 9 windows; those 3 fps appear 4 times total
+    //   ("the license text of" twice) + "of this corpus the",
+    //   "this corpus the license", "corpus the license text" exist only
+    //   within doc 2 → not cross-doc
+    // doc 3: 8 tokens → 5 windows, none repeated
+    // doc 4: 2 tokens → 0 windows; doc 5: null → '' → 1 token → 0
+    assert(got == Seq(
+      (1L, 5L, 3L, 3L),
+      (2L, 9L, 4L, 3L),
+      (3L, 5L, 0L, 0L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

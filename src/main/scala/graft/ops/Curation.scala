@@ -45,10 +45,31 @@ object Curation {
     * null-text record is exactly the junk the filter exists to stop.
     */
   def rejectReasonFromWords(text: Column, words: Column): Column =
-    when(text.isNull, lit("empty"))
+    rejectReasonFromWords(text, words, None)
+
+  /** [[rejectReasonFromWords]] with an OPTIONAL language gate: when
+    * `allowedLangs` is set, documents whose
+    * [[TextStats.langIdStruct]] prediction falls outside the set reject
+    * as `wrong_language`. The gate sits after `too_short` (too few
+    * tokens to classify reliably — the length rule already owns those)
+    * and before the diversity/fluency rules, matching where real
+    * curation stacks run language ID (C4 and friends filter language
+    * before quality). `None` keeps the historical three-rule chain
+    * bit-identical — every existing oracle and the streaming twin ride
+    * the 2-arg form.
+    */
+  def rejectReasonFromWords(text: Column, words: Column,
+                            allowedLangs: Option[Seq[String]]): Column = {
+    val base = when(text.isNull, lit("empty"))
       .when(nTokensOf(words) < MinTokens, lit("too_short"))
+    val gated = allowedLangs.fold(base) { langs =>
+      base.when(!TextStats.langIdStruct(text, words)
+        .getField("lang_pred").isin(langs: _*), lit("wrong_language"))
+    }
+    gated
       .when(ttrOf(words) < MinTypeTokenRatio, lit("low_diversity"))
       .when(stopRatioOf(words) < MinStopwordRatio, lit("no_stopwords"))
+  }
 
   /** Convenience single-expression form; hot paths should project
     * `split(text, " ")` to an attribute and use [[rejectReasonFromWords]].
@@ -69,11 +90,12 @@ object Curation {
     * to an attribute once; the signals and the rule chain all read that
     * one tokenization.
     */
-  def qualityFilter(docs: DataFrame, idCol: String, textCol: String)
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    allowedLangs: Option[Seq[String]] = None)
   : DataFrame = {
     val bound = docs.select(col(idCol), col(textCol).as("__t"),
       split(col(textCol), " ").as("__w"))
-    val reason = rejectReasonFromWords(col("__t"), col("__w"))
+    val reason = rejectReasonFromWords(col("__t"), col("__w"), allowedLangs)
     bound.select(col(idCol), nTokensOf(col("__w")).as("n_tokens"),
       ttrOf(col("__w")).as("ttr"),
       stopRatioOf(col("__w")).as("stopword_ratio"),

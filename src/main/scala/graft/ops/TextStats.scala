@@ -65,4 +65,68 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Per-language function-word profiles for [[langIdStruct]], in
+    * lexicographic language order (the order IS the deterministic
+    * tie-break). Frequency-weighted token-set overlap against profiles
+    * like these is the classic cheap language-ID heuristic (the stopword
+    * layer of CLD/langid-style classifiers); a production model adds
+    * character n-gram profiles behind the same column contract.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+      "eine", "zu", "den", "von", "mit", "auf", "für", "im"),
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it",
+      "you", "that", "was", "for", "on", "are", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en",
+      "un", "una", "es", "no", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
+      "pas", "que", "pour", "dans", "qui", "sur", "au"))
+
+  /** Script gate: classify as CJK when Han characters exceed this
+    * fraction of non-whitespace characters — scripts identify languages
+    * the function-word layer cannot see (no whitespace tokenization).
+    */
+  val CjkMinFraction = 0.30
+
+  /** Multi-language ID: `struct(lang_pred, score)` from a BOUND word
+    * array (see [[graft.ops.Curation]] on why the split must be a
+    * projected attribute). Two deterministic layers, both row-local and
+    * oracle-expressible:
+    *
+    *   1. charset profile — Han-script fraction of non-space characters
+    *      ≥ [[CjkMinFraction]] → `zh` (score = that fraction);
+    *   2. weighted token-set overlap — per language, the fraction of
+    *      tokens that hit its [[LangProfiles]] function-word set (term
+    *      frequency IS the weight); argmax wins, ties break in profile
+    *      (lexicographic) order, an all-zero row is `und`.
+    *
+    * Null text → `und` with score 0 (the quality filter rejects it as
+    * `empty` anyway). Map-only: fuses into the scan's codegen stage.
+    */
+  def langIdStruct(text: Column, words: Column): Column = {
+    val n = size(words).cast("double")
+    val scores = LangProfiles.map { case (l, ws) =>
+      l -> size(filter(words, x => x.isin(ws: _*))).cast("double") / n
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val nonSpace =
+      length(regexp_replace(text, "\\s", "")).cast("double")
+    val cjk =
+      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+        .cast("double")
+    val cjkFrac = when(nonSpace > 0, cjk / nonSpace).otherwise(lit(0.0))
+    val overlapPred = coalesce(scores.map { case (l, s) =>
+      when(s === best, lit(l))
+    }: _*)
+    val pred = when(text.isNull, lit("und"))
+      .when(cjkFrac >= CjkMinFraction, lit("zh"))
+      .when(best <= 0.0, lit("und"))
+      .otherwise(overlapPred)
+    val score = when(text.isNull, lit(0.0))
+      .when(cjkFrac >= CjkMinFraction, cjkFrac)
+      .when(best <= 0.0, lit(0.0))
+      .otherwise(best)
+    struct(pred.as("lang_pred"), round(score, 6).as("score"))
+  }
 }

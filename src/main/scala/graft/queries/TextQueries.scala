@@ -666,6 +666,77 @@ object TextQueries {
        |SELECT base.doc_id, n_chunks, min_len, max_len, sh.n_shared
        |FROM base JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Multi-language/script ID — [[graft.ops.TextStats.langIdStruct]] over
+    * the documents table, scored against the corpus's own `lang` label:
+    * the pretraining curation stage that routes documents to per-language
+    * pipelines (or drops scripts a tokenizer can't serve). Two
+    * deterministic layers — Han-script charset fraction, then
+    * frequency-weighted function-word overlap per language with
+    * lexicographic tie-break — both row-local, so the classifier is
+    * map-only and fuses into the scan at any scale. The synthetic corpus
+    * draws all languages from one English-ish vocabulary, so `agree`
+    * tracks the labeled `lang` only where the label is `en`; the planted
+    * multilingual spec corpus (TextStatsSpec) exercises every branch.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(coalesce(col("text"), lit("")), " ").as("__w"))
+      .select(col("doc_id"),
+        TextStats.langIdStruct(col("text"), col("__w")).as("__lid"),
+        col("lang"))
+      .select(col("doc_id"),
+        col("__lid.lang_pred").as("lang_pred"),
+        col("__lid.score").as("score"),
+        col("lang").as("lang_label"),
+        (col("__lid.lang_pred") === col("lang")).as("agree"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val langs = TextStats.LangProfiles.map(_._1)
+    val scoreExprs = TextStats.LangProfiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$lst], x)))::DOUBLE" +
+        s" / len(t) AS s_$l"
+      // joined WITHOUT margin pipes: stripMargin runs after interpolation
+      // and must not eat anything inside generated fragments
+    }.mkString(",\n    ")
+    val bestExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+      .mkString(" ")
+    val cjkMin = TextStats.CjkMinFraction
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, coalesce(text, '') AS text,
+       |    string_split(coalesce(text, ''), ' ') AS t
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs,
+       |    CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |      THEN length(regexp_replace(text,
+       |             '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE
+       |           / length(regexp_replace(text, '\\s', '', 'g'))
+       |      ELSE 0.0::DOUBLE END AS cjk
+       |  FROM tok
+       |), dec AS (
+       |  SELECT doc_id, lang, cjk, $bestExpr AS best,
+       |    ${langs.map(l => s"s_$l").mkString(", ")}
+       |  FROM sc
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN cjk >= $cjkMin::DOUBLE THEN 'zh'
+       |       WHEN best <= 0.0::DOUBLE THEN 'und'
+       |       ELSE CASE $predCase END END AS lang_pred,
+       |  round(CASE WHEN cjk >= $cjkMin::DOUBLE THEN cjk
+       |        WHEN best <= 0.0::DOUBLE THEN 0.0::DOUBLE
+       |        ELSE best END, 6) AS score,
+       |  lang AS lang_label,
+       |  (CASE WHEN cjk >= $cjkMin::DOUBLE THEN 'zh'
+       |        WHEN best <= 0.0::DOUBLE THEN 'und'
+       |        ELSE CASE $predCase END END = lang) AS agree
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   /** Window length (tokens) for exact substring dedup — long enough that
     * a shared span means real duplication, short enough that the sf
     * corpora exercise BOTH branches (probed: ~1.1k of ~23k fingerprints
@@ -1040,7 +1111,8 @@ object TextQueries {
     "winnow_fingerprints" -> winnowFingerprintsQ,
     "dedup_winnowing" -> dedupWinnowing,
     "cdc_chunk_dedup" -> cdcChunkDedup,
-    "dedup_substring" -> dedupSubstring
+    "dedup_substring" -> dedupSubstring,
+    "lang_id" -> langId
   )
 
   val oracle: Map[String, String] = Map(
@@ -1064,6 +1136,7 @@ object TextQueries {
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "dedup_winnowing" -> dedupWinnowingSql,
     "cdc_chunk_dedup" -> cdcChunkDedupSql,
-    "dedup_substring" -> dedupSubstringSql
+    "dedup_substring" -> dedupSubstringSql,
+    "lang_id" -> langIdSql
   )
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Language/script-ID classifier branches on a planted multilingual
+  * corpus — the driver testdata draws every `lang` label from one
+  * English-ish vocabulary, so the de/es/fr/zh branches can only be
+  * exercised here (the `lang_id` oracle key covers en/und at scale).
+  */
+class TextStatsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def classify(rows: Seq[(Long, String)]): Map[Long, (String, Double)] =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextStats.langIdStruct(col("text"),
+          split(coalesce(col("text"), lit("")), " ")).as("lid"))
+      .select(col("doc_id"), col("lid.lang_pred"), col("lid.score"))
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("langIdStruct: every language branch fires on real sentences") {
+    val got = classify(Seq(
+      1L -> "the cat sat on the mat and it was happy with the sun",
+      2L -> "der hund ist nicht in dem haus und die katze ist auf dem dach",
+      3L -> "el perro es grande y la casa de los vecinos no es para nosotros",
+      4L -> "le chien est dans la maison et les chats ne sont pas sur le toit",
+      5L -> "这是一个中文句子 没有空格分词 但是汉字比例很高",
+      6L -> "zxqv wrtk plmn asdf ghjk qwer uiop zxcv bnml hjkl"))
+    assert(got(1L)._1 == "en")
+    assert(got(2L)._1 == "de")
+    assert(got(3L)._1 == "es")
+    assert(got(4L)._1 == "fr")
+    assert(got(5L)._1 == "zh")
+    assert(got(6L)._1 == "und" && got(6L)._2 == 0.0)
+    // scores are the winning overlap/charset fraction, in (0, 1]
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(i =>
+      got(i)._2 > 0.0 && got(i)._2 <= 1.0))
+  }
+
+  test("langIdStruct: ties break lexicographically; null text is und") {
+    // 'la' and 'de' sit in BOTH the es and fr profiles — a text of only
+    // shared words scores them equal, and the profile (lexicographic)
+    // order must decide deterministically: es before fr
+    val got = classify(Seq(
+      1L -> "la de la de la de",
+      2L -> null.asInstanceOf[String]))
+    assert(got(1L)._1 == "es")
+    assert(got(2L) == ("und", 0.0))
+  }
+
+  test("quality filter language gate: optional stage, rule order pinned") {
+    // rule order: empty → too_short → wrong_language → low_diversity →
+    // no_stopwords. Doc 2 is German AND short — too_short must win;
+    // doc 3 is German and long enough — wrong_language fires; doc 4 is
+    // English but repetitive — low_diversity still fires AFTER the
+    // language gate passes it; doc 1 passes everything.
+    val en20 = "the cat sat on the mat and it was happy with the sun " +
+      "in a warm place for hours today"
+    val de10 = "der hund ist nicht in dem haus und die katze"
+    val de25 = "der hund ist nicht in dem haus und die katze ist auf " +
+      "dem dach weil der vogel nicht mit der maus in dem garten spielt"
+    val rep25 = ("the dog " * 12).trim + " ran"
+    val docs = Seq(
+      (1L, en20), (2L, de10), (3L, de25), (4L, rep25)
+    ).toDF("doc_id", "text")
+    val gated = Curation.qualityFilter(docs, "doc_id", "text",
+        Some(Seq("en")))
+      .select("doc_id", "keep", "reject_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gated(1L) == ((true, None)))
+    assert(gated(2L) == ((false, Some("too_short"))))
+    assert(gated(3L) == ((false, Some("wrong_language"))))
+    assert(gated(4L) == ((false, Some("low_diversity"))))
+    // default (None) stays the historical three-rule chain: doc 3 is
+    // fluent German long text — kept when no language gate is set
+    val ungated = Curation.qualityFilter(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(ungated(3L))
+  }
+}

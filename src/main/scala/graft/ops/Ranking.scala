@@ -51,8 +51,9 @@ object Ranking {
     * (ascending composite). No single-task stage at any width.
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
-                          outCol: String): DataFrame =
-    withRankAndCount(df, order, outCol, None, None)
+                          outCol: String,
+                          splitPoints: Option[Seq[Double]] = None): DataFrame =
+    withRankAndCount(df, order, outCol, None, None, splitPoints)
 
   /** As [[withGlobalRowNumber]], but range-splitting on an explicit
     * numeric `rangeKey` instead of the leading order column — for total
@@ -200,7 +201,8 @@ object Ranking {
                        aggs: Seq[RunningSpec] = Nil,
                        rangeKey: Option[Column] = None,
                        internals: Option[(String, String, String)] = None,
-                       shifts: Seq[ShiftSpec] = Nil)
+                       shifts: Seq[ShiftSpec] = Nil,
+                       splitPoints: Option[Seq[Double]] = None)
   : DataFrame = {
     checkOrder(order, rangeKey)
     val ranges = rangesOf(df)
@@ -213,7 +215,7 @@ object Ranking {
     val withVals = aggs.zip(valNames).foldLeft(df) {
       case (d, (s, nm)) => d.withColumn(nm, s.value)
     }
-    val data = assignRanges(withVals, head)
+    val data = assignRanges(withVals, head, splitPoints)
     def aggFn(k: RunKind)(c: Column): Column = k match {
       case RunSum => sum(c)
       case RunMin => min(c)
@@ -424,7 +426,9 @@ object Ranking {
   def withPartitionedRangeSums(df: DataFrame, partKeys: Seq[Column],
                                orderKeys: Seq[(Column, Boolean)],
                                sums: Seq[(Column, String)],
-                               rangeProxy: Option[(Seq[Column], Column) => Column] = None)
+                               rangeProxy: Option[(Seq[Column], Column) => Column] = None,
+                               splitPoints: Option[Seq[Double]] = None,
+                               baseSplitPoints: Option[Seq[Double]] = None)
   : DataFrame = {
     require(partKeys.nonEmpty && orderKeys.nonEmpty && sums.nonEmpty,
       "needs partition keys, order keys, and at least one sum spec")
@@ -446,7 +450,8 @@ object Ranking {
     val rangeKey = rangeProxy.map(f =>
       f(kNames.map(col), col(oNames.head)))
     val prefixed = withPartitionedPrefix(group, kNames.map(col), ordered,
-        None, tots.zip(outs).map { case (t, o) => (col(t), o) }, rangeKey)
+        None, tots.zip(outs).map { case (t, o) => (col(t), o) }, rangeKey,
+        splitPoints = splitPoints, baseSplitPoints = baseSplitPoints)
       .select((kNames ++ oNames).map(c => col(c).as(c + "_d")) ++
         outs.map(col): _*)
     val cond = (kNames ++ oNames)
@@ -459,7 +464,9 @@ object Ranking {
                             order: Seq[Column], rankOut: Option[String],
                             sums: Seq[(Column, String)],
                             rangeKey: Option[Column] = None,
-                            broadcastBase: Boolean = false)
+                            broadcastBase: Boolean = false,
+                            splitPoints: Option[Seq[Double]] = None,
+                            baseSplitPoints: Option[Seq[Double]] = None)
   : DataFrame = {
     require(partKeys.nonEmpty,
       "use the global entry points for empty partition keys")
@@ -607,7 +614,7 @@ object Ranking {
     // both groups each key contiguously and keeps the head usable as
     // the range proxy
     val ranked = withGlobalPrefix(dataIn, kNames.map(col) ++ order,
-        Some(tmp), None, specs, proxyIn)
+        Some(tmp), None, specs, proxyIn, splitPoints = splitPoints)
       .drop(autoDrop.toSeq: _*)
     // base pass: per-key totals straight from the input (map-side
     // combined — a hot key collapses to partial aggregates before its
@@ -627,7 +634,7 @@ object Ranking {
           RunningSpec(col(kTot(i)), RunSum, inclusive = false, bases(i)),
           RunningSpec(col(kCnt(i)), RunSum, inclusive = false, cBases(i))))
     val base0 = withGlobalPrefix(keyFrame, kNames.map(col), None, None,
-        baseSpecs)
+        baseSpecs, splitPoints = baseSplitPoints)
       .select((kNames.zip(dNames).map { case (k, d) => col(k).as(d) } ++
         (rnBase +: (bases ++ cBases)).map(col)): _*)
     val base = if (broadcastBase) broadcast(base0) else base0
@@ -696,21 +703,44 @@ object Ranking {
     }
   }
 
-  private def assignRanges(df: DataFrame, head: Column): DataFrame = {
-    val ranges = rangesOf(df)
-    val fracs = (1 until ranges).map(_.toDouble / ranges)
-    val bounds = df.agg(
-      percentile_approx(head, typedLit(fracs), lit(1000)).as("__graft_bounds"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(pidCol, coalesce(
-        size(filter(col("__graft_bounds"), b => b.isNotNull && b < head)),
-        lit(0)))
-      .drop("__graft_bounds")
-  }
+  private def assignRanges(df: DataFrame, head: Column,
+                           splits: Option[Seq[Double]] = None): DataFrame =
+    splits match {
+      case Some(ss) =>
+        // caller-furnished split points (e.g. stats-derived, see
+        // [[graft.plans.DistributeGlobalRank]]): the range id becomes a
+        // PURE MAP over a literal array — no percentile aggregate, no
+        // broadcast, and crucially no second traversal of the input
+        // lineage (for a window over a pre-aggregate that traversal
+        // re-runs the whole upstream shuffle). Split-point quality is
+        // balance-only, same contract as the GK sketch below; tie and
+        // null placement are identical (strict `<`, null → range 0).
+        require(ss.size < rangesOf(df),
+          s"${ss.size} split points need at least ${ss.size + 1} " +
+            "shuffle partitions")
+        require(ss.zip(ss.drop(1)).forall { case (a, b) => a <= b },
+          "split points must be non-decreasing")
+        df.withColumn(pidCol, coalesce(
+          size(filter(typedLit(ss), b => b < head)), lit(0)))
+      case None =>
+        val ranges = rangesOf(df)
+        val fracs = (1 until ranges).map(_.toDouble / ranges)
+        val bounds = df.agg(
+          percentile_approx(head, typedLit(fracs), lit(1000))
+            .as("__graft_bounds"))
+        df.crossJoin(broadcast(bounds))
+          .withColumn(pidCol, coalesce(
+            size(filter(col("__graft_bounds"), b => b.isNotNull && b < head)),
+            lit(0)))
+          .drop("__graft_bounds")
+    }
 
   private def withRankAndCount(df: DataFrame, order: Seq[Column],
                                outCol: String,
                                countCol: Option[String],
-                               rangeKey: Option[Column]): DataFrame =
-    withGlobalPrefix(df, order, Some(outCol), countCol, Nil, rangeKey)
+                               rangeKey: Option[Column],
+                               splitPoints: Option[Seq[Double]] = None)
+  : DataFrame =
+    withGlobalPrefix(df, order, Some(outCol), countCol, Nil, rangeKey,
+      splitPoints = splitPoints)
 }

@@ -987,8 +987,24 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
         val distinctKeys = childDf.select(keys.zip(kcopy).map {
           case (a, nm) => GraftColumnBridge.column(a).as(nm)
         }: _*).distinct()
+        // stats-furnished splits for the index rank too — the head key's
+        // proxy domain is known (string-prefix fraction sup = U+10FFFF
+        // over 2^21, or the numeric stats bounds), so the ≤ Πndv-row
+        // distinct frame skips its percentile pass as well; any
+        // imbalance is irrelevant at that proven size
+        val headIdxSplits: Option[Seq[Double]] = keys.head.dataType match {
+          case StringType =>
+            val d = 1114112.0 / 2097152.0
+            Some((1 until parts).map(i => d * i / parts))
+          case _ =>
+            for {
+              mn <- keyStats.head.min.flatMap(statNum)
+              mx <- keyStats.head.max.flatMap(statNum)
+              if mx >= mn
+            } yield (1 until parts).map(i => mn + (mx + 1 - mn) * i / parts)
+        }
         val idxFrame = Ranking.withGlobalRowNumber(distinctKeys,
-          kcopy.map(fcol), idxName)
+          kcopy.map(fcol), idxName, splitPoints = headIdxSplits)
         val joinCond = keys.zip(kcopy).map { case (a, nm) =>
           GraftColumnBridge.column(a) <=> idxFrame(nm)
         }.reduce(_ && _)
@@ -999,6 +1015,40 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           (ks, o) => ks.head.cast("double") + fracOf(o), Seq(idxName))
       }
     val rangeKey = proxyFn(helperKeys, oCol)
+    // stats-furnished SPLIT POINTS: the same statistics that prove the
+    // NDV cap also bound the PROXY DOMAIN, so the range assignment can
+    // be a pure map over literal bounds instead of a percentile
+    // aggregate — removing one full traversal of the input lineage
+    // (for a window over a pre-aggregate that traversal re-runs the
+    // whole upstream shuffle) and its scheduler stages from BOTH the
+    // data pass and the key-frame base pass. Split quality is
+    // balance-only (identical contract to the GK sketch they replace):
+    // a skewed order distribution or stale NDV just unbalances ranges,
+    // never a rank. Gated on a DENSE key domain for the packed path —
+    // span+1 ≤ 4·ndv per key, else sparse slots would concentrate the
+    // real keys into few ranges and the sketch earns its pass; the
+    // dense-index path is dense in [0, D) BY CONSTRUCTION.
+    val proxyDomain: Option[Double] =
+      if (!allIntegral) Some(ndv.toDouble)
+      else if (keyBounds.zip(ndvs).forall { case ((mn, mx), nd) =>
+        BigInt(mx) - BigInt(mn) + 2 <= nd * 4 })
+        Some(keyBounds.map { case (mn, mx) =>
+          (BigInt(mx) - BigInt(mn) + 2).toDouble }.product)
+      else None
+    val dataSplits = proxyDomain.map(d =>
+      (1 until parts).map(i => d * i / parts))
+    // base pass orders the one-row-per-key frame by the key copies;
+    // its default proxy is the HEAD key (integral path) or the dense
+    // index (string path) — both stats-bounded
+    val baseSplits: Option[Seq[Double]] =
+      if (proxyDomain.isEmpty) None
+      else if (!allIntegral)
+        Some((1 until parts).map(i => ndv.toDouble * i / parts))
+      else {
+        val (mn0, mx0) = keyBounds.head
+        val span0 = (BigInt(mx0) - BigInt(mn0) + 1).toDouble
+        Some((1 until parts).map(i => mn0.toDouble + span0 * i / parts))
+      }
     val orderCols = w.orderSpec.map(sortCol)
     val tmpRank = "__graft_auto_prn"
     // grain split: RANGE aggregates compute per distinct (key, order
@@ -1061,10 +1111,12 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
           w.orderSpec.map(so2 => (GraftColumnBridge.column(so2.child),
             so2.direction == Ascending)),
           sumSpecs,
-          rangeProxy = Some(proxyFn))
+          rangeProxy = Some(proxyFn),
+          splitPoints = dataSplits, baseSplitPoints = baseSplits)
       else Ranking.withPartitionedPrefix(baseDf, helperKeys,
         orderCols, if (wantRank) Some(tmpRank) else None, sumSpecs,
-        Some(rangeKey), broadcastBase = true)
+        Some(rangeKey), broadcastBase = true,
+        splitPoints = dataSplits, baseSplitPoints = baseSplits)
     ranked = ranked.drop(dropAfter: _*)
     val outNames = funcs.map(_._1)
     funcs.foreach { case (nm, _, fn) =>

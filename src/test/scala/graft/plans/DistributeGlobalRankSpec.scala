@@ -637,6 +637,11 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
           assert(dfR.queryExecution.optimizedPlan.toString
             .contains("__graft_auto_kidx"),
             "string-keyed ROWS window was not index-rewritten")
+          // stats-furnished split points: the dense-index path must not
+          // pay a percentile pass for its range assignment (r13 trim)
+          assert(!dfR.queryExecution.optimizedPlan.toString
+            .contains("percentile_approx"),
+            "index rewrite fell back to the percentile range sketch")
           assert(!hasPartitionedWindow(dfR))
           assert(rowsOf(rowsSql) == naiveRows)
           assert(spark.sql(rangeSql).queryExecution.optimizedPlan.toString
@@ -727,6 +732,11 @@ class DistributeGlobalRankSpec extends AnyFunSuite {
             .contains("__graft"),
             "high-magnitude small-span key refused (span gate should " +
               "check span, not magnitude)")
+          // span 8 vs ndv 8 is dense → the packed path must ride the
+          // stats-furnished split points, not the percentile sketch
+          assert(!df.queryExecution.optimizedPlan.toString
+            .contains("percentile_approx"),
+            "dense packed rewrite fell back to the percentile sketch")
           assert(!hasPartitionedWindow(df))
           assert(rowsOf() == naive)
         }

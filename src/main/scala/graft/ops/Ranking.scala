@@ -709,19 +709,40 @@ object Ranking {
       case Some(ss) =>
         // caller-furnished split points (e.g. stats-derived, see
         // [[graft.plans.DistributeGlobalRank]]): the range id becomes a
-        // PURE MAP over a literal array — no percentile aggregate, no
-        // broadcast, and crucially no second traversal of the input
-        // lineage (for a window over a pre-aggregate that traversal
-        // re-runs the whole upstream shuffle). Split-point quality is
-        // balance-only, same contract as the GK sketch below; tie and
-        // null placement are identical (strict `<`, null → range 0).
+        // PURE MAP — no percentile aggregate, no broadcast, and
+        // crucially no second traversal of the input lineage (for a
+        // window over a pre-aggregate that traversal re-runs the whole
+        // upstream shuffle). Split-point quality is balance-only, same
+        // contract as the GK sketch below; tie and null placement are
+        // identical (strict `<`, null → range 0).
         require(ss.size < rangesOf(df),
           s"${ss.size} split points need at least ${ss.size + 1} " +
             "shuffle partitions")
         require(ss.zip(ss.drop(1)).forall { case (a, b) => a <= b },
           "split points must be non-decreasing")
-        df.withColumn(pidCol, coalesce(
-          size(filter(typedLit(ss), b => b < head)), lit(0)))
+        // UNIFORM splits (every stats-derived set is) take a CLOSED
+        // FORM: pid = clamp(ceil((head − s₀)/step), 0, k) — whole-stage
+        // codegen arithmetic. The array spelling below is an
+        // interpreted ArrayFilter lambda per row (31 evals/row at 32
+        // partitions), measured as the DOMINANT cost of the rewritten
+        // plan at 21M rows (the r13 ×64 string-leg probe): it also
+        // breaks the codegen stage around it. Boundary FP wobble moves
+        // a row one range over — monotone, contiguous, balance-only.
+        val uniform = ss.size >= 2 && {
+          val step = (ss.last - ss.head) / (ss.size - 1)
+          step > 0 && ss.zipWithIndex.forall { case (v, i) =>
+            math.abs(v - (ss.head + i * step)) <= step * 1e-6 }
+        }
+        if (uniform) {
+          val step = (ss.last - ss.head) / (ss.size - 1)
+          val t = ceil((head - lit(ss.head)) / lit(step)).cast("int")
+          df.withColumn(pidCol,
+            when(head.isNotNull,
+              least(greatest(t, lit(0)), lit(ss.size)))
+              .otherwise(lit(0)))
+        } else
+          df.withColumn(pidCol, coalesce(
+            size(filter(typedLit(ss), b => b < head)), lit(0)))
       case None =>
         val ranges = rangesOf(df)
         val fracs = (1 until ranges).map(_.toDouble / ranges)

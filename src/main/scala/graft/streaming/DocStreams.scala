@@ -113,6 +113,42 @@ object DocStreams {
     * within-batch shuffle invariance, and row parity with the batch
     * prefix rule.
     */
+  /** The full streaming curation PREFIX as one query — quality filter →
+    * content dedup → per-source token quota, the live twin of the batch
+    * `pretrain_pipeline`'s quality/dedup/budget stages. Input needs
+    * (doc_id, text, ts, source, seq); output is the quota gate's
+    * decision stream over the curated survivors.
+    *
+    * Composing is where state/ordering bugs hide (the r12 two-lateral
+    * splice lesson), so the contracts compose explicitly:
+    *   - the quality filter is stateless and runs FIRST, so rejected
+    *     docs never enter the dedup state store;
+    *   - the dedup state is bounded by (rate × watermark) and keyed on
+    *     content fingerprint; the FIRST arrival of a fingerprint is the
+    *     survivor, so downstream token totals see each content once;
+    *   - the quota state is one long per source and orders survivors by
+    *     `seq`, so decisions are final at emit and batch-boundary
+    *     invariant (CuratedQuotaSpec pins row parity with the batch
+    *     rule at two micro-batch sizes).
+    *
+    * Two stateful operators chain in ONE streaming query (Spark 3.4+
+    * multi-stateful support): dropDuplicatesWithinWatermark feeds
+    * flatMapGroupsWithState in append mode.
+    */
+  def curatedQuota(docs: DataFrame, budget: Long,
+                   textCol: String = "text",
+                   watermark: String = "2 hours")
+  : org.apache.spark.sql.Dataset[QuotaDecision] = {
+    val cur = curated(docs, textCol, watermark)
+    val qd = cur.select(
+        col("source"), col("doc_id"),
+        size(split(coalesce(col(textCol), lit("")), " "))
+          .cast("long").as("n_tokens"),
+        col("seq"))
+      .as(org.apache.spark.sql.Encoders.product[QuotaDoc])
+    tokenQuotaStream(qd, budget)
+  }
+
   def tokenQuotaStream(docs: org.apache.spark.sql.Dataset[QuotaDoc],
                        budget: Long)
   : org.apache.spark.sql.Dataset[QuotaDecision] = {

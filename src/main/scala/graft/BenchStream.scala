@@ -33,6 +33,8 @@ object BenchStream {
   case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String,
                 value: Double, event_id: Long)
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class CurDoc(doc_id: Long, text: String, ts: java.sql.Timestamp,
+                    source: String, seq: Long)
   case class Emb(vec_id: Long, embedding: Array[Float], ts: java.sql.Timestamp)
 
   def main(args: Array[String]): Unit = {
@@ -189,6 +191,20 @@ object BenchStream {
       ds => DocStreams.qualityFiltered(ds.toDF()))
     run("doc_curated", docs, "append")(
       ds => DocStreams.curated(ds.toDF()))
+    // the COMPOSED curation prefix in one query (quality → dedup →
+    // quota: two stateful operators) — per-batch cost = the dedup
+    // state-store commit + the one-long-per-source quota fold; budget
+    // ~half a source's tokens so both gate branches run live
+    val curDocs = graft.etl.Readers.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id")
+      .as[(Long, String, String)].collect().zipWithIndex
+      .map { case ((id, t, s), i) =>
+        CurDoc(id, t, new java.sql.Timestamp(1704067200000L + i * 1000L),
+          s, i.toLong)
+      }.toSeq
+    run("curated_quota_stream", curDocs, "append")(
+      ds => DocStreams.curatedQuota(ds.toDF(), budget = 7000L).toDF())
     // embedding LSH dedup: signature computation (8 native-dot
     // hyperplane projections per row) + the per-bucket dedup state store
     // — the vector twin of doc_curated's fingerprint dedup. Watermark

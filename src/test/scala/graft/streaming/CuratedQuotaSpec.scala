@@ -15,15 +15,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * operators chain in one query here, and the dedup survivor feeds the
   * quota's running total.
   */
+case class CqDoc(doc_id: Long, text: String, ts: java.sql.Timestamp,
+                 source: String, seq: Long)
+
 class CuratedQuotaSpec extends AnyFunSuite {
+  import CuratedQuotaSpec.Doc
 
   private val spark = TestSpark.spark
   import spark.implicits._
 
   private val Budget = 260L
-
-  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp,
-                 source: String, seq: Long)
 
   private def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000)
 
@@ -38,8 +39,16 @@ class CuratedQuotaSpec extends AnyFunSuite {
     */
   private val feed: Seq[Doc] = {
     val rnd = new scala.util.Random(19)
-    val words = Seq("the", "a", "of", "data", "table", "query", "scan",
-      "merge", "row", "batch", "join", "order", "value", "stream")
+    // vocabulary wide enough that even the longest sentences keep
+    // type-token ratio above the quality floor (a 14-word vocab made
+    // every 45+-token doc a low_diversity reject, and a whole source
+    // could then fit under the budget — quota drop branch never fired)
+    val words = Seq("the", "a", "of", "in", "is", "it", "for", "and",
+      "to", "data", "table", "query", "scan", "merge", "row", "batch",
+      "join", "order", "value", "stream", "spark", "window", "filter",
+      "group", "sort", "hash", "key", "column", "vector", "line",
+      "part", "small", "big", "fast", "slow", "customer", "agg",
+      "shard", "token", "corpus")
     def sentence(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)
       (0 until n).map(_ => words(r.nextInt(words.size))).mkString(" ")
@@ -152,4 +161,9 @@ class CuratedQuotaSpec extends AnyFunSuite {
       .map(d => (d.source, d.n_tokens, d.kept, d.cum_tokens)))
     assert(got == want)
   }
+}
+
+object CuratedQuotaSpec {
+  type Doc = CqDoc
+  val Doc = CqDoc
 }

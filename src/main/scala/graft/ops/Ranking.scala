@@ -740,19 +740,34 @@ object Ranking {
             when(head.isNotNull,
               least(greatest(t, lit(0)), lit(ss.size)))
               .otherwise(lit(0)))
-        } else
-          df.withColumn(pidCol, coalesce(
-            size(filter(typedLit(ss), b => b < head)), lit(0)))
+        } else {
+          // non-uniform literal splits: UNROLLED codegen comparisons
+          // (k whens), not an interpreted ArrayFilter lambda — same
+          // `< head` count, null head → every when 0 → range 0
+          val cnt = ss.map(b => when(lit(b) < head, 1).otherwise(0))
+            .reduce(_ + _)
+          df.withColumn(pidCol, cnt)
+        }
       case None =>
         val ranges = rangesOf(df)
         val fracs = (1 until ranges).map(_.toDouble / ranges)
         val bounds = df.agg(
           percentile_approx(head, typedLit(fracs), lit(1000))
             .as("__graft_bounds"))
+        // UNROLLED codegen comparisons over the broadcast bounds array
+        // (k element_at + when per row), replacing the interpreted
+        // ArrayFilter lambda that dominated the rewritten plan at 21M
+        // rows (r13 ×64 probe: ~650M interpreted evals, and the HOF
+        // breaks the codegen span around it). A null element (empty
+        // input percentiles) compares null → 0, exactly the old
+        // `b.isNotNull && b < head`; a null head → every when 0 →
+        // range 0, same placement.
+        val cnt = (1 to ranges - 1)
+          .map(i => when(element_at(col("__graft_bounds"), i) < head, 1)
+            .otherwise(0))
+          .reduceOption[Column](_ + _).getOrElse(lit(0))
         df.crossJoin(broadcast(bounds))
-          .withColumn(pidCol, coalesce(
-            size(filter(col("__graft_bounds"), b => b.isNotNull && b < head)),
-            lit(0)))
+          .withColumn(pidCol, cnt)
           .drop("__graft_bounds")
     }
 

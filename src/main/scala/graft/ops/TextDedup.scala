@@ -113,6 +113,54 @@ object TextDedup {
         coalesce(col("rep_fps"), lit(0L)).as("rep_fps"))
   }
 
+  /** The ACTIONABLE twin of [[repeatedSpanProfile]]: remove every token
+    * covered by a cross-document repeated n-token window and emit the
+    * cleaned document — what the Lee et al. pipeline actually ships
+    * (flagging prices the cut; this makes it). Greedy-total removal:
+    * a token goes if ANY repeated window covers it, so overlapping
+    * repeats resolve deterministically with no scan order.
+    *
+    * Scale shape: the profile's explode + keyed aggregates, one more
+    * bounded explosion (≤ n positions per repeated window), a (doc,
+    * pos)-keyed LEFT ANTI hash join, and ONE groupBy(doc) rebuild whose
+    * per-group state is the document's own tokens — bounded by document
+    * length, the same bound every per-doc transform here carries (a
+    * corpus whose single docs exceed task memory needs chunk-grain
+    * rebuild instead). Returns (id, n_tokens, n_removed, cleaned_md5) —
+    * the md5 keeps the contract engine-checkable without shipping text.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val toks = graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("__t"))
+    val win = toks
+      .select(col(idCol),
+        posexplode(shinglesFromWords(col("__t"), n)).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), md5(col("s")).as("fp"))
+    val repFps = win.groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy("fp").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("fp")
+    val covered = win.join(repFps, "fp")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tokRows = toks.select(col(idCol),
+      posexplode(col("__t")).as(Seq("pos", "w")))
+    val rebuilt = tokRows.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")))).as("cleaned_md5"))
+    val totals = toks.select(col(idCol),
+      size(col("__t")).cast("long").as("n_tokens"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** MinHash signature: one row per doc, columns mh0..mh{k-1} (LongType,
     * each an unsigned 32-bit hash value).
     *

@@ -367,6 +367,80 @@ object CurationQueries {
        |  n_docs * (bucket + 1) * $LenBucketWidth - sum_tokens AS pad_waste
        |FROM g ORDER BY bucket NULLS FIRST""".stripMargin
 
+  /** Per-tier keep rates (percent), worst → best quality quartile — the
+    * quality-curriculum sampling move (DataComp-style): low-quality text
+    * is down-sampled rather than hard-dropped, so the mix keeps some
+    * tail diversity while budget concentrates on the best quartile.
+    */
+  val TierRates = Seq(10, 25, 50, 100)
+
+  /** Quality-tier curriculum sampling: rank every document into quality
+    * quartiles (distributed ntile over (quality, doc_id) — ties break
+    * on doc_id so tiers are engine-stable; [[graft.ops.Ranking
+    * .withNtile]], never a single-task global window) and keep a
+    * deterministic md5-hash sample per tier at [[TierRates]]. Output is
+    * the per-tier audit (docs, kept, quality range) a mix owner reviews.
+    * Hash sampling is map-only and append-stable: a doc never changes
+    * tier-decision when the corpus grows EXCEPT through the quantile
+    * boundaries themselves, which is inherent to quantile curricula.
+    */
+  def qualityTierSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    val tiers = graft.ops.Ranking.withNtile(docs,
+      Seq(col("quality"), col("doc_id")), TierRates.size, "tier")
+    val rate = element_at(typedLit(TierRates), col("tier"))
+    tiers
+      .withColumn("kept", Sampling.hashBucket(col("doc_id"), 100) < rate)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("tier")
+  }
+
+  val qualityTierSampleSql: String = {
+    val stops = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+    val rateCase = TierRates.init.zipWithIndex
+      .map { case (r, i) => s"WHEN ${i + 1} THEN $r" }
+      .mkString(" ") + s" ELSE ${TierRates.last}"
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    round(0.4::DOUBLE * least(
+       |        (len(list_filter(string_split(text, ' '),
+       |           x -> list_contains([$stops], x)))::DOUBLE
+       |         / len(string_split(text, ' '))) * 10.0::DOUBLE,
+       |        1.0::DOUBLE)
+       |      + 0.3::DOUBLE * least(
+       |          len(string_split(text, ' '))::DOUBLE / 100.0::DOUBLE,
+       |          1.0::DOUBLE)
+       |      + 0.3::DOUBLE * (1.0::DOUBLE -
+       |          CASE WHEN length(text) > 0 THEN
+       |            (length(text) - length(regexp_replace(text,
+       |               '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+       |            / length(text) END), 6) AS quality
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, quality,
+       |    CAST(ntile(${TierRates.size})
+       |      OVER (ORDER BY quality NULLS FIRST, doc_id) AS INTEGER)
+       |      AS tier
+       |  FROM q
+       |), k AS (
+       |  SELECT tier, quality,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+       |           % 100 < (CASE tier $rateCase END)
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM t
+       |)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  min(quality) AS min_quality, max(quality) AS max_quality
+       |FROM k GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
   val ChunkSize = 64
   val ChunkStride = 48
 
@@ -898,7 +972,8 @@ object CurationQueries {
     "pii_redact" -> piiRedact,
     "domain_mix" -> domainMix,
     "domain_temperature" -> domainTemperature,
-    "len_buckets" -> lenBuckets)
+    "len_buckets" -> lenBuckets,
+    "quality_tier_sample" -> qualityTierSample)
 
   val oracle: Map[String, String] = Map(
     "token_budget_select" -> tokenBudgetSelectSql,
@@ -915,5 +990,6 @@ object CurationQueries {
     "pii_redact" -> piiRedactSql,
     "domain_mix" -> domainMixSql,
     "domain_temperature" -> domainTemperatureSql,
-    "len_buckets" -> lenBucketsSql)
+    "len_buckets" -> lenBucketsSql,
+    "quality_tier_sample" -> qualityTierSampleSql)
 }

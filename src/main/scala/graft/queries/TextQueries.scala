@@ -788,6 +788,51 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Span REMOVAL — [[graft.ops.TextDedup.removeRepeatedSpans]] over the
+    * documents table with the same window length as [[dedupSubstring]]:
+    * every token covered by a cross-doc repeated window is cut and the
+    * cleaned text's md5 certifies the edit cross-engine.
+    */
+  def dedupSubstringClean(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.removeRepeatedSpans(
+        Readers.table(spark, dir, "documents"), "doc_id", "text",
+        SubstringSpanTokens)
+      .orderBy("doc_id")
+
+  val dedupSubstringCleanSql: String = {
+    val n = SubstringSpanTokens
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(t[i+1:i+$n], ' ')) AS fp
+       |  FROM tok, unnest(range(greatest(len(t) - ${n - 1}, 0))) AS u(i)
+       |), w AS (SELECT doc_id, fp FROM sh GROUP BY 1, 2),
+       |f AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT sh.doc_id, pos + j AS pos2
+       |  FROM sh JOIN f USING (fp), unnest(range($n)) AS v(j)
+       |), tr AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos2, t[i] AS w
+       |  FROM tok, unnest(range(1, len(t) + 1)) AS u(i)
+       |), kept AS (
+       |  SELECT tr.doc_id, tr.pos2, tr.w
+       |  FROM tr ANTI JOIN cov USING (doc_id, pos2)
+       |), reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(w, ' ' ORDER BY pos2)) AS cleaned_md5
+       |  FROM kept GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok
+       |)
+       |SELECT tot.doc_id, n_tokens,
+       |  n_tokens - coalesce(n_kept, 0::BIGINT) AS n_removed,
+       |  coalesce(cleaned_md5, md5('')) AS cleaned_md5
+       |FROM tot LEFT JOIN reb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Vocabulary build: corpus word counts with frequency-ranked ids — the
     * tokenizer-prep step of a training pipeline. One explode + one
     * aggregate + one ranked id assignment.
@@ -1112,6 +1157,7 @@ object TextQueries {
     "dedup_winnowing" -> dedupWinnowing,
     "cdc_chunk_dedup" -> cdcChunkDedup,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_clean" -> dedupSubstringClean,
     "lang_id" -> langId
   )
 
@@ -1137,6 +1183,7 @@ object TextQueries {
     "dedup_winnowing" -> dedupWinnowingSql,
     "cdc_chunk_dedup" -> cdcChunkDedupSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_clean" -> dedupSubstringCleanSql,
     "lang_id" -> langIdSql
   )
 }

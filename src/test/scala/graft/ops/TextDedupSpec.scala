@@ -126,6 +126,36 @@ class TextDedupSpec extends AnyFunSuite {
       (5L, 0L, 0L, 0L)))
   }
 
+  test("removeRepeatedSpans: covered tokens are cut, survivors rebuild " +
+    "in order, untouched and empty docs pass through") {
+    // same planted corpus as the profile test (n = 4):
+    // doc 1 windows 0,1,2 are cross-doc → tokens 0..5 covered →
+    //   cleaned "is standard";
+    // doc 2 windows 2,3,4,8 cross-doc → tokens 2..7 ∪ 8..11 covered →
+    //   cleaned "prefix words";
+    // doc 3 untouched; doc 4 shorter than a window; doc 5 null → ''
+    val docs = Seq(
+      (1L, "the license text of this corpus is standard"),
+      (2L, "prefix words the license text of this corpus " +
+        "the license text of"),
+      (3L, "entirely different vocabulary with nothing shared at all"),
+      (4L, "too short"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def h(s: String): String = org.apache.commons.codec.digest
+      .DigestUtils.md5Hex(s)
+    val got = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 6L, h("is standard")),
+      (2L, 12L, 10L, h("prefix words")),
+      (3L, 8L, 0L,
+        h("entirely different vocabulary with nothing shared at all")),
+      (4L, 2L, 0L, h("too short")),
+      (5L, 1L, 0L, h(""))))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -149,6 +149,40 @@ class CuratedQuotaSpec extends AnyFunSuite {
     assert(got.size < feed.size, "nothing was filtered or deduped")
   }
 
+  test("both state stores survive a stop/restart cycle through the " +
+    "checkpoint: dedup fingerprints and quota totals continue") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cq_ckpt").toString
+    val results = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[QuotaDecision]())
+    val mem = MemoryStream[Doc]
+    def start() = DocStreams.curatedQuota(mem.toDF(), Budget)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[QuotaDecision],
+                       _: Long) => b.collect().foreach(results.add) }
+      .start()
+    // split mid-feed: duplicate pairs straddle the restart (the second
+    // copy must hit RESTORED dedup state) and every source's quota
+    // total must continue from the RESTORED long, not from zero
+    val (a, b) = feed.splitAt(feed.size / 2)
+    val q1 = start()
+    try { mem.addData(a: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(b: _*); q2.processAllAvailable() } finally q2.stop()
+    def seqsOf(rows: Seq[(String, Long, Boolean, Long)])
+    : Map[String, Seq[(Long, Boolean, Long)]] =
+      rows.groupBy(_._1).map { case (s, g) =>
+        s -> g.sortBy(_._4).map(r => (r._2, r._3, r._4))
+      }
+    val want = seqsOf(batchRule(feed).map(d => (d._1, d._3, d._4, d._5)))
+    val got = seqsOf(results.toArray(Array.empty[QuotaDecision]).toSeq
+      .map(d => (d.source, d.n_tokens, d.kept, d.cum_tokens)))
+    assert(got == want,
+      "restart lost dedup fingerprints or quota totals")
+  }
+
   test("one giant batch: per-source decision sequences are invariant to " +
     "which adjacent duplicate copy survives") {
     def seqs(rows: Seq[(String, Long, Boolean, Long)])

@@ -34,7 +34,10 @@ object Curation {
   private def ttrOf(words: Column): Column =
     round(size(array_distinct(words)).cast("double") / size(words), 6)
   private def stopRatioOf(words: Column): Column =
-    round(size(filter(words, x => x.isin(TextStats.Stopwords: _*)))
+    // native codegen set-count: the isin-filter HOF spelling is an
+    // interpreted lambda per TOKEN at scan time (see TokenSetCount)
+    round(graft.functions.TokenSetCountFunctions
+      .tokenSetCount(words, TextStats.Stopwords)
       .cast("double") / size(words), 6)
 
   /** The first-failing-rule reject reason (null = keep) over a bound

@@ -23,11 +23,13 @@ object TextStats {
   def bpeTokenEstimate(text: Column): Column =
     floor((length(text) + lit(3)) / lit(4)).cast("long")
 
-  /** Fraction of tokens that are core stopwords. */
+  /** Fraction of tokens that are core stopwords (native codegen
+    * set-count — see [[graft.functions.TokenSetCount]]).
+    */
   def stopwordRatio(text: Column): Column = {
     val w = split(text, " ")
-    val stops = filter(w, x => x.isin(Stopwords: _*))
-    size(stops).cast("double") / size(w)
+    graft.functions.TokenSetCountFunctions.tokenSetCount(w, Stopwords)
+      .cast("double") / size(w)
   }
 
   /** Fraction of characters that are not alphanumeric/space; null for the
@@ -107,7 +109,10 @@ object TextStats {
   def langIdStruct(text: Column, words: Column): Column = {
     val n = size(words).cast("double")
     val scores = LangProfiles.map { case (l, ws) =>
-      l -> size(filter(words, x => x.isin(ws: _*))).cast("double") / n
+      // native codegen set-count per profile — 4 profiles × every token
+      // of every document is the scan's hot loop (see TokenSetCount)
+      l -> graft.functions.TokenSetCountFunctions.tokenSetCount(words, ws)
+        .cast("double") / n
     }
     val best = greatest(scores.map(_._2): _*)
     val nonSpace =

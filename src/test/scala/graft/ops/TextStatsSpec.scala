@@ -53,6 +53,43 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2L) == ("und", 0.0))
   }
 
+  test("TokenSetCount: parity with the isin-filter HOF spelling, nulls " +
+    "and empties included, and the codegen path is exercised") {
+    val set = Seq("the", "a", "of")
+    val rows = Seq(
+      Seq("the", "cat", "the", "a", null, "of"),
+      Seq.empty[String],
+      Seq(""),
+      null.asInstanceOf[Seq[String]],
+      Seq("THE", "the ", "the")) // case- and whitespace-exact matching
+    val df = rows.toDF("w")
+    val native = graft.functions.TokenSetCountFunctions
+      .tokenSetCount(col("w"), set)
+    val hof = size(filter(col("w"), x => x.isin(set: _*)))
+    val got = df.select(native.as("n"), hof.as("h")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    // HOF size(null array) is -1 (legacy size) vs native null — compare
+    // where both are defined, and pin the native null contract
+    rows.indices.foreach { i =>
+      if (rows(i) == null) assert(got(i)._1.isEmpty, "null array -> null")
+      else assert(got(i)._1 == got(i)._2, s"row $i diverged: ${got(i)}")
+    }
+    assert(got(0)._1.contains(4) && got(4)._1.contains(1))
+    // the expression must codegen (no CodegenFallback): a projection
+    // over a non-local child must stay inside a codegen stage (a plain
+    // literal frame constant-folds to LocalTableScan, proving nothing)
+    val fromShuffle = df.repartition(2).select(native.as("n"))
+    assert(fromShuffle.collect().flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Int]).sorted.toSeq == Seq(0, 0, 1, 4),
+      "codegen path returned different counts")
+    // inspect the FINAL adaptive plan (the initial AQE print carries no
+    // codegen annotation before stages materialize); the compact print
+    // marks a whole-stage-codegen'd operator with the `*(n)` prefix
+    assert(fromShuffle.queryExecution.executedPlan.toString
+      .contains("*(1) Project [token_set_count"),
+      "token_set_count fell out of whole-stage codegen")
+  }
+
   test("quality filter language gate: optional stage, rule order pinned") {
     // rule order: empty → too_short → wrong_language → low_diversity →
     // no_stopwords. Doc 2 is German AND short — too_short must win;

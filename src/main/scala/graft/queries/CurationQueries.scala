@@ -367,6 +367,77 @@ object CurationQueries {
        |  n_docs * (bucket + 1) * $LenBucketWidth - sum_tokens AS pad_waste
        |FROM g ORDER BY bucket NULLS FIRST""".stripMargin
 
+  /** Span-grain benchmark decontamination — the GPT-3-style n-gram
+    * method at WINDOW grain: for every non-`src0` document, count its
+    * [[TextQueries.SubstringSpanTokens]]-token windows whose fingerprint
+    * also occurs in the `src0` benchmark set. The document-grain
+    * [[decontaminate]] answers "does this doc overlap the benchmark";
+    * this answers "HOW MUCH and WHERE-bounded" — the number that decides
+    * between dropping a doc and cutting the leaked span (the
+    * [[TextDedup.removeRepeatedSpans]] machinery does the cut). Shape:
+    * one explode, a distinct on the benchmark side, a fingerprint
+    * hash-join — never all-pairs, benchmark set broadcastable when small.
+    */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val n = TextQueries.SubstringSpanTokens
+    val toks = Readers.fanOut(Readers.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        split(coalesce(col("text"), lit("")), " ").as("__w"))
+    val win = toks.select(col("doc_id"), col("source"),
+        explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(col("doc_id"), col("source"), md5(col("s")).as("fp"))
+    val bench = win.filter(col("source") === "src0")
+      .select("fp").distinct()
+    val hits = win.filter(col("source") =!= "src0").join(bench, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("fp")).as("hit_fps"))
+    val totals = toks.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        greatest(size(col("__w")) - lit(n - 1), lit(0))
+          .cast("long").as("n_spans"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_fps"), lit(0L)).as("hit_fps"),
+        round(when(col("n_spans") > 0,
+            coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_spans"))
+          .otherwise(lit(0.0)), 6).as("span_frac"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSpansSql: String = {
+    val n = TextQueries.SubstringSpanTokens
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(t[i+1:i+$n], ' ')) AS fp
+       |  FROM tok, unnest(range(greatest(len(t) - ${n - 1}, 0))) AS u(i)
+       |), bench AS (SELECT DISTINCT fp FROM sh WHERE source = 'src0'),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(count(DISTINCT fp) AS BIGINT) AS hit_fps
+       |  FROM sh JOIN bench USING (fp) WHERE source <> 'src0'
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT doc_id, CAST(greatest(len(t) - ${n - 1}, 0) AS BIGINT)
+       |    AS n_spans
+       |  FROM tok WHERE source <> 'src0'
+       |)
+       |SELECT tot.doc_id, n_spans,
+       |  coalesce(n_hits, 0::BIGINT) AS n_hits,
+       |  coalesce(hit_fps, 0::BIGINT) AS hit_fps,
+       |  round(CASE WHEN n_spans > 0
+       |    THEN coalesce(n_hits, 0)::DOUBLE / n_spans
+       |    ELSE 0.0::DOUBLE END, 6) AS span_frac
+       |FROM tot LEFT JOIN hits USING (doc_id)
+       |ORDER BY tot.doc_id""".stripMargin
+  }
+
   /** Per-tier keep rates (percent), worst → best quality quartile — the
     * quality-curriculum sampling move (DataComp-style): low-quality text
     * is down-sampled rather than hard-dropped, so the mix keeps some
@@ -973,7 +1044,8 @@ object CurationQueries {
     "domain_mix" -> domainMix,
     "domain_temperature" -> domainTemperature,
     "len_buckets" -> lenBuckets,
-    "quality_tier_sample" -> qualityTierSample)
+    "quality_tier_sample" -> qualityTierSample,
+    "decontaminate_spans" -> decontaminateSpans)
 
   val oracle: Map[String, String] = Map(
     "token_budget_select" -> tokenBudgetSelectSql,
@@ -991,5 +1063,6 @@ object CurationQueries {
     "domain_mix" -> domainMixSql,
     "domain_temperature" -> domainTemperatureSql,
     "len_buckets" -> lenBucketsSql,
-    "quality_tier_sample" -> qualityTierSampleSql)
+    "quality_tier_sample" -> qualityTierSampleSql,
+    "decontaminate_spans" -> decontaminateSpansSql)
 }

@@ -28,9 +28,11 @@ object DocStreams {
     * tokenization is bound to an attribute so the rule chain splits each
     * document once.
     */
-  def qualityFiltered(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def qualityFiltered(docs: DataFrame, textCol: String = "text",
+                      allowedLangs: Option[Seq[String]] = None): DataFrame =
     docs.withColumn("__w", split(col(textCol), " "))
-      .filter(Curation.rejectReasonFromWords(col(textCol), col("__w")).isNull)
+      .filter(Curation.rejectReasonFromWords(col(textCol), col("__w"),
+        allowedLangs).isNull)
       .drop("__w")
 
   /** Content-dedup'd stream: first doc with a given normalized fingerprint
@@ -51,8 +53,10 @@ object DocStreams {
     * filter FIRST so rejected docs never enter the dedup state store.
     */
   def curated(docs: DataFrame, textCol: String = "text",
-              watermark: String = "2 hours"): DataFrame =
-    dedupByFingerprint(qualityFiltered(docs, textCol), textCol, watermark)
+              watermark: String = "2 hours",
+              allowedLangs: Option[Seq[String]] = None): DataFrame =
+    dedupByFingerprint(qualityFiltered(docs, textCol, allowedLangs),
+      textCol, watermark)
 
   /** The PRODUCTION ingest source: an unbounded JSONL landing directory
     * read incrementally by Spark's FileStreamSource — each trigger
@@ -137,9 +141,10 @@ object DocStreams {
     */
   def curatedQuota(docs: DataFrame, budget: Long,
                    textCol: String = "text",
-                   watermark: String = "2 hours")
+                   watermark: String = "2 hours",
+                   allowedLangs: Option[Seq[String]] = None)
   : org.apache.spark.sql.Dataset[QuotaDecision] = {
-    val cur = curated(docs, textCol, watermark)
+    val cur = curated(docs, textCol, watermark, allowedLangs)
     val qd = cur.select(
         col("source"), col("doc_id"),
         size(split(coalesce(col(textCol), lit("")), " "))

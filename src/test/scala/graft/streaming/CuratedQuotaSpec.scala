@@ -183,6 +183,36 @@ class CuratedQuotaSpec extends AnyFunSuite {
       "restart lost dedup fingerprints or quota totals")
   }
 
+  test("streaming language gate: a wrong-language doc never reaches the " +
+    "dedup state or the quota total") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = "the cat sat on the mat and it was happy with the sun " +
+      "in a warm place for hours today"
+    val de = "der hund ist nicht in dem haus und die katze ist auf " +
+      "dem dach weil der vogel nicht mit der maus in dem garten spielt"
+    val mixFeed = Seq(
+      Doc(1L, en, ts(0), "src0", 0L),
+      Doc(2L, de, ts(1), "src0", 1L), // wrong_language under Some(en)
+      Doc(3L, en + " extra", ts(2), "src0", 2L))
+    val mem = MemoryStream[Doc]
+    val q = DocStreams.curatedQuota(mem.toDF(), budget = 1000L,
+        allowedLangs = Some(Seq("en")))
+      .writeStream.format("memory").queryName("cq_langgate")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ckpt_cq_lang").toString)
+      .outputMode("append").start()
+    try {
+      mem.addData(mixFeed: _*); q.processAllAvailable()
+      val got = spark.table("cq_langgate").as[QuotaDecision].collect()
+        .sortBy(_.doc_id).toSeq
+      assert(got.map(_.doc_id) == Seq(1L, 3L),
+        s"gate leaked or over-dropped: $got")
+      // the German doc's tokens must not have entered the running total
+      val enTokens = en.split(" ").length.toLong
+      assert(got.head.cum_tokens == enTokens)
+    } finally q.stop()
+  }
+
   test("one giant batch: per-source decision sequences are invariant to " +
     "which adjacent duplicate copy survives") {
     def seqs(rows: Seq[(String, Long, Boolean, Long)])

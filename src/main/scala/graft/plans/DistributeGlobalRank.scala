@@ -118,12 +118,14 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     * composite cardinality). The cap proof alone says the naive plan's
     * parallelism is bounded; it does not say the bound HURTS — at small
     * rows-per-key the ≤NDV single-task sorts are trivially cheap and
-    * the distributed form pays its multi-stage floor. Measured bracket
-    * (local[32], NDV=7 lineitem replicas, NOTES_r12.md): the
-    * naive/rewritten ratio closes monotonically from 3.6× at 86k
-    * rows/key to 1.14× at 5.5M rows/key as the single-task sorts go
-    * superlinear — crossing extrapolates to ~10M rows/key, which is
-    * the default. Above it the cap is also an OPERATIONAL hazard, not
+    * the distributed form pays its multi-stage floor. Measured brackets
+    * (local[32], lineitem replicas): with the r12 plan the
+    * naive/rewritten ratio crossed at ~10M rows/key (NOTES_r12.md);
+    * after r13 removed the interpreted range-id lambda the crossover
+    * moved to ~1.5M rows/key on the packed (NDV=7) leg and ~2M
+    * pairs/key on the dense-index (string NDV=3) leg (NOTES_r13.md) —
+    * the default is 2× the worst measured crossover, one floor for
+    * both legs. Above it the cap is also an OPERATIONAL hazard, not
     * just a slowdown: per-key sort data approaches single-task memory
     * and the 2 GB shuffle-block ceiling, where the naive plan stops
     * completing at all. Set to 0 to disable (the demo query keys do,
@@ -131,7 +133,7 @@ object DistributeGlobalRank extends Rule[LogicalPlan] {
     */
   val PartitionedMinRowsKey =
     "spark.graft.distributePartitionedWindow.minRowsPerKey"
-  val DefaultMinRowsPerKey = 10000000L
+  val DefaultMinRowsPerKey = 4000000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan

@@ -117,6 +117,42 @@ object DocStreams {
     * within-batch shuffle invariance, and row parity with the batch
     * prefix rule.
     */
+  /** Streaming benchmark-decontamination gate — the live twin of the
+    * batch `decontaminate_spans`: drop incoming documents whose n-token
+    * window fingerprints overlap the STATIC benchmark set in more than
+    * `maxHitFps` distinct windows (default 0: any verbatim benchmark
+    * span rejects the document before it can enter a training shard).
+    *
+    * STATELESS by design: the benchmark fingerprint set collapses to a
+    * single collect_set row and broadcasts into a stream–static cross
+    * join, so the per-row work is one array_intersect against an
+    * in-memory set — no state store, no watermark, and the gate's
+    * answer never depends on batch boundaries. Benchmark sets are small
+    * by definition (they are eval sets); a benchmark too large to
+    * broadcast belongs in the batch pipeline's fingerprint join, not a
+    * live gate. Output keeps `hit_fps` for audit.
+    */
+  def decontaminatedStream(docs: DataFrame, benchDocs: DataFrame,
+                           textCol: String = "text",
+                           n: Int = 8, maxHitFps: Long = 0L): DataFrame = {
+    import graft.ops.TextDedup
+    val benchArr = benchDocs
+      .select(split(coalesce(col(textCol), lit("")), " ").as("__w"))
+      .select(explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(md5(col("s")).as("fp")).distinct()
+      .agg(collect_set(col("fp")).as("__bench"))
+    docs
+      .withColumn("__w", split(coalesce(col(textCol), lit("")), " "))
+      .withColumn("__fps",
+        transform(TextDedup.shinglesFromWords(col("__w"), n), s => md5(s)))
+      .crossJoin(broadcast(benchArr))
+      .withColumn("hit_fps",
+        size(array_intersect(array_distinct(col("__fps")), col("__bench")))
+          .cast("long"))
+      .filter(col("hit_fps") <= maxHitFps)
+      .drop("__w", "__fps", "__bench")
+  }
+
   /** The full streaming curation PREFIX as one query — quality filter →
     * content dedup → per-source token quota, the live twin of the batch
     * `pretrain_pipeline`'s quality/dedup/budget stages. Input needs

@@ -213,6 +213,39 @@ class CuratedQuotaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate: a verbatim benchmark span drops " +
+    "the doc, clean and sub-window docs pass, stateless across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchSpan = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq(
+      (100L, s"benchmark item one $benchSpan and its answer"),
+      (101L, "benchmark item two entirely distinct content here today")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val q = DocStreams.decontaminatedStream(mem.toDF(), bench)
+      .writeStream.format("memory").queryName("cq_decontam")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ckpt_cq_dec").toString)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1L, s"a crawl page quoting $benchSpan in the middle of prose",
+          ts(0), "src1", 0L),
+        Doc(2L, "a clean page with none of the protected material at all",
+          ts(1), "src1", 1L))
+      q.processAllAvailable()
+      mem.addData(
+        Doc(3L, "short doc", ts(2), "src1", 2L), // sub-window: no fps
+        Doc(4L, null.asInstanceOf[String], ts(3), "src1", 3L))
+      q.processAllAvailable()
+      val got = spark.table("cq_decontam")
+        .select("doc_id", "hit_fps")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((2L, 0L), (3L, 0L), (4L, 0L)),
+        s"gate mis-routed: $got")
+    } finally q.stop()
+  }
+
   test("one giant batch: per-source decision sequences are invariant to " +
     "which adjacent duplicate copy survives") {
     def seqs(rows: Seq[(String, Long, Boolean, Long)])

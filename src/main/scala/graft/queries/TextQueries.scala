@@ -97,6 +97,65 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Cross-source near-dup overlap matrix — the corpus-forensics view a
+    * curation team reads before setting dedup policy: for every PAIR of
+    * sources, how many near-duplicate document pairs straddle them (and
+    * how similar they are on average). The diagonal (source_a = source_b)
+    * is within-source duplication; off-diagonal cells expose mirror sites
+    * / syndication between crawls. Candidates come from the same
+    * fingerprint-bucketed LSH join as `dedup_minhash_lsh` — never
+    * all-pairs — and the matrix aggregate is a tiny groupBy on top
+    * (|sources|² cells at most), so the whole key inherits the LSH
+    * pipeline's scale shape.
+    *
+    * The source pair is canonicalized with least/greatest so (A,B) and
+    * (B,A) land in one cell regardless of which doc got the smaller id.
+    * avg(est_sim) is exact cross-engine: est_sim is a multiple of 1/K
+    * (K = [[TextDedup.NumHashes]], a power of two), so the sum is
+    * binary-exact at any aggregation order.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Readers.table(spark, dir, "documents")
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", K)
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", K)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("pair_count"),
+        round(avg(col("est_sim")), 6).as("avg_sim"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String = {
+    val bands = (0 until K by TextDedup.BandSize).map { s =>
+      "(" + (s until s + TextDedup.BandSize)
+        .map(i => s"a.mh$i = b.mh$i").mkString(" AND ") + ")"
+    }.mkString("\n     OR ")
+    val eqPos = (0 until K)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    (($eqPos)::DOUBLE / $K) AS est_sim
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND
+       |      ($bands)
+       |)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*) AS pair_count, round(avg(est_sim), 6) AS avg_sim
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** Exact trigram-Jaccard verification over a bounded candidate set
     * (neighbor window of 5 within the same language — O(n) pairs; in the
     * composed pipeline the candidates come from LSH instead).
@@ -1145,6 +1204,7 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "source_overlap" -> sourceOverlap,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_pipeline" -> dedupPipeline,
     "dedup_clusters" -> dedupClusters,
@@ -1171,6 +1231,7 @@ object TextQueries {
     "dedup_exact" -> dedupExactSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "source_overlap" -> sourceOverlapSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_pipeline" -> dedupPipelineSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.etl.Readers
 import graft.ops.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table: brute-force cosine top-k
@@ -846,7 +847,79 @@ object VectorQueries {
     */
   val ScaledCentroids = 64
 
+  /** Hard cap on the per-cluster sample size — scale insurance, not a
+    * tuning knob. The sqrt quota is data-dependent, so the window filter
+    * `rn <= ceil(sqrt(c_cnt))` alone cannot be planned as a group limit;
+    * filtering `rn <= SampleCap` FIRST (a literal, directly above the
+    * window) lets `InferWindowGroupLimit` put a partial WindowGroupLimit
+    * below the exchange — a pathological hot cluster ships at most
+    * SampleCap rows per map partition instead of its full membership,
+    * the same structural guard keep-first dedup pins (DedupSkewPlanSpec).
+    */
+  val SampleCap = 64
+
+  /** Cluster-balanced diversity sample — the data-curation move that keeps
+    * a pretraining corpus from being dominated by its densest semantic
+    * region (web boilerplate, near-identical templates). Standard recipe
+    * (DoReMi/D4-adjacent): cluster the embedding space, then sample each
+    * cluster with a SUBLINEAR quota — here ceil(sqrt(|cluster|)) — so rare
+    * clusters keep proportionally more of their mass ("temperature
+    * flattening" on the semantic axis, the twin of `domain_temperature`
+    * on the metadata axis).
+    *
+    * Determinism: the within-cluster sample ranks by md5(vec_id) — a
+    * reproducible uniform order any engine can replay (same device as
+    * `global_shuffle`), not rand(). Plan shape: one broadcast-assign pass
+    * (shared with the IVF family), ONE hash exchange on centroid_id for
+    * the ranking window (the quota aggregate rides the same exchange
+    * grain), and the literal [[SampleCap]] pre-filter keeps hot clusters
+    * bounded below the shuffle.
+    */
+  def sampleClusterBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // cache: the ranking window and the quota aggregate both embed this
+    // assignment subtree (embeddings × centroids argmax)
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .select("vec_id", "centroid_id")
+      .cache()
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val ranked = assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleCap) // literal first → partial group limit
+    val quota = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("c_cnt"))
+    ranked.join(broadcast(quota), Seq("centroid_id"))
+      .filter(col("rn") <= ceil(sqrt(col("c_cnt"))))
+      .select("centroid_id", "rn", "vec_id", "c_cnt")
+      .orderBy("centroid_id", "rn")
+  }
+
+  val sampleClusterBalancedSql: String =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |),
+       |quota AS (SELECT centroid_id, count(*) AS c_cnt FROM assigned GROUP BY 1),
+       |ranked AS (
+       |  SELECT centroid_id, vec_id,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+       |  FROM assigned)
+       |SELECT r.centroid_id, r.rn, r.vec_id, q.c_cnt
+       |FROM ranked r JOIN quota q USING (centroid_id)
+       |WHERE r.rn <= $SampleCap AND r.rn <= ceil(sqrt(q.c_cnt))
+       |ORDER BY centroid_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_cluster_balanced" -> sampleClusterBalanced,
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_k64" -> ((s, d) => semanticDedupK(s, d, ScaledCentroids)),
     "ann_ivf_k64" -> ((s, d) => annIvfK(s, d, ScaledCentroids)),
@@ -867,6 +940,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_cluster_balanced" -> sampleClusterBalancedSql,
     "semantic_dedup" -> semanticDedupSql,
     "semantic_dedup_k64" -> semanticDedupSqlK(ScaledCentroids),
     "ann_ivf_k64" -> annIvfSqlK(ScaledCentroids),

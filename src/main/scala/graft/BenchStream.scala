@@ -205,6 +205,21 @@ object BenchStream {
       }.toSeq
     run("curated_quota_stream", curDocs, "append")(
       ds => DocStreams.curatedQuota(ds.toDF(), budget = 7000L).toDF())
+    // streaming near-dup LSH gate: row-local minhash (no aggregate per
+    // doc), ONE band-claim state store fed 4 band rows per doc, then the
+    // stateless per-doc fold — the near-dup twin of doc_curated's
+    // exact-fingerprint dedup. Same state-bound class (rate × horizon)
+    // with a ×bands constant.
+    run("neardup_stream", curDocs, "append")(
+      ds => graft.streaming.NeardupStream.neardupStream(ds.toDF()).toDF())
+    // stateless benchmark-decontamination gate: broadcast fingerprint
+    // set + per-row array_intersect, no state store — per-batch cost is
+    // the re-broadcast + scan, flat by construction
+    val benchSet = graft.etl.Readers.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      .localCheckpoint()
+    run("decontaminated_stream", curDocs, "append")(
+      ds => DocStreams.decontaminatedStream(ds.toDF(), benchSet))
     // embedding LSH dedup: signature computation (8 native-dot
     // hyperplane projections per row) + the per-bucket dedup state store
     // — the vector twin of doc_curated's fingerprint dedup. Watermark

@@ -200,6 +200,106 @@ object TextDedup {
     shingleSet.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
+  /** ROW-LOCAL MinHash signature columns — the streaming twin of
+    * [[minhashFromShingleSet]]: identical per-position hash (salted md5,
+    * four 32-bit lanes per salt) folded with `array_min` over the
+    * document's own shingle array instead of a grouped `min`, so the
+    * signature needs NO aggregate and fuses into a stream's source scan
+    * (a streaming groupBy would be a stateful operator; a document is a
+    * bounded row, so the fold belongs inside it). Bit-identical to the
+    * batch signature by construction — NeardupStreamSpec pins it.
+    *
+    * `shingles` must be a BOUND attribute holding the document's shingle
+    * array ([[shinglesFromWords]] projected to a column first) — an
+    * inline expression would be duplicated into every one of the k
+    * min-folds. Documents with an empty shingle array (fewer than n
+    * words) yield null columns (the batch path gives them no signature
+    * row at all) — callers must route them around any bucket keying,
+    * never into it.
+    */
+  def rowMinhashCols(shingles: Column, k: Int = NumHashes): Seq[Column] =
+    rowMinhashFromHashes(rowMinhashSaltArrays(shingles, k), k)
+
+  /** The per-SALT md5 arrays feeding [[rowMinhashFromHashes]] — hot paths
+    * must BIND these to attributes first (one `withColumn` each): each
+    * salt's md5 pass is shared by four signature lanes, so binding cuts
+    * the md5 work 4× vs inlining the composition (lambda bodies are not
+    * common-subexpression-eliminated). Null when the shingle array is
+    * empty, which [[rowMinhashFromHashes]] propagates per lane.
+    */
+  def rowMinhashSaltArrays(shingles: Column, k: Int = NumHashes): Seq[Column] =
+    (0 until (k + 3) / 4).map { salt =>
+      when(size(shingles) > 0,
+        transform(shingles, s => md5(concat(lit(s"s$salt|"), s))))
+        .as(s"__mhh$salt")
+    }
+
+  /** Signature lanes from bound salt arrays: lane i reads 8 hex chars of
+    * salt array i/4 at offset (i%4)·8 — identical lane layout to the
+    * batch [[minhashFromShingleSet]].
+    */
+  def rowMinhashFromHashes(hashArrays: Seq[Column],
+                           k: Int = NumHashes): Seq[Column] =
+    (0 until k).map { i =>
+      val off = (i % 4) * 8 + 1
+      array_min(transform(hashArrays(i / 4), h =>
+        conv(substring(h, off, 8), 16, 10).cast("long")))
+        .as(s"mh$i")
+    }
+
+  /** Plain-JVM per-document MinHash — the HOT row-local path. The Column
+    * formulation above is correct but every per-shingle step runs inside
+    * higher-order-function lambdas, which Spark evaluates INTERPRETED
+    * (ArrayTransform is outside whole-stage codegen) — measured ~2.4 ms
+    * per document, 10× the batch explode+codegen pipeline's per-doc cost.
+    * A stream cannot use the batch shape (the min would be a stateful
+    * aggregation), so the fold runs as one tight JVM loop per document
+    * instead: same split/shingle/salted-md5/lane layout, byte-identical
+    * output (NeardupStreamSpec pins all three paths equal).
+    *
+    * Returns null when the document has fewer than `shingleN` words (no
+    * signature — the batch path emits no row); callers route those around
+    * bucket keying.
+    */
+  def minhashSignatureJvm(text: String, k: Int = NumHashes,
+                          shingleN: Int = 3): Array[Long] = {
+    val words = (if (text == null) "" else text).split(" ", -1)
+    if (words.length < shingleN) return null
+    val salts = (k + 3) / 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mh = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - shingleN) {
+      sb.setLength(0)
+      var o = 0
+      while (o < shingleN) {
+        if (o > 0) sb.append(' ')
+        sb.append(words(i + o)); o += 1
+      }
+      val shingle = sb.toString
+      var salt = 0
+      while (salt < salts) {
+        val bytes = md.digest(
+          (s"s$salt|" + shingle).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var lane = 0
+        while (lane < 4 && salt * 4 + lane < k) {
+          // 8 hex chars at offset lane*8 = 4 bytes at offset lane*4,
+          // read as an unsigned 32-bit value (== conv(hex, 16, 10))
+          val b = lane * 4
+          val v = ((bytes(b) & 0xffL) << 24) | ((bytes(b + 1) & 0xffL) << 16) |
+            ((bytes(b + 2) & 0xffL) << 8) | (bytes(b + 3) & 0xffL)
+          val idx = salt * 4 + lane
+          if (v < mh(idx)) mh(idx) = v
+          lane += 1
+        }
+        salt += 1
+      }
+      i += 1
+    }
+    mh
+  }
+
   /** The distinct (id, s) shingle set — one logical frame the composed
     * pipeline shares between signature generation and Jaccard
     * verification. The optimizer specializes it per consumer rather than

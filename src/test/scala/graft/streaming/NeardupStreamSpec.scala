@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.ops.TextDedup
+import graft.streaming.NeardupStream.NeardupDecision
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[NeardupStream.neardupStream]] certification:
+  *
+  *  1. the row-local MinHash signature is bit-identical to the batch
+  *     [[TextDedup.minhashSignatures]] aggregate (same salted-md5 lanes);
+  *  2. stream decisions match a sequential-greedy replay of the band-claim
+  *     rule over the SAME band keys, at one-batch, many-batch, and
+  *     scrambled-within-batch feeds (seq order is the determinism
+  *     contract, batch boundaries must not matter);
+  *  3. the fixture genuinely exercises the NEAR side: a mutated copy
+  *     (not byte-identical, so the exact-fingerprint gate would pass it)
+  *     is dropped, and unique docs survive.
+  */
+object NeardupStreamSpec {
+  case class Doc(doc_id: Long, text: String, seq: Long,
+                 ts: java.sql.Timestamp)
+}
+
+class NeardupStreamSpec extends AnyFunSuite {
+  import NeardupStreamSpec.Doc
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private val template = ("the quick brown fox jumps over the lazy dog " +
+    "while the distributed query engine shuffles partitions across " +
+    "executors and spills sorted runs to local disk under pressure").trim
+
+  private val feed: Seq[Doc] = Seq(
+    Doc(1L, template, 0L, t0),                                   // keeper
+    Doc(2L, template, 1L, t0),                                   // exact dup of 1
+    Doc(3L, template.replace("lazy dog", "sleepy dog"), 2L, t0), // near dup of 1
+    Doc(4L, "completely unrelated content about columnar storage " +
+      "formats and vectorized readers for analytical workloads at scale " +
+      "with dictionary encoding and run length compression", 3L, t0),
+    Doc(5L, template.replace("local disk", "remote store"), 4L, t0), // near dup
+    Doc(6L, "tiny doc", 5L, t0),                                 // too short: kept
+    Doc(7L, "another fully distinct document describing watermark " +
+      "semantics for stateful streaming operators and the eviction of " +
+      "expired keys from the state store between micro batches", 6L, t0)
+  )
+
+  /** Band keys per doc, computed in BATCH from the same row-local
+    * signature the stream uses — the replay below and the stream share
+    * these by construction.
+    */
+  private def bandKeys(docs: Seq[Doc]): Map[Long, Seq[String]] = {
+    val k = TextDedup.NumHashes
+    val df = docs.toDF()
+      .withColumn("__w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("__sh", TextDedup.shinglesFromWords(col("__w"), 3))
+      .select((col("doc_id") +: size(col("__sh")).as("__nsh")
+        +: TextDedup.rowMinhashCols(col("__sh"), k)): _*)
+    df.filter(col("__nsh") > 0).collect().map { r =>
+      val keys = (0 until k by TextDedup.BandSize).map { s =>
+        ((s / TextDedup.BandSize) +:
+          (s until s + TextDedup.BandSize).map(i => r.getLong(2 + i)))
+          .mkString("|")
+      }
+      r.getLong(0) -> keys
+    }.toMap
+  }
+
+  /** Sequential-greedy replay: in seq order, a doc keeps iff every one of
+    * its buckets is unclaimed; it claims every still-unclaimed bucket
+    * either way.
+    */
+  private def replay(docs: Seq[Doc], bands: Map[Long, Seq[String]])
+  : Map[Long, (Boolean, Int, Int)] = {
+    val claimed = scala.collection.mutable.HashSet.empty[String]
+    docs.sortBy(_.seq).map { d =>
+      bands.get(d.doc_id) match {
+        case None => d.doc_id -> ((true, 0, 0))
+        case Some(bs) =>
+          val c = bs.count(b => claimed.add(b))
+          d.doc_id -> ((c == bs.size, bs.size, c))
+      }
+    }.toMap
+  }
+
+  private def run(chunks: Seq[Seq[Doc]], name: String)
+  : Map[Long, (Boolean, Int, Int)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = NeardupStream.neardupStream(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      spark.table(name).as[NeardupDecision].collect()
+        .map(d => d.doc_id -> ((d.kept, d.n_bands, d.claimed_bands))).toMap
+    } finally q.stop()
+  }
+
+  test("row-local MinHash equals the batch aggregate signature") {
+    val docs = feed.toDF().filter(length(col("text")) > 20)
+    val batch = TextDedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to TextDedup.NumHashes).map(r.getLong)).toMap
+    val row = docs
+      .withColumn("__w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("__sh", TextDedup.shinglesFromWords(col("__w"), 3))
+      .select((col("doc_id")
+        +: TextDedup.rowMinhashCols(col("__sh"))): _*)
+      .filter(col("mh0").isNotNull)
+      .collect().map(r => r.getLong(0) ->
+        (1 to TextDedup.NumHashes).map(r.getLong)).toMap
+    assert(row == batch)
+    // and the hot JVM fold the stream actually runs matches both
+    val jvm = feed.filter(_.text.length > 20).map(d =>
+      d.doc_id -> TextDedup.minhashSignatureJvm(d.text).toSeq).toMap
+    assert(jvm == batch.map { case (k, v) => k -> v.toSeq })
+    // too-short docs: no batch row, null JVM signature
+    assert(TextDedup.minhashSignatureJvm("tiny doc") == null)
+  }
+
+  test("stream decisions match the sequential-greedy replay (one batch)") {
+    val want = replay(feed, bandKeys(feed))
+    val got = run(Seq(feed), "neardup_one")
+    assert(got == want)
+    // fixture-exercise: the exact dup AND both near dups are dropped,
+    // keepers and the too-short doc survive
+    assert(!got(2L)._1 && !got(3L)._1 && !got(5L)._1, got.toString)
+    assert(got(1L)._1 && got(4L)._1 && got(7L)._1, got.toString)
+    assert(got(6L) == ((true, 0, 0)), got.toString)
+    // the near dups are NOT byte-identical to anything (the exact gate
+    // would keep them) but still share at least one claimed bucket
+    assert(feed.count(d => d.text == feed(2).text) == 1)
+    assert(got(3L)._3 < got(3L)._2)
+  }
+
+  test("batch-boundary and within-batch shuffle invariance") {
+    val want = replay(feed, bandKeys(feed))
+    assert(run(feed.grouped(2).toSeq, "neardup_chunks2") == want)
+    val rnd = new scala.util.Random(7)
+    val scrambled = feed.grouped(4).map(c => rnd.shuffle(c)).toSeq
+    assert(run(scrambled, "neardup_scrambled") == want)
+  }
+}

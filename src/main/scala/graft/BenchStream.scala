@@ -203,14 +203,31 @@ object BenchStream {
         CurDoc(id, t, new java.sql.Timestamp(1704067200000L + i * 1000L),
           s, i.toLong)
       }.toSeq
-    run("curated_quota_stream", curDocs, "append")(
+    // doc-feed multiplier twin of the events one: replica m suffixes
+    // EVERY word with m, so replicas share no shingles/fingerprints with
+    // each other or the base — content state (fingerprint store, band
+    // claims) genuinely grows ×mult, which is what a store-growth decade
+    // probe needs (a verbatim copy would dedup away instead)
+    val curDocsM =
+      if (mult <= 1) curDocs
+      else {
+        val docStride = curDocs.map(_.doc_id).max + 1L
+        curDocs.flatMap(d => (0 until mult).map { m =>
+          d.copy(
+            doc_id = d.doc_id + m.toLong * docStride,
+            text = if (m == 0 || d.text == null) d.text
+              else d.text.split(" ", -1).map(w => s"$w$m").mkString(" "),
+            seq = d.seq * mult + m)
+        })
+      }
+    run("curated_quota_stream", curDocsM, "append")(
       ds => DocStreams.curatedQuota(ds.toDF(), budget = 7000L).toDF())
     // streaming near-dup LSH gate: row-local minhash (no aggregate per
     // doc), ONE band-claim state store fed 4 band rows per doc, then the
     // stateless per-doc fold — the near-dup twin of doc_curated's
     // exact-fingerprint dedup. Same state-bound class (rate × horizon)
     // with a ×bands constant.
-    run("neardup_stream", curDocs, "append")(
+    run("neardup_stream", curDocsM, "append")(
       ds => graft.streaming.NeardupStream.neardupStream(ds.toDF()).toDF())
     // stateless benchmark-decontamination gate: broadcast fingerprint
     // set + per-row array_intersect, no state store — per-batch cost is

@@ -146,4 +146,52 @@ class NeardupStreamSpec extends AnyFunSuite {
     val scrambled = feed.grouped(4).map(c => rnd.shuffle(c)).toSeq
     assert(run(scrambled, "neardup_scrambled") == want)
   }
+
+  test("the band-claim store survives a stop/restart cycle") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_neardup_ckpt").toString
+    val results = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[NeardupDecision]())
+    val mem = MemoryStream[Doc]
+    def start() = NeardupStream.neardupStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[NeardupDecision], _: Long) =>
+          b.collect().foreach(results.add)
+      }.start()
+
+    val (before, after) = feed.splitAt(4)
+    val q1 = start()
+    try { mem.addData(before: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // docs 5 (near-dup of pre-restart doc 1) and 6/7 arrive AFTER the
+    // restart: doc 5 can only be dropped if doc 1's claims rehydrated
+    val q2 = start()
+    try { mem.addData(after: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val got = results.toArray(Array.empty[NeardupDecision])
+      .map(d => d.doc_id -> ((d.kept, d.n_bands, d.claimed_bands))).toMap
+    assert(got == replay(feed, bandKeys(feed)),
+      s"decisions diverge after restart: $got")
+    assert(!got(5L)._1, "pre-restart claims were lost")
+  }
+
+  test("real-corpus parity: sf0.001 documents vs the sequential replay") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => Doc(r.getLong(0), r.getString(1), i.toLong, t0) }
+      .toSeq
+    val want = replay(corpus, bandKeys(corpus))
+    val got = run(corpus.grouped(150).toSeq, "neardup_corpus")
+    assert(got == want)
+    // the corpus must exercise the gate (it plants duplicates)
+    val dropped = got.count(!_._2._1)
+    assert(dropped > 0 && dropped < corpus.size,
+      s"fixture-exercise: dropped=$dropped of ${corpus.size}")
+  }
 }

@@ -179,6 +179,36 @@ class NeardupStreamSpec extends AnyFunSuite {
     assert(!got(5L)._1, "pre-restart claims were lost")
   }
 
+  test("JVM signature equals the batch aggregate on adversarial texts") {
+    // seeded adversarial corpus: unicode (incl. astral), empty words from
+    // doubled/leading/trailing spaces, sub-shingle-length and null texts —
+    // the places split/md5/lane parity could silently diverge
+    val rnd = new scala.util.Random(0x13)
+    val alpha = Vector("a", "bb", "é", "дом", "😀", "𝒜x", "", "z9")
+    val texts: Seq[String] = (0 until 200).map { i =>
+      if (i % 37 == 0) null
+      else {
+        val n = rnd.nextInt(12)
+        val body = (0 until n).map(_ => alpha(rnd.nextInt(alpha.size)))
+          .mkString(" ")
+        (if (i % 11 == 0) " " + body else body) +
+          (if (rnd.nextBoolean()) " " else "")
+      }
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = TextDedup.minhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to TextDedup.NumHashes).map(r.getLong).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val jvm = Option(TextDedup.minhashSignatureJvm(t)).map(_.toSeq)
+      assert(jvm == batch.get(i.toLong),
+        s"doc $i (${Option(t).map(_.take(40))}): jvm=$jvm batch=${batch.get(i.toLong)}")
+    }
+    // the generator must exercise both branches
+    assert(batch.nonEmpty && batch.size < texts.size)
+  }
+
   test("real-corpus parity: sf0.001 documents vs the sequential replay") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -88,6 +88,50 @@ object NeardupStream {
                     k: Int = TextDedup.NumHashes,
                     shingleN: Int = 3): Dataset[NeardupDecision] = {
     val horizon = horizonMillis(watermark)
+    gate(docs, textCol, watermark, k, shingleN,
+      bandRows => claimsViaFlatMapGroups(bandRows, horizon))
+  }
+
+  /** The claim stage as `flatMapGroupsWithState`: one long per bucket,
+    * EVENT-TIME timeout at the watermark horizon.
+    */
+  private def claimsViaFlatMapGroups(bandRows: Dataset[BandRow],
+                                     horizon: Long): Dataset[BandVerdict] =
+    bandRows.groupByKey(_.bkey)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: String, batch: Iterator[BandRow],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // seq order decides the claim — batch-boundary and shuffle
+            // invariant by construction
+            val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
+            val already = state.exists
+            val out = rows.zipWithIndex.map { case (r, i) =>
+              BandVerdict(r.doc_id, r.seq, r.n_bands,
+                claimed = !already && i == 0)
+            }
+            if (!already) state.update(rows.head.seq)
+            // extend the eviction horizon past the newest arrival; never
+            // set a timeout at or below the current watermark (a late
+            // band row would otherwise make the call throw)
+            state.setTimeoutTimestamp(
+              math.max(rows.map(_.ts.getTime).max,
+                state.getCurrentWatermarkMs()) + horizon)
+            out.iterator
+          }
+        })(Encoders.scalaLong, Encoders.product[BandVerdict])
+
+  /** Everything around the claim stage: signature, short-doc bypass,
+    * band explode, and the stateless per-doc fold. The claim stage is
+    * pluggable so the fMGWS and transformWithState engines share one
+    * pipeline (and one spec contract).
+    */
+  private[streaming] def gate(docs: DataFrame, textCol: String,
+                              watermark: String, k: Int, shingleN: Int,
+                              claims: Dataset[BandRow] => Dataset[BandVerdict])
+  : Dataset[NeardupDecision] = {
     val nBands = k / TextDedup.BandSize
     val bandSize = TextDedup.BandSize
     implicit val decEnc = Encoders.product[NeardupDecision]
@@ -125,31 +169,7 @@ object NeardupStream {
       .withWatermark("ts", watermark)
       .as(Encoders.product[BandRow])
 
-    val verdicts = bandRows.groupByKey(_.bkey)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout)(
-        (_: String, batch: Iterator[BandRow],
-         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // seq order decides the claim — batch-boundary and shuffle
-            // invariant by construction
-            val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
-            val already = state.exists
-            val out = rows.zipWithIndex.map { case (r, i) =>
-              BandVerdict(r.doc_id, r.seq, r.n_bands,
-                claimed = !already && i == 0)
-            }
-            if (!already) state.update(rows.head.seq)
-            // extend the eviction horizon past the newest arrival; never
-            // set a timeout at or below the current watermark (a late
-            // band row would otherwise make the call throw)
-            state.setTimeoutTimestamp(
-              math.max(rows.map(_.ts.getTime).max,
-                state.getCurrentWatermarkMs()) + horizon)
-            out.iterator
-          }
-        })(Encoders.scalaLong, Encoders.product[BandVerdict])
+    val verdicts = claims(bandRows)
 
     // all n_bands verdicts of a doc emit in the SAME batch → the fold is
     // stateless: co-locate by doc_id, count claims per partition slice

@@ -22,21 +22,15 @@ import org.scalatest.funsuite.AnyFunSuite
 object NeardupStreamSpec {
   case class Doc(doc_id: Long, text: String, seq: Long,
                  ts: java.sql.Timestamp)
-}
 
-class NeardupStreamSpec extends AnyFunSuite {
-  import NeardupStreamSpec.Doc
+  val t0: java.sql.Timestamp =
+    java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
 
-  private val spark = TestSpark.spark
-  import spark.implicits._
-
-  private val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
-
-  private val template = ("the quick brown fox jumps over the lazy dog " +
+  val template: String = ("the quick brown fox jumps over the lazy dog " +
     "while the distributed query engine shuffles partitions across " +
     "executors and spills sorted runs to local disk under pressure").trim
 
-  private val feed: Seq[Doc] = Seq(
+  val feed: Seq[Doc] = Seq(
     Doc(1L, template, 0L, t0),                                   // keeper
     Doc(2L, template, 1L, t0),                                   // exact dup of 1
     Doc(3L, template.replace("lazy dog", "sleepy dog"), 2L, t0), // near dup of 1
@@ -50,32 +44,11 @@ class NeardupStreamSpec extends AnyFunSuite {
       "expired keys from the state store between micro batches", 6L, t0)
   )
 
-  /** Band keys per doc, computed in BATCH from the same row-local
-    * signature the stream uses — the replay below and the stream share
-    * these by construction.
-    */
-  private def bandKeys(docs: Seq[Doc]): Map[Long, Seq[String]] = {
-    val k = TextDedup.NumHashes
-    val df = docs.toDF()
-      .withColumn("__w", split(coalesce(col("text"), lit("")), " "))
-      .withColumn("__sh", TextDedup.shinglesFromWords(col("__w"), 3))
-      .select((col("doc_id") +: size(col("__sh")).as("__nsh")
-        +: TextDedup.rowMinhashCols(col("__sh"), k)): _*)
-    df.filter(col("__nsh") > 0).collect().map { r =>
-      val keys = (0 until k by TextDedup.BandSize).map { s =>
-        ((s / TextDedup.BandSize) +:
-          (s until s + TextDedup.BandSize).map(i => r.getLong(2 + i)))
-          .mkString("|")
-      }
-      r.getLong(0) -> keys
-    }.toMap
-  }
-
   /** Sequential-greedy replay: in seq order, a doc keeps iff every one of
     * its buckets is unclaimed; it claims every still-unclaimed bucket
     * either way.
     */
-  private def replay(docs: Seq[Doc], bands: Map[Long, Seq[String]])
+  def replay(docs: Seq[Doc], bands: Map[Long, Seq[String]])
   : Map[Long, (Boolean, Int, Int)] = {
     val claimed = scala.collection.mutable.HashSet.empty[String]
     docs.sortBy(_.seq).map { d =>
@@ -87,6 +60,39 @@ class NeardupStreamSpec extends AnyFunSuite {
       }
     }.toMap
   }
+
+  /** Band keys per doc, computed in BATCH from the same row-local
+    * signature the stream uses.
+    */
+  def bandKeys(spark: org.apache.spark.sql.SparkSession, docs: Seq[Doc])
+  : Map[Long, Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = graft.ops.TextDedup.NumHashes
+    val df = docs.toDF()
+      .withColumn("__w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("__sh", graft.ops.TextDedup.shinglesFromWords(col("__w"), 3))
+      .select((col("doc_id") +: size(col("__sh")).as("__nsh")
+        +: graft.ops.TextDedup.rowMinhashCols(col("__sh"), k)): _*)
+    df.filter(col("__nsh") > 0).collect().map { r =>
+      val keys = (0 until k by graft.ops.TextDedup.BandSize).map { s =>
+        ((s / graft.ops.TextDedup.BandSize) +:
+          (s until s + graft.ops.TextDedup.BandSize).map(i => r.getLong(2 + i)))
+          .mkString("|")
+      }
+      r.getLong(0) -> keys
+    }.toMap
+  }
+}
+
+class NeardupStreamSpec extends AnyFunSuite {
+  import NeardupStreamSpec.{Doc, feed, replay, t0}
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bandKeys(docs: Seq[Doc]): Map[Long, Seq[String]] =
+    NeardupStreamSpec.bandKeys(spark, docs)
 
   private def run(chunks: Seq[Seq[Doc]], name: String)
   : Map[Long, (Boolean, Int, Int)] = {

@@ -229,6 +229,21 @@ object BenchStream {
     // with a ×bands constant.
     run("neardup_stream", curDocsM, "append")(
       ds => graft.streaming.NeardupStream.neardupStream(ds.toDF()).toDF())
+    // the same gate on the transformWithState engine (RocksDB store,
+    // event-time timer eviction): the row measures TWS+RocksDB overhead
+    // vs the fMGWS+HDFS-backed row above on identical work
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    run("neardup_stream_tws", curDocsM, "append")(
+      ds => graft.streaming.TwsGates.neardupStreamTws(ds.toDF()).toDF())
+    prevProvider match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
     // stateless benchmark-decontamination gate: broadcast fingerprint
     // set + per-row array_intersect, no state store — per-batch cost is
     // the re-broadcast + scan, flat by construction

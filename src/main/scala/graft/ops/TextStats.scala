@@ -115,11 +115,12 @@ object TextStats {
         .cast("double") / n
     }
     val best = greatest(scores.map(_._2): _*)
-    val nonSpace =
-      length(regexp_replace(text, "\\s", "")).cast("double")
-    val cjk =
-      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-        .cast("double")
+    // one-pass native char profile — the regexp_replace spelling ran the
+    // regex engine (and built the replaced string) once per CaseWhen
+    // branch below, ~65% of the lang_id key (see CharProfile)
+    val prof = graft.functions.CharProfileFunctions.charProfile(text)
+    val nonSpace = graft.functions.CharProfileFunctions.nonspaceOf(prof)
+    val cjk = graft.functions.CharProfileFunctions.cjkOf(prof)
     val cjkFrac = when(nonSpace > 0, cjk / nonSpace).otherwise(lit(0.0))
     val overlapPred = coalesce(scores.map { case (l, s) =>
       when(s === best, lit(l))

@@ -195,4 +195,22 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
       keys.forall(BloomFilterOps.mightContain(buf, _))
     })
   }
+
+  test("char_profile equals the regexp_replace spelling it replaced") {
+    // alphabet deliberately spans every branch of the byte walk: ASCII,
+    // each Java-\s whitespace char (incl. \x0B, which RE2's \s lacks —
+    // the profile must match JAVA semantics, the spelling Spark ran),
+    // 2-byte (é/д), 3-byte CJK inside AND outside [4E00,9FFF], astral
+    val chars = Gen.oneOf("a", "Z", "9", " ", "\t", "\n", "\u000B", "\f",
+      "\r", "é", "д", "中", "文", "一", "鿿", "あ", "￥",
+      "😀", "𝒜")
+    val strGen = Gen.listOf(chars).map(_.mkString)
+    check(Prop.forAll(strGen) { s =>
+      val packed = CharProfileImpl.compute(UTF8String.fromString(s))
+      val nonspace = s.replaceAll("\\s", "")
+      val cjk = s.replaceAll("[^\\x{4e00}-\\x{9fff}]", "")
+      (packed >>> 32) == nonspace.codePointCount(0, nonspace.length) &&
+        (packed & 0xffffffffL) == cjk.codePointCount(0, cjk.length)
+    })
+  }
 }

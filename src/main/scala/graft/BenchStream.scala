@@ -222,6 +222,18 @@ object BenchStream {
       }
     run("curated_quota_stream", curDocsM, "append")(
       ds => DocStreams.curatedQuota(ds.toDF(), budget = 7000L).toDF())
+    // the FULL prefix: quality → exact dedup → near-dup gate → quota,
+    // THREE stateful operators in one query (the checker's global-
+    // watermark warning is acknowledged — no watermark-consuming op
+    // sits downstream of the fMGWS stages; see curatedNeardupQuota)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    run("curated_neardup_quota_stream", curDocsM, "append")(
+      ds => DocStreams.curatedNeardupQuota(ds.toDF(), budget = 7000L).toDF())
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "true")
     // streaming near-dup LSH gate: row-local minhash (no aggregate per
     // doc), ONE band-claim state store fed 4 band rows per doc, then the
     // stateless per-doc fold — the near-dup twin of doc_curated's

@@ -68,6 +68,22 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Plain-JVM twin of [[fingerprint]] for typed streaming stages that
+    * must run BEFORE the query's watermark definition (a typed
+    * map loses the event-time tag, so composed streams compute all
+    * object-side columns first and stay relational after) — same
+    * normalize-then-lowercase-then-md5, byte-identical output
+    * (CuratedNeardupQuotaSpec pins the parity).
+    */
+  def fingerprintJvm(text: String): String = {
+    val normalized = text.replaceAll("\\s+", " ").toLowerCase
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
   /** Per-language function-word profiles for [[langIdStruct]], in
     * lexicographic language order (the order IS the deterministic
     * tie-break). Frequency-weighted token-set overlap against profiles

@@ -190,6 +190,138 @@ object DocStreams {
     tokenQuotaStream(qd, budget)
   }
 
+  /** Payload-carrying twins of the near-dup gate's row types: the
+    * composed prefix needs `source` and `n_tokens` to survive to the
+    * quota stage, and a stream cannot join them back later without
+    * another stateful operator — so they ride the band rows (two small
+    * fields × bands-per-doc, never the text itself).
+    */
+  case class CurBandRow(bkey: String, doc_id: Long, seq: Long,
+                        n_bands: Int, ts: java.sql.Timestamp,
+                        source: String, n_tokens: Long)
+  case class CurBandVerdict(doc_id: Long, seq: Long, n_bands: Int,
+                            claimed: Boolean, source: String,
+                            n_tokens: Long)
+
+  /** THE full streaming curation prefix: quality filter → exact
+    * content dedup → NEAR-dup LSH gate → per-source token quota, as ONE
+    * streaming query with THREE stateful operators
+    * (dropDuplicatesWithinWatermark → band-claim fMGWS → quota fMGWS).
+    * The batch analogue is `pretrain_pipeline`'s quality/exact/near-dup/
+    * budget stages; [[curatedQuota]] is this minus the near-dup stage.
+    *
+    * Spark's multi-stateful correctness checker REFUSES this chain by
+    * default: flatMapGroupsWithState may emit rows "older than the
+    * watermark", which a downstream watermark-CONSUMING operator would
+    * silently drop as late. That hazard does not apply here — the only
+    * watermark-consuming stage (the exact dedup) sits UPSTREAM of both
+    * fMGWS operators, and neither the band-claim nor the quota stage
+    * drops late rows (the claim uses the watermark solely for state
+    * eviction; the quota gate never reads it). Callers must acknowledge
+    * by setting
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * before starting the query (CuratedNeardupQuotaSpec and the
+    * STREAMBENCH row do; parity with the sequential batch rule is what
+    * makes the acknowledgement safe rather than hopeful).
+    */
+  def curatedNeardupQuota(docs: DataFrame, budget: Long,
+                          textCol: String = "text",
+                          watermark: String = "2 hours",
+                          allowedLangs: Option[Seq[String]] = None)
+  : org.apache.spark.sql.Dataset[QuotaDecision] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val k = graft.ops.TextDedup.NumHashes
+    val bandSize = graft.ops.TextDedup.BandSize
+    val nBands = k / bandSize
+    val horizon = NeardupStream.horizonMillis(watermark)
+
+    // ORDERING CONSTRAINT (found the hard way): a typed map drops the
+    // event-time watermark tag from its output attributes, and a
+    // watermark cannot be re-defined below a stateful operator under
+    // allowMultiple. So every object-side column — the JVM fingerprint
+    // AND the JVM minhash bands — is computed FIRST, the watermark is
+    // defined ONCE on the result, and everything downstream (dedup,
+    // band explode, both fMGWS stages) stays relational/grouped so the
+    // tag survives to the claim stage's event-time timeout.
+    val prepped = qualityFiltered(docs, textCol, allowedLangs)
+      .select(col("doc_id").cast("long"), col("seq").cast("long"),
+        col("ts"), col("source").cast("string"),
+        col(textCol).cast("string").as("__text"))
+      .as(E.product[(Long, Long, java.sql.Timestamp, String, String)])
+      .mapPartitions { it =>
+        it.map { case (docId, seq, t, source, text) =>
+          // quality already rejected null text; split parity with
+          // size(split(coalesce(text,''),' '))
+          val nTokens = text.split(" ", -1).length.toLong
+          val fp = graft.ops.TextStats.fingerprintJvm(text)
+          val mh = graft.ops.TextDedup.minhashSignatureJvm(text, k)
+          val bands =
+            if (mh == null) Seq.empty[String]
+            else (0 until k by bandSize).map { s =>
+              ((s / bandSize).toLong +: (s until s + bandSize).map(mh))
+                .mkString("|")
+            }
+          (docId, seq, t, source, nTokens, fp, bands)
+        }
+      }(E.product[(Long, Long, java.sql.Timestamp, String, Long, String,
+        Seq[String])])
+      .toDF("doc_id", "seq", "ts", "source", "n_tokens", "fp", "bands")
+      .withWatermark("ts", watermark)
+
+    val deduped = prepped.dropDuplicatesWithinWatermark("fp")
+
+    val short = deduped.filter(size(col("bands")) === 0)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("seq"))
+      .as(E.product[QuotaDoc])
+
+    val bandRows = deduped.filter(size(col("bands")) > 0)
+      .select(explode(col("bands")).as("bkey"), col("doc_id"),
+        col("seq"), lit(nBands).as("n_bands"), col("ts"),
+        col("source"), col("n_tokens"))
+      .as(E.product[CurBandRow])
+
+    // band-claim stage — same contract as NeardupStream's, with payload
+    val verdicts = bandRows.groupByKey(_.bkey)(E.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: String, batch: Iterator[CurBandRow],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
+            val already = state.exists
+            val out = rows.zipWithIndex.map { case (r, i) =>
+              CurBandVerdict(r.doc_id, r.seq, r.n_bands,
+                claimed = !already && i == 0, r.source, r.n_tokens)
+            }
+            if (!already) state.update(rows.head.seq)
+            state.setTimeoutTimestamp(
+              math.max(rows.map(_.ts.getTime).max,
+                state.getCurrentWatermarkMs()) + horizon)
+            out.iterator
+          }
+        })(E.scalaLong, E.product[CurBandVerdict])
+
+    // stateless per-doc fold (all of a doc's verdicts share its batch);
+    // only near-dup SURVIVORS reach the quota gate
+    val kept = verdicts.repartition(col("doc_id"))
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, (Long, Int, Int, String, Long)]
+        it.foreach { v =>
+          val (s, n, c, src, t) = acc.getOrElse(v.doc_id,
+            (v.seq, v.n_bands, 0, v.source, v.n_tokens))
+          acc(v.doc_id) = (s, n, c + (if (v.claimed) 1 else 0), src, t)
+        }
+        acc.iterator.collect { case (doc, (s, n, c, src, t)) if c == n =>
+          QuotaDoc(src, doc, t, s)
+        }
+      }(E.product[QuotaDoc])
+
+    tokenQuotaStream(kept.unionByName(short), budget)
+  }
+
   def tokenQuotaStream(docs: org.apache.spark.sql.Dataset[QuotaDoc],
                        budget: Long)
   : org.apache.spark.sql.Dataset[QuotaDecision] = {

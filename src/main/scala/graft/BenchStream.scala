@@ -289,6 +289,26 @@ object BenchStream {
         sinkTo = Some((df, id) => graft.streaming.IvfAppendSink
           .appendBatch(s"$ckptRoot/ivf-index", ivfCentroids)(df, id)))(
       ds => ds.toDF())
+    // streaming ANN serving from the persisted index: per batch, a
+    // broadcast centroid assignment, a LITERAL-probe partition-pruned
+    // index scan, and exact top-k within the probed cells (foreachBatch
+    // — the online-retrieval shape; parity spec: AnnEnrichStreamSpec)
+    val ivfTag = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val ivfQueryIndex = {
+      val emb = graft.etl.Readers.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val path = graft.ops.IvfIndex.ensure(spark,
+        s"${graft.ops.Bucketing.scratchRoot()}/ivf/${ivfTag}_k8",
+        graft.ops.Vectors.assignToCentroids(emb, "vec_id", ivfCentroids)
+          .withColumn("_n", graft.ops.Vectors.norm(col("embedding"))))
+      spark.read.parquet(path)
+    }
+    run("ann_enrich_stream", embs, "append",
+        sinkTo = Some((df, _) => graft.streaming.EmbeddingStreams
+          .annEnrichBatch(df.select(col("vec_id"), col("embedding")),
+            ivfQueryIndex, ivfCentroids, topK = 5)
+          .write.format("noop").mode("overwrite").save()))(
+      ds => ds.toDF())
     // media quarantine decode: the batch decoder unchanged over a stream
     // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
     // so every micro-batch exercises both the decode and the quarantine

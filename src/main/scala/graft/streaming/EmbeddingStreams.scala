@@ -46,4 +46,47 @@ object EmbeddingStreams {
       .withColumn("sig", Vectors.lshSignature(col(vecCol), numPlanes, dim))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig")
+
+  /** One micro-batch of streaming ANN enrichment against the persisted
+    * centroid-partitioned IVF index — the online-retrieval pattern: a
+    * stream of query vectors answered from the index WITHOUT scanning
+    * it whole. Designed for `foreachBatch` (the production shape for
+    * stream-against-index serving):
+    *
+    *  1. assign each query its nearest centroid — a broadcast argmax
+    *     against the k-row centroid table, map-only;
+    *  2. collect the batch's DISTINCT probed centroid ids to the driver
+    *     — bounded by the CELL COUNT (cluster metadata, k rows max),
+    *     never by the batch or the index;
+    *  3. filter the index on those LITERAL ids — static partition
+    *     pruning at planning time, the per-batch twin of the batch
+    *     key's dynamic pruning (each micro-batch reads only the probed
+    *     cells' files; runtime DPP subqueries are not planned inside
+    *     micro-batches, which is why the literal IN does the job);
+    *  4. hash-join queries to the pruned cells and keep top-k by exact
+    *     cosine within the probe — identical ranking contract to the
+    *     batch `ann_ivf_pruned` key (AnnEnrichStreamSpec pins parity).
+    */
+  def annEnrichBatch(queries: DataFrame, index: DataFrame,
+                     centroids: DataFrame, topK: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val probes = Vectors
+      .assignToCentroids(queries.select(col(idCol), col(vecCol)),
+        idCol, centroids)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_emb"),
+        Vectors.norm(col(vecCol)).as("_qn"), col("centroid_id"))
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)) // ≤ |cells| rows by construction
+    val cellFilter =
+      if (probedIds.isEmpty) lit(false) // empty batch: right schema, no scan
+      else col("centroid_id").isin(probedIds: _*)
+    val cells = index.filter(cellFilter)
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        col("centroid_id"))
+    Vectors.rankCandidates(cells.join(probes, Seq("centroid_id")), topK)
+      .select(col("query_id"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("rank"), col("vec_id"), col("cos"))
+  }
 }

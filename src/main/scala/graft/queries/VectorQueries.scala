@@ -918,7 +918,70 @@ object VectorQueries {
        |WHERE r.rn <= $SampleCap AND r.rn <= ceil(sqrt(q.c_cnt))
        |ORDER BY centroid_id, rn""".stripMargin
 
+  /** Embedding-quality outlier report — the corrupt-vector detector a
+    * pipeline runs before trusting an embedding table (failed inference,
+    * zero padding, wrong-model rows land far from every centroid): per
+    * cluster, the `OutlierK` members FARTHEST from their own centroid,
+    * with the within-cluster z-score of their cosine. Rank-based rather
+    * than thresholded (bottom-k by rounded cosine, vec_id tie-break), so
+    * there is no engine-boundary flip on a z cutoff; the z column prices
+    * each candidate for the human reading the report. Scale shape: one
+    * broadcast assignment, a k-row stats aggregate broadcast back, ONE
+    * hash exchange on centroid_id for the ranking window.
+    */
+  val OutlierK = 3
+
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val withCos = Vectors.assignToCentroids(emb, "vec_id", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("cos", round(Vectors.safeDiv(
+        Vectors.dot(col("embedding"), col("c_emb")),
+        Vectors.norm(col("embedding")) * Vectors.norm(col("c_emb"))), 6))
+      .select("centroid_id", "vec_id", "cos")
+    val stats = withCos.groupBy("centroid_id")
+      .agg(avg("cos").as("m"), stddev_samp(col("cos")).as("sd"))
+    val w = Window.partitionBy("centroid_id").orderBy(col("cos"), col("vec_id"))
+    withCos.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= OutlierK)
+      .join(broadcast(stats), Seq("centroid_id"))
+      .withColumn("z",
+        when(col("sd") > 0, round((col("cos") - col("m")) / col("sd"), 6)))
+      .select("centroid_id", "rn", "vec_id", "cos", "z")
+      .orderBy("centroid_id", "rn")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosSql("v", "c")}, 6) DESC, c.vec_id) AS rn
+       |    FROM embeddings v, embeddings c
+       |    WHERE c.vec_id < $NumCentroids)
+       |  WHERE rn = 1
+       |),
+       |wc AS (
+       |  SELECT a.centroid_id, a.vec_id, round(${cosSql("a", "c")}, 6) AS cos
+       |  FROM assigned a JOIN embeddings c ON c.vec_id = a.centroid_id
+       |),
+       |st AS (SELECT centroid_id, avg(cos) AS m, stddev_samp(cos) AS sd
+       |       FROM wc GROUP BY 1),
+       |rk AS (
+       |  SELECT centroid_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |      ORDER BY cos, vec_id) AS rn
+       |  FROM wc)
+       |SELECT r.centroid_id, r.rn, r.vec_id, r.cos,
+       |  CASE WHEN s.sd > 0 THEN round((r.cos - s.m) / s.sd, 6) END AS z
+       |FROM rk r JOIN st s USING (centroid_id)
+       |WHERE r.rn <= $OutlierK
+       |ORDER BY centroid_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_outliers" -> embeddingOutliers,
     "sample_cluster_balanced" -> sampleClusterBalanced,
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_k64" -> ((s, d) => semanticDedupK(s, d, ScaledCentroids)),
@@ -940,6 +1003,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "embedding_outliers" -> embeddingOutliersSql,
     "sample_cluster_balanced" -> sampleClusterBalancedSql,
     "semantic_dedup" -> semanticDedupSql,
     "semantic_dedup_k64" -> semanticDedupSqlK(ScaledCentroids),

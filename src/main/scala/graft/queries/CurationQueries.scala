@@ -49,6 +49,80 @@ object CurationQueries {
        |FROM ruled ORDER BY doc_id""".stripMargin
   }
 
+  /** The LANGUAGE-GATED quality filter — [[qualityFilter]] with the
+    * optional `allowedLangs` stage live (English-only here): the batch
+    * twin of the gate the streaming prefix threads through
+    * `DocStreams.qualityFiltered`. Until this key the gated chain was
+    * only spec-covered; this puts the whole four-rule order (empty →
+    * too_short → wrong_language → diversity/fluency) under the DuckDB
+    * oracle.
+    */
+  val AllowedLangs = Seq("en")
+
+  def qualityFilterLang(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityFilter(
+        Readers.table(spark, dir, "documents"), "doc_id", "text",
+        allowedLangs = Some(AllowedLangs))
+      .orderBy("doc_id")
+
+  val qualityFilterLangSql: String = {
+    val stops = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
+    val langs = TextStats.LangProfiles.map(_._1)
+    val scoreExprs = TextStats.LangProfiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$lst], x)))::DOUBLE" +
+        s" / len(t) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+      .mkString(" ")
+    val allowed = AllowedLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
+       |    round(len(list_filter(w, x -> list_contains([$stops], x)))::DOUBLE
+       |          / len(w), 6) AS stopword_ratio
+       |  FROM w
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreExprs,
+       |    CASE WHEN length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) > 0
+       |      THEN length(regexp_replace(coalesce(text, ''),
+       |             '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE
+       |           / length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+       |      ELSE 0.0::DOUBLE END AS cjk
+       |  FROM (SELECT doc_id, text,
+       |          string_split(coalesce(text, ''), ' ') AS t FROM documents)
+       |),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk >= ${TextStats.CjkMinFraction}::DOUBLE THEN 'zh'
+       |         WHEN best <= 0.0::DOUBLE THEN 'und'
+       |         ELSE CASE $predCase END END AS lang_pred
+       |  FROM (SELECT doc_id, cjk, $bestExpr AS best,
+       |          ${langs.map(l => s"s_$l").mkString(", ")} FROM sc)
+       |),
+       |ruled AS (
+       |  SELECT s.doc_id, s.n_tokens, s.ttr, s.stopword_ratio,
+       |    CASE WHEN s.n_tokens IS NULL THEN 'empty'
+       |         WHEN s.n_tokens < ${Curation.MinTokens} THEN 'too_short'
+       |         WHEN l.lang_pred NOT IN ($allowed) THEN 'wrong_language'
+       |         WHEN s.ttr < ${Curation.MinTypeTokenRatio}::DOUBLE
+       |           THEN 'low_diversity'
+       |         WHEN s.stopword_ratio < ${Curation.MinStopwordRatio}::DOUBLE
+       |           THEN 'no_stopwords' END AS reject_reason
+       |  FROM sig s JOIN lp l USING (doc_id)
+       |)
+       |SELECT doc_id, n_tokens, ttr, stopword_ratio,
+       |  reject_reason IS NULL AS keep, reject_reason
+       |FROM ruled ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic hash-bucket train/val/test assignment, 80/10/10
     * ([[Curation.stratifiedSplit]]).
     */
@@ -1036,6 +1110,7 @@ object CurationQueries {
     "group_split" -> groupSplit,
     "chunk_tokens" -> chunkTokens,
     "quality_filter" -> qualityFilter,
+    "quality_filter_lang" -> qualityFilterLang,
     "split_stratified" -> splitStratified,
     "shard_pack" -> shardPack,
     "dedup_incremental" -> dedupIncremental,
@@ -1055,6 +1130,7 @@ object CurationQueries {
     "group_split" -> groupSplitSql,
     "chunk_tokens" -> chunkTokensSql,
     "quality_filter" -> qualityFilterSql,
+    "quality_filter_lang" -> qualityFilterLangSql,
     "split_stratified" -> splitStratifiedSql,
     "shard_pack" -> shardPackSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -87,4 +87,42 @@ class AnnEnrichStreamSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [centroid_id"),
       s"no literal partition filter on the index scan:\n$plan")
   }
+
+  test("at a production-shaped cell count the batch reads only its probe " +
+    "fraction (runtime partition metrics, k=64)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val more = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      self ++ (p.children ++ more).flatMap(scans)
+    }
+    val k = 64
+    val emb = graft.etl.Readers.table(spark, Dir, "embeddings")
+      .select("vec_id", "embedding")
+    val cents64 = emb.filter(col("vec_id") < k).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val tag = Dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val path = IvfIndex.ensure(spark,
+      s"${graft.ops.Bucketing.scratchRoot()}/ivf/${tag}_enrich_k$k",
+      Vectors.assignToCentroids(emb, "vec_id", cents64)
+        .withColumn("_n", Vectors.norm(col("embedding"))))
+    val idx64 = spark.read.parquet(path)
+    // a small batch (2 queries) probes at most 2 of the 64 cells
+    val out = EmbeddingStreams.annEnrichBatch(
+      queryVecs.take(2).toDF("vec_id", "embedding"), idx64, cents64, TopK)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val probed = rows.map(_.getLong(1)).distinct.length
+    assert(probed <= 2)
+    val read = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("_enrich_k")))
+      .map(_.metrics("numPartitions").value)
+    assert(read.nonEmpty && read.forall(_ == probed.toLong),
+      s"scan read $read of $k cells; probe set has $probed")
+  }
 }

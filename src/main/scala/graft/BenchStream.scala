@@ -176,6 +176,23 @@ object BenchStream {
     }
     run("quota_stream", quotaDocs, "append")(
       ds => DocStreams.tokenQuotaStream(ds, budget = 1000000L).toDF())
+    // the same gate on the transformWithState engine (RocksDB) — with
+    // the near-dup pair below, completes the per-engine comparison on
+    // both the lightest (one long/source) and heaviest (band-claim)
+    // state shapes
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    run("quota_stream_tws", quotaDocs, "append")(
+      ds => graft.streaming.TwsGates.tokenQuotaStreamTws(ds,
+        budget = 1000000L).toDF())
+    prevProv match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
     // SCD-2 point-in-time enrichment: stream-static join, no state store
     // — per-batch cost is the dimension re-plan + the key equi-join with
     // the interval residual (the dimension broadcasts at this size)

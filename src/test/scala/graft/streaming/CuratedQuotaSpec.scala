@@ -246,6 +246,41 @@ class CuratedQuotaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span_hit_count equals the array_intersect spelling it replaced") {
+    import graft.ops.TextDedup
+    val rnd = new scala.util.Random(0x5e)
+    val vocab = Seq("a", "bb", "c", "", "é", "中", "data", "span")
+    val texts = (0 until 120).map { i =>
+      if (i % 29 == 0) null
+      else (0 until rnd.nextInt(16)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val bench = texts.filter(_ != null).take(10).toDF("text")
+    val n = 3
+    val fps = bench
+      .select(split(coalesce(col("text"), lit("")), " ").as("__w"))
+      .select(explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(md5(col("s")).as("fp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val df = texts.toDF("text")
+      .withColumn("__w", split(coalesce(col("text"), lit("")), " "))
+    val benchArr = bench
+      .select(split(coalesce(col("text"), lit("")), " ").as("__w"))
+      .select(explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(md5(col("s")).as("fp")).distinct()
+      .agg(collect_set(col("fp")).as("__bench"))
+    val old = df.crossJoin(broadcast(benchArr))
+      .select(size(array_intersect(array_distinct(
+        transform(TextDedup.shinglesFromWords(col("__w"), n), s => md5(s))),
+        col("__bench"))).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    val neu = df.select(graft.functions.SpanHitCountFunctions
+        .spanHitCount(col("__w"), n, fps))
+      .collect().map(_.getLong(0)).toSeq
+    assert(neu == old)
+    assert(neu.exists(_ > 0) && neu.exists(_ == 0), "fixture-exercise")
+  }
+
   test("one giant batch: per-source decision sequences are invariant to " +
     "which adjacent duplicate copy survives") {
     def seqs(rows: Seq[(String, Long, Boolean, Long)])

@@ -941,8 +941,13 @@ object VectorQueries {
         Vectors.dot(col("embedding"), col("c_emb")),
         Vectors.norm(col("embedding")) * Vectors.norm(col("c_emb"))), 6))
       .select("centroid_id", "vec_id", "cos")
+    // m/sd are rounded BEFORE the division: float sums inside avg/stddev
+    // are order-dependent at ulp level across engines, so the z quotient
+    // must divide identical rounded operands (same exactness argument as
+    // source_overlap's est_sim) or round(z, 6) can flip its last digit
     val stats = withCos.groupBy("centroid_id")
-      .agg(avg("cos").as("m"), stddev_samp(col("cos")).as("sd"))
+      .agg(round(avg("cos"), 6).as("m"),
+        round(stddev_samp(col("cos")), 6).as("sd"))
     val w = Window.partitionBy("centroid_id").orderBy(col("cos"), col("vec_id"))
     withCos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= OutlierK)
@@ -967,7 +972,8 @@ object VectorQueries {
        |  SELECT a.centroid_id, a.vec_id, round(${cosSql("a", "c")}, 6) AS cos
        |  FROM assigned a JOIN embeddings c ON c.vec_id = a.centroid_id
        |),
-       |st AS (SELECT centroid_id, avg(cos) AS m, stddev_samp(cos) AS sd
+       |st AS (SELECT centroid_id, round(avg(cos), 6) AS m,
+       |              round(stddev_samp(cos), 6) AS sd
        |       FROM wc GROUP BY 1),
        |rk AS (
        |  SELECT centroid_id, vec_id, cos,

@@ -239,6 +239,10 @@ object DocStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val k = graft.ops.TextDedup.NumHashes
     val bandSize = graft.ops.TextDedup.BandSize
+    require(k > 0 && k % bandSize == 0,
+      s"signature length k=$k must be a positive multiple of the band " +
+        s"size $bandSize: the band slices below index 0 until k in full " +
+        "BandSize strides")
     val nBands = k / bandSize
     val horizon = NeardupStream.horizonMillis(watermark)
 

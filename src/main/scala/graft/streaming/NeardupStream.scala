@@ -67,16 +67,20 @@ object NeardupStream {
   case class NeardupDecision(doc_id: Long, seq: Long, kept: Boolean,
                              n_bands: Int, claimed_bands: Int)
 
+  /** Fixed eviction horizon in millis for a watermark delay string. Parsed
+    * with Spark's own interval parser so every delay `withWatermark`
+    * accepts (including compound strings like "1 hour 30 minutes" and
+    * week units) yields the same duration here; calendar-unit months are
+    * rejected because they have no fixed millisecond width (Spark's
+    * watermark machinery rejects them for the same reason).
+    */
   private[streaming] def horizonMillis(watermark: String): Long = {
-    val Array(n, unit) = watermark.trim.split("\\s+")
-    val base = unit.toLowerCase match {
-      case u if u.startsWith("second") => 1000L
-      case u if u.startsWith("minute") => 60000L
-      case u if u.startsWith("hour")   => 3600000L
-      case u if u.startsWith("day")    => 86400000L
-      case u => throw new IllegalArgumentException(s"unsupported unit $u")
-    }
-    n.toLong * base
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0,
+      s"watermark delay must not use calendar months: '$watermark'")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** The gate. Input needs (doc_id: long, text: string, seq: long,
@@ -132,6 +136,10 @@ object NeardupStream {
                               watermark: String, k: Int, shingleN: Int,
                               claims: Dataset[BandRow] => Dataset[BandVerdict])
   : Dataset[NeardupDecision] = {
+    require(k > 0 && k % TextDedup.BandSize == 0,
+      s"signature length k=$k must be a positive multiple of the band " +
+        s"size ${TextDedup.BandSize}: the band slices below index " +
+        "0 until k in full BandSize strides")
     val nBands = k / TextDedup.BandSize
     val bandSize = TextDedup.BandSize
     implicit val decEnc = Encoders.product[NeardupDecision]

@@ -215,6 +215,27 @@ class NeardupStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.size < texts.size)
   }
 
+  test("horizonMillis parses every watermark delay Spark accepts") {
+    // simple, compound, and week units — Spark's IntervalUtils grammar
+    assert(NeardupStream.horizonMillis("2 hours") == 7200000L)
+    assert(NeardupStream.horizonMillis("90 seconds") == 90000L)
+    assert(NeardupStream.horizonMillis("1 hour 30 minutes") == 5400000L)
+    assert(NeardupStream.horizonMillis("1 week") == 7L * 86400000L)
+    assert(NeardupStream.horizonMillis("2 days 3 hours 15 minutes") ==
+      2L * 86400000L + 3L * 3600000L + 15L * 60000L)
+    // calendar months have no fixed width — rejected, not mis-sized
+    intercept[IllegalArgumentException] {
+      NeardupStream.horizonMillis("1 month")
+    }
+  }
+
+  test("a signature length that is not a band multiple is rejected") {
+    val df = Seq((1L, "a b c d e f", 0L, t0)).toDF("doc_id", "text", "seq", "ts")
+    intercept[IllegalArgumentException] {
+      NeardupStream.neardupStream(df, k = TextDedup.NumHashes + 1)
+    }
+  }
+
   test("real-corpus parity: sf0.001 documents vs the sequential replay") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -703,8 +703,26 @@ object Ranking {
     }
   }
 
-  private def assignRanges(df: DataFrame, head: Column,
-                           splits: Option[Seq[Double]] = None): DataFrame =
+  /** Materializes the proxy ONCE per row, then assigns range ids by
+    * comparing against the materialized column. The unrolled CaseWhen
+    * comparisons below are excluded from Catalyst subexpression
+    * elimination (conditions evaluate conditionally), so an inline
+    * computed proxy — stringPrefixFraction is 4 substring+ascii calls,
+    * the packed composite proxy a dozen arithmetic whens — would be
+    * RE-EVALUATED per comparison, k× per row (the r13 shape that cost
+    * token_budget_select/keywords_topk/vocab_build 1.3–1.8× at sf0.1:
+    * ~31 × 4 substring evals per row on their string-fraction proxies).
+    */
+  private def assignRanges(df: DataFrame, headExpr: Column,
+                           splits: Option[Seq[Double]] = None): DataFrame = {
+    val hc = "__graft_rhead"
+    val in = df.withColumn(hc, headExpr)
+    val head = col(hc)
+    assignRangesOn(in, head, splits).drop(hc)
+  }
+
+  private def assignRangesOn(df: DataFrame, head: Column,
+                             splits: Option[Seq[Double]]): DataFrame =
     splits match {
       case Some(ss) =>
         // caller-furnished split points (e.g. stats-derived, see

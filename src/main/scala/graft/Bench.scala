@@ -135,11 +135,6 @@ object Bench {
                else passes.toList
     System.err.println(
       s"[bench] passes=${passes.length} thr=$thr clean=${passes.count(_.cleanAt(thr))} used=${used.length}")
-    // min = the host's healthy speed; max = the worst burst the run saw.
-    // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
-    // mins are an upper bound on engine cost, not a measurement of it.
-    val cal = calFloor
-    val calMax = (cals ++ passes.flatMap(_.probes)).max
     val failed = passes.flatMap(_.failed).distinct
     // Per-query samples keep only CLEAN-segment measurements from the used
     // passes (a used pass has clean brackets but can still hide an in-pass
@@ -148,7 +143,7 @@ object Bench {
     // to all its used-pass samples and list it in the ledger.
     val contendedKeys = scala.collection.mutable.SortedSet[String]()
     var contendedSamples = 0
-    val perQuery = suite.zipWithIndex.map { case ((name, _), i) =>
+    val perQuery0 = suite.zipWithIndex.map { case ((name, _), i) =>
       val all = used.map(_.times(name))
       val clean = used.collect { case p if p.segClean(i, thr) => p.times(name) }
       val dirty = all.length - clean.length
@@ -156,6 +151,47 @@ object Bench {
       val vs = if (clean.nonEmpty) clean else all
       name -> (if (all.exists(_ < 0)) (-1.0, -1.0) else (vs.min, vs.max))
     }
+    // Spike re-measure (round-13 lesson): one bench pass showed dedup-family
+    // maxes at 6-22s while every calibration probe read clean — a burst can
+    // land entirely inside one query's run and be invisible to the
+    // segment brackets. Any key whose published spread exceeds 3x (and
+    // 0.3s absolute, so micro-keys don't churn) gets ONE extra rep,
+    // bracketed by its own calibrations; a clean re-rep is folded into the
+    // published min (the engine's speed is the best clean observation) and
+    // recorded in the ledger so max-side adjudication has an uncontended
+    // second look. The max keeps the burst — it happened — but is no
+    // longer the only evidence.
+    val respikes = scala.collection.mutable.SortedMap[String, Double]()
+    val spiked = perQuery0.collect {
+      case (name, (mn, mx)) if mn >= 0 && mx > 3 * mn && mx - mn > 0.3 => name
+    }
+    val respiked: Map[String, Double] =
+      if (spiked.isEmpty) Map.empty
+      else {
+        val byName = suite.toMap
+        spiked.flatMap { name =>
+          val cb = calibrate()
+          val t0 = System.nanoTime()
+          val ok = try {
+            byName(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ca = calibrate()
+          cals += cb; cals += ca
+          System.err.println(f"[bench] respike $name $sec%.2fs cal[$cb%.2f,$ca%.2f]")
+          if (ok && cb <= thr && ca <= thr) { respikes(name) = sec; Some(name -> sec) }
+          else None
+        }.toMap
+      }
+    val perQuery = perQuery0.map { case (name, (mn, mx)) =>
+      name -> (respiked.get(name).fold((mn, mx))(s => (math.min(mn, s), mx)))
+    }
+    // min = the host's healthy speed; max = the worst burst the run saw.
+    // cal_max/cal ≈ 1 certifies clean numbers; >> 1 means the per-query
+    // mins are an upper bound on engine cost, not a measurement of it.
+    // (Computed after the respike reps so their calibrations count too.)
+    val cal = calFloor
+    val calMax = (cals ++ passes.flatMap(_.probes)).max
     // The harness keeps only the LAST ~2000 chars of output and parses the
     // JSON line it finds there. Round 6 proved the per-query map no longer
     // fits that window at 125+ queries (BENCH_r06 parsed:null — the headline's
@@ -188,7 +224,7 @@ object Bench {
     // cross-round diff against a pre-memoization round isn't read as an
     // engine speedup.
     val ledger =
-      s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best","ann_ivf_pruned"]"""
+      s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"respikes":${respikes.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")},"respike_attempted":${spiked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best","ann_ivf_pruned"]"""
     val detailDoc =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},$ledger,"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {

@@ -317,23 +317,80 @@ object BenchStream {
     // streaming ANN serving from the persisted index: per batch, a
     // broadcast centroid assignment, a LITERAL-probe partition-pruned
     // index scan, and exact top-k within the probed cells (foreachBatch
-    // — the online-retrieval shape; parity spec: AnnEnrichStreamSpec)
+    // — the online-retrieval shape; parity spec: AnnEnrichStreamSpec).
+    // Cell count is k ≈ √n — the production IVF shape (≈70 at sf0.1, not
+    // the 8-cell demo the sink row uses), so the probed/total readout
+    // below demonstrates the p/k scan fraction the pruning exists for,
+    // not just the filter's presence in the plan.
     val ivfTag = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val servK = math.max(8, math.ceil(math.sqrt(embs.size.toDouble)).toInt)
+    val servCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < servK)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
     val ivfQueryIndex = {
       val emb = graft.etl.Readers.table(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val path = graft.ops.IvfIndex.ensure(spark,
-        s"${graft.ops.Bucketing.scratchRoot()}/ivf/${ivfTag}_k8",
-        graft.ops.Vectors.assignToCentroids(emb, "vec_id", ivfCentroids)
+        s"${graft.ops.Bucketing.scratchRoot()}/ivf/${ivfTag}_k$servK",
+        graft.ops.Vectors.assignToCentroids(emb, "vec_id", servCentroids)
           .withColumn("_n", graft.ops.Vectors.norm(col("embedding"))))
       spark.read.parquet(path)
     }
+    // cell sizes (k rows, collected once) turn per-batch probed-cell ids
+    // into a rows-read fraction without touching the timed path
+    val cellRows: Map[Long, Long] = ivfQueryIndex
+      .groupBy("centroid_id").count()
+      .collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue() -> r.getLong(1))
+      .toMap
+    val indexRows = cellRows.values.sum
+    val probeBatches = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def annSink(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+      graft.streaming.EmbeddingStreams
+        .annEnrichBatch(df.select(col("vec_id"), col("embedding")),
+          ivfQueryIndex, servCentroids, topK = 5,
+          probeReport = ids => probeBatches.synchronized {
+            probeBatches += ((ids.size,
+              ids.map(i => cellRows.getOrElse(
+                i.asInstanceOf[Number].longValue(), 0L)).sum))
+          })
+        .write.format("noop").mode("overwrite").save()
+    def probeLine(op: String): Unit =
+      if (only.forall(_.contains(op)) && probeBatches.nonEmpty) {
+        val b = probeBatches.size
+        val avgProbed = probeBatches.map(_._1).sum.toDouble / b
+        val avgRowsFrac = probeBatches
+          .map(_._2.toDouble / math.max(1L, indexRows)).sum / b
+        println(f"""{"op":"${op}_probe","cells_total":$servK,"index_rows":$indexRows,"batches":$b,"probed_cells_avg":$avgProbed%.1f,"probed_cells_frac":${avgProbed / servK}%.4f,"rows_read_frac":$avgRowsFrac%.4f}""")
+        probeBatches.clear()
+      }
     run("ann_enrich_stream", embs, "append",
-        sinkTo = Some((df, _) => graft.streaming.EmbeddingStreams
-          .annEnrichBatch(df.select(col("vec_id"), col("embedding")),
-            ivfQueryIndex, ivfCentroids, topK = 5)
-          .write.format("noop").mode("overwrite").save()))(
-      ds => ds.toDF())
+        sinkTo = Some((df, _) => annSink(df)))(ds => ds.toDF())
+    probeLine("ann_enrich_stream")
+    // the ONLINE-SERVING shape: queries trickle in a few per trigger, so
+    // each micro-batch probes only the handful of cells its queries land
+    // in — this is the row where the probed/total and rows-read fractions
+    // demonstrate the p/k pruning the partitioned index exists for (the
+    // full-feed row above saturates every cell by construction). 2
+    // queries x 32 batches mirrors the runtime-metrics spec's shape.
+    if (only.forall(_.contains("ann_serve_stream"))) {
+      val servQueries = embs.take(math.min(embs.size, 64))
+      val prevBatches = 32
+      val chunk = math.max(1, servQueries.size / prevBatches)
+      val mem2 = MemoryStream[Emb]
+      val q2 = mem2.toDS().toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckptRoot/ann_serve_stream")
+        .foreachBatch((df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          annSink(df)).start()
+      val t0 = System.nanoTime()
+      try servQueries.grouped(chunk).foreach { c =>
+        mem2.addData(c: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"ann_serve_stream","rows":${servQueries.size},"batches":${(servQueries.size + chunk - 1) / chunk},"sec":$sec%.3f,"rows_per_sec":${servQueries.size / sec}%.0f}""")
+      probeLine("ann_serve_stream")
+    }
     // media quarantine decode: the batch decoder unchanged over a stream
     // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
     // so every micro-batch exercises both the decode and the quarantine

@@ -70,7 +70,8 @@ object EmbeddingStreams {
   def annEnrichBatch(queries: DataFrame, index: DataFrame,
                      centroids: DataFrame, topK: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     probeReport: Seq[Any] => Unit = _ => ()): DataFrame = {
     val probes = Vectors
       .assignToCentroids(queries.select(col(idCol), col(vecCol)),
         idCol, centroids)
@@ -78,6 +79,8 @@ object EmbeddingStreams {
         Vectors.norm(col(vecCol)).as("_qn"), col("centroid_id"))
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)) // ≤ |cells| rows by construction
+    probeReport(probedIds.toSeq) // zero-cost tap for the bench's
+                                 // probed-cells / rows-read readout
     val cellFilter =
       if (probedIds.isEmpty) lit(false) // empty batch: right schema, no scan
       else col("centroid_id").isin(probedIds: _*)

@@ -168,6 +168,24 @@ object BenchStream {
     run("asof_nearest_stream", asofEvents, "append")(
       ds => AsOfStream.nearestWithin(ds,
         horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
+    // the heaviest as-of mode on the transformWithState engine (RocksDB,
+    // named-timer wakeups): delta vs the row above is the TWS+RocksDB
+    // overhead on the buffered per-key state shape
+    locally {
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      run("asof_nearest_tws", asofEvents, "append")(
+        ds => AsOfStream.nearestWithinTws(ds,
+          horizonMicros = 30L * 60 * 1000000L, "1 hour").toDF())
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // per-source token quota gate: state is ONE long per source, so the
     // per-batch cost is the fold + commit floor at any feed size
     val quotaDocs = events.zipWithIndex.map { case (e, i) =>
@@ -250,6 +268,25 @@ object BenchStream {
       "false")
     run("curated_neardup_quota_stream", curDocsM, "append")(
       ds => DocStreams.curatedNeardupQuota(ds.toDF(), budget = 7000L).toDF())
+    // the same three-stateful-operator prefix on the transformWithState
+    // engine (RocksDB store, named-timer eviction in the claim stage):
+    // per-batch delta vs the row above is the TWS+RocksDB overhead on the
+    // heaviest composed state shape
+    locally {
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      run("curated_neardup_quota_tws", curDocsM, "append")(
+        ds => graft.streaming.TwsGates.curatedNeardupQuotaTws(ds.toDF(),
+          budget = 7000L).toDF())
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     prevCheck match {
       case Some(v) => spark.conf.set(
         "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v)
@@ -272,6 +309,50 @@ object BenchStream {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     run("neardup_stream_tws", curDocsM, "append")(
       ds => graft.streaming.TwsGates.neardupStreamTws(ds.toDF()).toDF())
+    // TWS checkpoint-restart at state scale: prime the RocksDB band-claim
+    // store with the whole feed (AvailableNow drain against a persistent
+    // checkpoint), then measure a SECOND query restoring that state and
+    // processing a small tail. restore_batch_sec is the production
+    // recovery cost (RocksDB snapshot reload per state partition + one
+    // micro-batch); heap_used_mb after the restore is the on-heap
+    // residue — RocksDB holds the store off heap, so this must stay flat
+    // as the feed multiplier grows state x10 (the "state spills off
+    // heap" claim, measured). Run with mult=1 and mult=10 for the
+    // STREAMBENCH pair.
+    if (only.forall(_.contains("tws_restart_neardup"))) {
+      val ckpt = s"$ckptRoot/tws_restart_neardup"
+      val (prime, tail) = curDocsM.splitAt(math.max(1, curDocsM.size - 50))
+      val mem3 = MemoryStream[CurDoc]
+      def drain(data: Seq[CurDoc]): Double = {
+        mem3.addData(data: _*)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.TwsGates.neardupStreamTws(mem3.toDF())
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("noop").start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val primeSec = drain(prime)
+      def du(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }
+      val stateBytes = du(s"$ckpt/state")
+      System.gc()
+      val restoreSec = drain(tail)
+      System.gc()
+      val heapMb = (Runtime.getRuntime.totalMemory() -
+        Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+      println(f"""{"op":"tws_restart_neardup","prime_rows":${prime.size},"tail_rows":${tail.size},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
+    }
     prevProvider match {
       case Some(v) => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", v)

@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming twins of the as-of join family
   * ([[graft.ops.AsOfJoin.backwardWithin]] / `forwardWithin` /
@@ -173,6 +175,102 @@ object AsOfStream {
   private def backHorizon(mode: Mode, horizon: Long): Long = mode match {
     case Nearest => 2 * horizon
     case _ => horizon
+  }
+
+  /** The as-of triple on the transformWithState engine — the same
+    * buffered-resolve fold ([[resolve]], shared code) with the fMGWS
+    * state plumbing swapped for TWS typed state: the buffers live in a
+    * ValueState, and the fMGWS event-time timeout becomes a named
+    * event-time timer re-armed at each key's next resolution point
+    * (earliest pending left's horizon; with only rights buffered, the
+    * last right's evictability). Requires the RocksDB state store
+    * provider — the production path when per-key buffers at crawl rate
+    * must spill off heap. TwsAsOfSpec pins decision parity with the
+    * fMGWS engine on the shared random frame in all three modes, plus
+    * the same engine-level late-data drops.
+    */
+  def backwardWithinTws(events: Dataset[AsOfEvent], horizonMicros: Long,
+                        watermarkDelay: String): Dataset[AsOfMatch] =
+    runTws(events, horizonMicros, Backward, watermarkDelay)
+
+  def forwardWithinTws(events: Dataset[AsOfEvent], horizonMicros: Long,
+                       watermarkDelay: String): Dataset[AsOfMatch] =
+    runTws(events, horizonMicros, Forward, watermarkDelay)
+
+  def nearestWithinTws(events: Dataset[AsOfEvent], horizonMicros: Long,
+                       watermarkDelay: String): Dataset[AsOfMatch] =
+    runTws(events, horizonMicros, Nearest, watermarkDelay)
+
+  private class AsOfProcessor(horizonMicros: Long, mode: Mode)
+      extends StatefulProcessor[Long, AsOfEvent, AsOfMatch] {
+    @transient private var buf: ValueState[Buffers] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getValueState[Buffers]("buf",
+        Encoders.product[Buffers], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    /** Resolve-and-rearm, shared by the input and timer paths: emits the
+      * due lefts, persists (or clears) the surviving buffers, and
+      * re-arms the wake-up timer — the same arithmetic as the fMGWS
+      * engine's setTimeoutTimestamp, expressed as a named timer.
+      */
+    private def step(uid: Long, merged: Buffers, wmMs: Long)
+    : Iterator[AsOfMatch] = {
+      val (out, kept) = resolve(uid, horizonMicros, mode,
+        wmMs * 1000L, merged)
+      if (kept.l_ts.isEmpty && kept.r_ts.isEmpty) {
+        if (buf.exists()) buf.clear()
+        if (timer.exists()) { getHandle.deleteTimer(timer.get()); timer.clear() }
+      } else {
+        buf.update(kept)
+        val dueUs =
+          if (kept.l_ts.nonEmpty) dueAt(mode, kept.l_ts.min, horizonMicros)
+          else kept.r_ts.max + backHorizon(mode, horizonMicros)
+        val dueMs = math.max(dueUs / 1000L + 1L, wmMs + 1L)
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        getHandle.registerTimer(dueMs)
+        timer.update(dueMs)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(uid: Long, batch: Iterator[AsOfEvent],
+                                 tv: TimerValues): Iterator[AsOfMatch] = {
+      val prior = if (buf.exists()) buf.get()
+        else Buffers(Nil, Nil, Nil, Nil, Nil)
+      val (ls, rs) = batch.toSeq.partition(_.is_left)
+      val merged = Buffers(
+        prior.l_ts ++ ls.map(_.ts_micros),
+        prior.l_id ++ ls.map(_.event_id),
+        prior.r_ts ++ rs.map(_.ts_micros),
+        prior.r_id ++ rs.map(_.event_id),
+        prior.r_val ++ rs.map(_.value))
+      step(uid, merged, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+    : Iterator[AsOfMatch] = {
+      timer.clear() // the fired timer is spent; step re-arms if needed
+      if (!buf.exists()) Iterator.empty
+      else step(uid, buf.get(), tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  private def runTws(events: Dataset[AsOfEvent], horizonMicros: Long,
+                     mode: Mode, watermarkDelay: String)
+  : Dataset[AsOfMatch] = {
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as(Encoders.product[AsOfEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new AsOfProcessor(horizonMicros, mode),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   private def run(events: Dataset[AsOfEvent], horizonMicros: Long,

@@ -237,6 +237,53 @@ object DocStreams {
   : org.apache.spark.sql.Dataset[QuotaDecision] = {
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val horizon = NeardupStream.horizonMillis(watermark)
+    // band-claim stage — same contract as NeardupStream's, with payload
+    def claims(bandRows: org.apache.spark.sql.Dataset[CurBandRow])
+    : org.apache.spark.sql.Dataset[CurBandVerdict] =
+      bandRows.groupByKey(_.bkey)(E.STRING)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: String, batch: Iterator[CurBandRow],
+           state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
+              val already = state.exists
+              val out = rows.zipWithIndex.map { case (r, i) =>
+                CurBandVerdict(r.doc_id, r.seq, r.n_bands,
+                  claimed = !already && i == 0, r.source, r.n_tokens)
+              }
+              if (!already) state.update(rows.head.seq)
+              state.setTimeoutTimestamp(
+                math.max(rows.map(_.ts.getTime).max,
+                  state.getCurrentWatermarkMs()) + horizon)
+              out.iterator
+            }
+          })(E.scalaLong, E.product[CurBandVerdict])
+    curatedNeardupQuotaPipeline(docs, textCol, watermark,
+      allowedLangs, claims, qd => tokenQuotaStream(qd, budget))
+  }
+
+  /** Everything around the two pluggable stateful stages of
+    * [[curatedNeardupQuota]] — quality filter, one-pass JVM
+    * fingerprint/minhash projection, watermark, exact dedup, band
+    * explode, the stateless per-doc fold, and the short-doc bypass. The
+    * claim and quota stages are parameters so the fMGWS engine
+    * ([[curatedNeardupQuota]]) and the transformWithState engine
+    * ([[TwsGates.curatedNeardupQuotaTws]]) share ONE pipeline and one
+    * spec contract — the same pluggable-stage pattern
+    * [[NeardupStream.gate]] established for the standalone gate.
+    */
+  private[streaming] def curatedNeardupQuotaPipeline(
+      docs: DataFrame, textCol: String, watermark: String,
+      allowedLangs: Option[Seq[String]],
+      claims: org.apache.spark.sql.Dataset[CurBandRow] =>
+        org.apache.spark.sql.Dataset[CurBandVerdict],
+      quota: org.apache.spark.sql.Dataset[QuotaDoc] =>
+        org.apache.spark.sql.Dataset[QuotaDecision])
+  : org.apache.spark.sql.Dataset[QuotaDecision] = {
+    import org.apache.spark.sql.{Encoders => E}
     val k = graft.ops.TextDedup.NumHashes
     val bandSize = graft.ops.TextDedup.BandSize
     require(k > 0 && k % bandSize == 0,
@@ -244,7 +291,6 @@ object DocStreams {
         s"size $bandSize: the band slices below index 0 until k in full " +
         "BandSize strides")
     val nBands = k / bandSize
-    val horizon = NeardupStream.horizonMillis(watermark)
 
     // ORDERING CONSTRAINT (found the hard way): a typed map drops the
     // event-time watermark tag from its output attributes, and a
@@ -291,27 +337,7 @@ object DocStreams {
         col("source"), col("n_tokens"))
       .as(E.product[CurBandRow])
 
-    // band-claim stage — same contract as NeardupStream's, with payload
-    val verdicts = bandRows.groupByKey(_.bkey)(E.STRING)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout)(
-        (_: String, batch: Iterator[CurBandRow],
-         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
-            val already = state.exists
-            val out = rows.zipWithIndex.map { case (r, i) =>
-              CurBandVerdict(r.doc_id, r.seq, r.n_bands,
-                claimed = !already && i == 0, r.source, r.n_tokens)
-            }
-            if (!already) state.update(rows.head.seq)
-            state.setTimeoutTimestamp(
-              math.max(rows.map(_.ts.getTime).max,
-                state.getCurrentWatermarkMs()) + horizon)
-            out.iterator
-          }
-        })(E.scalaLong, E.product[CurBandVerdict])
+    val verdicts = claims(bandRows)
 
     // stateless per-doc fold (all of a doc's verdicts share its batch);
     // only near-dup SURVIVORS reach the quota gate
@@ -329,7 +355,7 @@ object DocStreams {
         }
       }(E.product[QuotaDoc])
 
-    tokenQuotaStream(kept.unionByName(short), budget)
+    quota(kept.unionByName(short))
   }
 
   def tokenQuotaStream(docs: org.apache.spark.sql.Dataset[QuotaDoc],

@@ -85,8 +85,10 @@ object TwsGates {
     * event-time timers only fire when the watermark moves, so the query
     * settles like every other stateful op here.
     */
-  private class ClaimProcessor(horizonMs: Long)
-      extends StatefulProcessor[String, BandRow, BandVerdict] {
+  private class ClaimProcessor[I, O](horizonMs: Long, seqOf: I => Long,
+      docOf: I => Long, tsOf: I => java.sql.Timestamp,
+      verdict: (I, Boolean) => O)
+      extends StatefulProcessor[String, I, O] {
     @transient private var claim: ValueState[Long] = _
     @transient private var timer: ValueState[Long] = _
 
@@ -97,19 +99,19 @@ object TwsGates {
         TTLConfig.NONE)
     }
 
-    override def handleInputRows(bkey: String, batch: Iterator[BandRow],
-                                 tv: TimerValues): Iterator[BandVerdict] = {
+    override def handleInputRows(bkey: String, batch: Iterator[I],
+                                 tv: TimerValues): Iterator[O] = {
       // seq order decides the claim — same contract as the fMGWS engine
-      val rows = batch.toSeq.sortBy(r => (r.seq, r.doc_id))
+      val rows = batch.toSeq.sortBy(r => (seqOf(r), docOf(r)))
       val already = claim.exists()
       val out = rows.zipWithIndex.map { case (r, i) =>
-        BandVerdict(r.doc_id, r.seq, r.n_bands, claimed = !already && i == 0)
+        verdict(r, !already && i == 0)
       }
-      if (!already && rows.nonEmpty) claim.update(rows.head.seq)
+      if (!already && rows.nonEmpty) claim.update(seqOf(rows.head))
       if (rows.nonEmpty) {
         // re-arm the eviction horizon past the newest arrival (never at
         // or below the current watermark)
-        val due = math.max(rows.map(_.ts.getTime).max,
+        val due = math.max(rows.map(tsOf(_).getTime).max,
           tv.getCurrentWatermarkInMs()) + horizonMs
         if (timer.exists()) getHandle.deleteTimer(timer.get())
         getHandle.registerTimer(due)
@@ -120,7 +122,7 @@ object TwsGates {
 
     override def handleExpiredTimer(bkey: String, tv: TimerValues,
                                     info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
-    : Iterator[BandVerdict] = {
+    : Iterator[O] = {
       claim.clear(); timer.clear()
       Iterator.empty
     }
@@ -140,7 +142,42 @@ object TwsGates {
     implicit val verdictEnc = Encoders.product[BandVerdict]
     NeardupStream.gate(docs, textCol, watermark, k, shingleN,
       bandRows => bandRows.groupByKey(_.bkey)(Encoders.STRING)
-        .transformWithState(new ClaimProcessor(horizon),
+        .transformWithState(
+          new ClaimProcessor[BandRow, BandVerdict](horizon,
+            _.seq, _.doc_id, _.ts,
+            (r, c) => BandVerdict(r.doc_id, r.seq, r.n_bands, claimed = c)),
           TimeMode.EventTime(), OutputMode.Append()))
+  }
+
+  /** THE full streaming curation prefix on the transformWithState engine
+    * — quality → exact dedup → near-dup LSH gate → token quota, with BOTH
+    * stateful fMGWS stages of [[DocStreams.curatedNeardupQuota]] replaced
+    * by their TWS twins (the payload-carrying [[ClaimProcessor]] with
+    * named-timer eviction, and [[QuotaProcessor]]); everything around
+    * them is the shared [[DocStreams.curatedNeardupQuotaPipeline]], so
+    * the parity contract is identical by construction. Requires the
+    * RocksDB state store provider and the same multi-stateful
+    * checkCorrectness acknowledgement as the fMGWS original (the only
+    * watermark-consuming stage — the exact dedup — sits upstream of both
+    * TWS operators, and neither drops late rows).
+    */
+  def curatedNeardupQuotaTws(docs: DataFrame, budget: Long,
+                             textCol: String = "text",
+                             watermark: String = "2 hours",
+                             allowedLangs: Option[Seq[String]] = None)
+  : Dataset[DocStreams.QuotaDecision] = {
+    import DocStreams.{CurBandRow, CurBandVerdict}
+    val horizon = NeardupStream.horizonMillis(watermark)
+    implicit val verdictEnc = Encoders.product[CurBandVerdict]
+    DocStreams.curatedNeardupQuotaPipeline(docs, textCol, watermark,
+      allowedLangs,
+      bandRows => bandRows.groupByKey(_.bkey)(Encoders.STRING)
+        .transformWithState(
+          new ClaimProcessor[CurBandRow, CurBandVerdict](horizon,
+            _.seq, _.doc_id, _.ts,
+            (r, c) => CurBandVerdict(r.doc_id, r.seq, r.n_bands,
+              claimed = c, r.source, r.n_tokens)),
+          TimeMode.EventTime(), OutputMode.Append()),
+      qd => tokenQuotaStreamTws(qd, budget))
   }
 }

@@ -181,6 +181,48 @@ class CuratedNeardupQuotaSpec extends AnyFunSuite {
     assert(jvm == col)
   }
 
+  private def runTws(chunks: Seq[Seq[Doc]], name: String): Seq[QuotaDecision] =
+    withCheckOff {
+      val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(ProviderKey)
+      spark.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[Doc]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"ckpt_$name").toString
+        val q = TwsGates.curatedNeardupQuotaTws(mem.toDF(), Budget)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+          spark.table(name).as[QuotaDecision].collect().toSeq
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+
+  test("transformWithState engine matches the batch rule and the fMGWS " +
+    "engine across batch shapes") {
+    val want = batchRule(feed).toSet
+    def keyed(rows: Seq[QuotaDecision]) =
+      rows.map(d => (d.source, d.doc_id, d.n_tokens, d.kept, d.cum_tokens))
+        .toSet
+    assert(keyed(runTws(Seq(feed), "cnq_tws_giant")) == want)
+    val chunked = keyed(runTws(feed.grouped(6).toSeq, "cnq_tws_chunks"))
+    assert(chunked == want)
+    // the TWS run made real decisions on both sides of the quota, and the
+    // planted near-dups were dropped by the LSH stage on this engine too
+    val mutatedIds = feed.filter(d =>
+      d.text != null && d.text.contains("mutantword")).map(_.doc_id).toSet
+    assert(mutatedIds.nonEmpty &&
+      mutatedIds.forall(id => !chunked.exists(_._2 == id)))
+  }
+
   test("giant batch: per-source token sequences are survivor-invariant") {
     def seqsOf(rows: Seq[(String, Long, Boolean, Long)])
     : Map[String, Seq[(Long, Boolean, Long)]] =

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.etl.Readers
 import graft.ops.{TextDedup, TextStats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-corpus operators over the `documents` table: exact + near-duplicate
@@ -796,6 +796,122 @@ object TextQueries {
        |FROM dec ORDER BY doc_id""".stripMargin
   }
 
+  /** Remap vocabulary for the `zh` branch of [[langIdMulti]] — 15 Han
+    * ideographs (all inside U+4E00–U+9FFF, the classifier's script
+    * range), mirroring the 15-word function-word profiles.
+    */
+  private val HanVocab = Seq("一", "二", "三", "四", "五", "六", "七",
+    "八", "九", "十", "百", "千", "万", "天", "地")
+
+  /** [[langId]] with the NON-English branches actually exercised under
+    * the oracle: the driver corpus is one English-ish vocabulary
+    * whatever `lang` says, so this key first SYNTHESIZES a multilingual
+    * corpus deterministically — each labeled document's tokens are
+    * remapped into its language's own function-word profile
+    * ([[TextStats.LangProfiles]]; `zh` → [[HanVocab]] ideographs so the
+    * Han-script layer fires), keyed only by token length so the remap
+    * is expressible identically in DuckDB (`ascii` is NOT portable:
+    * Spark's returns the first BYTE, DuckDB's the first codepoint) —
+    * then classifies the synthesized text and reports per-language
+    * agreement (n_docs, n_agree, exact-ratio agree_rate, and the
+    * distinct prediction set). All five corpus labels exercise distinct
+    * classifier branches: de/es/fr the three non-English word profiles,
+    * zh the charset layer, en the original-text path. `fr` can lose
+    * ties to `es` by design (their profiles share 4 function words and
+    * ties break in profile order) — the preds column makes that
+    * visible rather than hiding it in a rate.
+    */
+  def langIdMulti(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = TextStats.LangProfiles.toMap
+    def remap(words: Column, vocab: Seq[String]): Column =
+      transform(words, x =>
+        element_at(array(vocab.map(lit): _*), length(x) % vocab.size + 1))
+    val synth = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(coalesce(col("text"), lit("")), " ").as("__w0"))
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "de", remap(col("__w0"), profiles("de")))
+          .when(col("lang") === "es", remap(col("__w0"), profiles("es")))
+          .when(col("lang") === "fr", remap(col("__w0"), profiles("fr")))
+          .when(col("lang") === "zh", remap(col("__w0"), HanVocab))
+          .otherwise(col("__w0")).as("__w"))
+    synth
+      .select(col("lang"),
+        TextStats.langIdStruct(array_join(col("__w"), " "), col("__w"))
+          .getField("lang_pred").as("lang_pred"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_agree"),
+        array_join(array_sort(collect_set(col("lang_pred"))), ",")
+          .as("preds"))
+      .select(col("lang").as("lang_label"), col("n_docs"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6)
+          .as("agree_rate"),
+        col("preds"))
+      .orderBy("lang_label")
+  }
+
+  val langIdMultiSql: String = {
+    val langs = TextStats.LangProfiles.map(_._1)
+    val prof = TextStats.LangProfiles.toMap
+    def vocabSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    def remapSql(ws: Seq[String]) =
+      s"list_transform(w0, x -> list_extract(${vocabSql(ws)}, " +
+        s"(length(x) % ${ws.size}) + 1))"
+    val scoreExprs = TextStats.LangProfiles.map { case (l, ws) =>
+      s"len(list_filter(t, x -> list_contains(${vocabSql(ws)}, x)))::DOUBLE" +
+        s" / len(t) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+      .mkString(" ")
+    val cjkMin = TextStats.CjkMinFraction
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w0
+       |  FROM documents
+       |), synth AS (
+       |  SELECT doc_id, lang,
+       |    CASE lang
+       |      WHEN 'de' THEN ${remapSql(prof("de"))}
+       |      WHEN 'es' THEN ${remapSql(prof("es"))}
+       |      WHEN 'fr' THEN ${remapSql(prof("fr"))}
+       |      WHEN 'zh' THEN ${remapSql(HanVocab)}
+       |      ELSE w0 END AS t
+       |  FROM tok0
+       |), s2 AS (
+       |  SELECT doc_id, lang, t, array_to_string(t, ' ') AS text FROM synth
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs,
+       |    CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |      THEN length(regexp_replace(text,
+       |             '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE
+       |           / length(regexp_replace(text, '\\s', '', 'g'))
+       |      ELSE 0.0::DOUBLE END AS cjk
+       |  FROM s2
+       |), dec AS (
+       |  SELECT doc_id, lang, cjk, $bestExpr AS best,
+       |    ${langs.map(l => s"s_$l").mkString(", ")}
+       |  FROM sc
+       |), cl AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN cjk >= $cjkMin::DOUBLE THEN 'zh'
+       |         WHEN best <= 0.0::DOUBLE THEN 'und'
+       |         ELSE CASE $predCase END END AS lang_pred
+       |  FROM dec
+       |)
+       |SELECT lang AS lang_label,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_agree,
+       |  round(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*), 6) AS agree_rate,
+       |  array_to_string(list_sort(list(DISTINCT lang_pred)), ',') AS preds
+       |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Window length (tokens) for exact substring dedup — long enough that
     * a shared span means real duplication, short enough that the sf
     * corpora exercise BOTH branches (probed: ~1.1k of ~23k fingerprints
@@ -1218,7 +1334,8 @@ object TextQueries {
     "cdc_chunk_dedup" -> cdcChunkDedup,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_clean" -> dedupSubstringClean,
-    "lang_id" -> langId
+    "lang_id" -> langId,
+    "lang_id_multi" -> langIdMulti
   )
 
   val oracle: Map[String, String] = Map(
@@ -1245,6 +1362,7 @@ object TextQueries {
     "cdc_chunk_dedup" -> cdcChunkDedupSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_clean" -> dedupSubstringCleanSql,
-    "lang_id" -> langIdSql
+    "lang_id" -> langIdSql,
+    "lang_id_multi" -> langIdMultiSql
   )
 }

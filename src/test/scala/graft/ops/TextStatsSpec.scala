@@ -53,6 +53,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2L) == ("und", 0.0))
   }
 
+  test("langIdMulti: the synthesized corpus routes every label through " +
+    "its own classifier branch at scale") {
+    // the remapped corpus puts REAL profile words (or Han ideographs)
+    // under each label, so the oracle key exercises the de/es/fr/zh
+    // branches the raw driver corpus cannot — de/es/fr/zh must agree
+    // perfectly (each doc's tokens are drawn from its own profile), en
+    // keeps the original English-ish text (high but not perfect: short
+    // function-word-free docs fall to und)
+    val got = graft.queries.TextQueries
+      .langIdMulti(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set("de", "en", "es", "fr", "zh"))
+    Seq("de", "es", "fr", "zh").foreach { l =>
+      val (n, agree, rate, preds) = got(l)
+      assert(n > 0 && agree == n && rate == 1.0 && preds == l,
+        s"$l: n=$n agree=$agree rate=$rate preds=$preds")
+    }
+    val (nEn, agreeEn, rateEn, predsEn) = got("en")
+    assert(nEn > 0 && rateEn >= 0.8 && agreeEn < nEn,
+      s"en: n=$nEn agree=$agreeEn rate=$rateEn")
+    assert(predsEn.split(",").toSet.subsetOf(Set("en", "und")), predsEn)
+  }
+
   test("TokenSetCount: parity with the isin-filter HOF spelling, nulls " +
     "and empties included, and the codegen path is exercised") {
     val set = Seq("the", "a", "of")

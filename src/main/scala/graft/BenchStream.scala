@@ -152,6 +152,36 @@ object BenchStream {
     run("kll_quantiles_stream", grpValues, "update")(
       ds => StatefulOps.kllQuantilesStream(ds, k = 200,
         qs = Seq(0.5, 0.9, 0.99)).toDF())
+    // the StatefulOps family on the transformWithState engine (RocksDB):
+    // per-row deltas vs the fMGWS rows above on identical folds — with
+    // TwsGates and the as-of triple this completes the per-engine
+    // comparison across every stateful op in the library
+    locally {
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      run("user_profiles_tws", userEvents, "update")(
+        ds => graft.streaming.TwsStatefulOps.userProfilesTws(ds).toDF())
+      run("funnel_progress_tws", userEvents, "update")(
+        ds => graft.streaming.TwsStatefulOps.funnelProgressTws(ds,
+          Seq("view", "click", "purchase")).toDF())
+      run("heavy_hitters_tws", pairs, "update")(
+        ds => graft.streaming.TwsStatefulOps.heavyHittersStreamTws(ds,
+          k = 8).toDF())
+      run("sessionize_tws", sessionEvents, "append")(
+        ds => graft.streaming.TwsStatefulOps.sessionizeStreamTws(ds,
+          gapMicros = 30L * 60 * 1000000, watermarkDelay = "1 hour").toDF())
+      run("kll_quantiles_tws", grpValues, "update")(
+        ds => graft.streaming.TwsStatefulOps.kllQuantilesStreamTws(ds,
+          k = 200, qs = Seq(0.5, 0.9, 0.99)).toDF())
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // watermark-buffered forward/nearest as-of: per-batch cost is the
     // keyed state fold (buffer append + due-left resolution); state is
     // O(rate × horizon) per key, so batch times must stay flat

@@ -231,9 +231,12 @@ object AsOfStream {
           if (kept.l_ts.nonEmpty) dueAt(mode, kept.l_ts.min, horizonMicros)
           else kept.r_ts.max + backHorizon(mode, horizonMicros)
         val dueMs = math.max(dueUs / 1000L + 1L, wmMs + 1L)
-        if (timer.exists()) getHandle.deleteTimer(timer.get())
-        getHandle.registerTimer(dueMs)
-        timer.update(dueMs)
+        // skip the RocksDB delete+put when the due time is unchanged
+        if (!timer.exists() || timer.get() != dueMs) {
+          if (timer.exists()) getHandle.deleteTimer(timer.get())
+          getHandle.registerTimer(dueMs)
+          timer.update(dueMs)
+        }
       }
       out.iterator
     }

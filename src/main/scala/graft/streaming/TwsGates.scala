@@ -110,12 +110,15 @@ object TwsGates {
       if (!already && rows.nonEmpty) claim.update(seqOf(rows.head))
       if (rows.nonEmpty) {
         // re-arm the eviction horizon past the newest arrival (never at
-        // or below the current watermark)
+        // or below the current watermark); skip the RocksDB delete+put
+        // when the due time is unchanged
         val due = math.max(rows.map(tsOf(_).getTime).max,
           tv.getCurrentWatermarkInMs()) + horizonMs
-        if (timer.exists()) getHandle.deleteTimer(timer.get())
-        getHandle.registerTimer(due)
-        timer.update(due)
+        if (!timer.exists() || timer.get() != due) {
+          if (timer.exists()) getHandle.deleteTimer(timer.get())
+          getHandle.registerTimer(due)
+          timer.update(due)
+        }
       }
       out.iterator
     }

@@ -193,12 +193,15 @@ object TwsStatefulOps {
           open.update(s)
           // close when the watermark passes end + gap — same arithmetic
           // as the fMGWS setTimeoutTimestamp, strictly past the current
-          // watermark
+          // watermark. Re-registering a timer is a RocksDB delete+put;
+          // skip it when the due time is unchanged (idle-user batches)
           val due = math.max(s.end_us / 1000L + gapMicros / 1000L,
             tv.getCurrentWatermarkInMs() + 1L)
-          if (timer.exists()) getHandle.deleteTimer(timer.get())
-          getHandle.registerTimer(due)
-          timer.update(due)
+          if (!timer.exists() || timer.get() != due) {
+            if (timer.exists()) getHandle.deleteTimer(timer.get())
+            getHandle.registerTimer(due)
+            timer.update(due)
+          }
         case None =>
           open.clear()
           if (timer.exists()) { getHandle.deleteTimer(timer.get()); timer.clear() }

@@ -820,6 +820,12 @@ object TextQueries {
     * ties to `es` by design (their profiles share 4 function words and
     * ties break in profile order) — the preds column makes that
     * visible rather than hiding it in a rate.
+    *
+    * The remap is an interpreted ArrayTransform lambda — acceptable HERE
+    * and only here because the remap IS the test fixture (it synthesizes
+    * the corpus the oracle needs; no production pipeline remaps tokens),
+    * 0.44s at sf0.1; the classifier itself stays on the native
+    * CharProfile/TokenSetCount codegen path like `lang_id`.
     */
   def langIdMulti(spark: SparkSession, dir: String): DataFrame = {
     val profiles = TextStats.LangProfiles.toMap

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Streaming twins of the as-of join family
   * ([[graft.ops.AsOfJoin.backwardWithin]] / `forwardWithin` /
@@ -201,32 +201,81 @@ object AsOfStream {
                        watermarkDelay: String): Dataset[AsOfMatch] =
     runTws(events, horizonMicros, Nearest, watermarkDelay)
 
+  /** List-element rows for the TWS buffers — ListState appends are the
+    * point: a batch that resolves nothing (the common case while the
+    * watermark trails the horizon) costs O(new rows) of state I/O, where
+    * a single Buffers blob in a ValueState would re-serialize the WHOLE
+    * per-key buffer every batch — at ×10 buffered state that is the
+    * difference between O(Δ) and O(buffer) per batch.
+    */
+  // private[streaming], not private: the list-element encoders are
+  // compiled by Janino, which needs bytecode-public access to the class
+  // (object-private compiles to a private member and the encoder falls
+  // back to interpreter mode — observed as per-element UnsafeProjection
+  // codegen warnings)
+  private[streaming] case class LeftBuf(ts: Long, id: Long)
+  private[streaming] case class RightBuf(ts: Long, id: Long, value: Double)
+
   private class AsOfProcessor(horizonMicros: Long, mode: Mode)
       extends StatefulProcessor[Long, AsOfEvent, AsOfMatch] {
-    @transient private var buf: ValueState[Buffers] = _
+    @transient private var lefts: ListState[LeftBuf] = _
+    @transient private var rights: ListState[RightBuf] = _
     @transient private var timer: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getValueState[Buffers]("buf",
-        Encoders.product[Buffers], TTLConfig.NONE)
+      lefts = getHandle.getListState[LeftBuf]("lefts",
+        Encoders.product[LeftBuf], TTLConfig.NONE)
+      rights = getHandle.getListState[RightBuf]("rights",
+        Encoders.product[RightBuf], TTLConfig.NONE)
       timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong,
         TTLConfig.NONE)
     }
 
+    private def stored(): Buffers = {
+      val l = lefts.get().toSeq
+      val r = rights.get().toSeq
+      Buffers(l.map(_.ts), l.map(_.id),
+        r.map(_.ts), r.map(_.id), r.map(_.value))
+    }
+
     /** Resolve-and-rearm, shared by the input and timer paths: emits the
-      * due lefts, persists (or clears) the surviving buffers, and
-      * re-arms the wake-up timer — the same arithmetic as the fMGWS
-      * engine's setTimeoutTimestamp, expressed as a named timer.
+      * due lefts, persists the surviving buffers (append-only when the
+      * resolve changed nothing, full rewrite otherwise), and re-arms the
+      * wake-up timer — the same arithmetic as the fMGWS engine's
+      * setTimeoutTimestamp, expressed as a named timer.
       */
-    private def step(uid: Long, merged: Buffers, wmMs: Long)
+    private def step(uid: Long, prior: Buffers,
+                     newL: Seq[LeftBuf], newR: Seq[RightBuf], wmMs: Long)
     : Iterator[AsOfMatch] = {
+      val merged = Buffers(
+        prior.l_ts ++ newL.map(_.ts), prior.l_id ++ newL.map(_.id),
+        prior.r_ts ++ newR.map(_.ts), prior.r_id ++ newR.map(_.id),
+        prior.r_val ++ newR.map(_.value))
       val (out, kept) = resolve(uid, horizonMicros, mode,
         wmMs * 1000L, merged)
       if (kept.l_ts.isEmpty && kept.r_ts.isEmpty) {
-        if (buf.exists()) buf.clear()
+        lefts.clear(); rights.clear()
         if (timer.exists()) { getHandle.deleteTimer(timer.get()); timer.clear() }
       } else {
-        buf.update(kept)
+        // resolve only ever REMOVES (due lefts, evicted rights): equal
+        // sizes ⇒ identical content ⇒ the stored prefix is still valid
+        // and the new rows append in O(Δ)
+        val untouched = out.isEmpty &&
+          kept.l_ts.length == merged.l_ts.length &&
+          kept.r_ts.length == merged.r_ts.length
+        if (untouched) {
+          if (newL.nonEmpty) lefts.appendList(newL.toArray)
+          if (newR.nonEmpty) rights.appendList(newR.toArray)
+        } else {
+          lefts.clear()
+          if (kept.l_ts.nonEmpty) lefts.appendList(
+            kept.l_ts.zip(kept.l_id).map { case (t, i) => LeftBuf(t, i) }
+              .toArray)
+          rights.clear()
+          if (kept.r_ts.nonEmpty) rights.appendList(
+            kept.r_ts.lazyZip(kept.r_id).lazyZip(kept.r_val)
+              .map(RightBuf.apply).toArray)
+        }
         val dueUs =
           if (kept.l_ts.nonEmpty) dueAt(mode, kept.l_ts.min, horizonMicros)
           else kept.r_ts.max + backHorizon(mode, horizonMicros)
@@ -243,24 +292,18 @@ object AsOfStream {
 
     override def handleInputRows(uid: Long, batch: Iterator[AsOfEvent],
                                  tv: TimerValues): Iterator[AsOfMatch] = {
-      val prior = if (buf.exists()) buf.get()
-        else Buffers(Nil, Nil, Nil, Nil, Nil)
       val (ls, rs) = batch.toSeq.partition(_.is_left)
-      val merged = Buffers(
-        prior.l_ts ++ ls.map(_.ts_micros),
-        prior.l_id ++ ls.map(_.event_id),
-        prior.r_ts ++ rs.map(_.ts_micros),
-        prior.r_id ++ rs.map(_.event_id),
-        prior.r_val ++ rs.map(_.value))
-      step(uid, merged, tv.getCurrentWatermarkInMs())
+      step(uid, stored(),
+        ls.map(e => LeftBuf(e.ts_micros, e.event_id)),
+        rs.map(e => RightBuf(e.ts_micros, e.event_id, e.value)),
+        tv.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo)
     : Iterator[AsOfMatch] = {
       timer.clear() // the fired timer is spent; step re-arms if needed
-      if (!buf.exists()) Iterator.empty
-      else step(uid, buf.get(), tv.getCurrentWatermarkInMs())
+      step(uid, stored(), Nil, Nil, tv.getCurrentWatermarkInMs())
     }
   }
 

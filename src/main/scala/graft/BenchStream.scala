@@ -349,39 +349,57 @@ object BenchStream {
     // as the feed multiplier grows state x10 (the "state spills off
     // heap" claim, measured). Run with mult=1 and mult=10 for the
     // STREAMBENCH pair.
-    if (only.forall(_.contains("tws_restart_neardup"))) {
-      val ckpt = s"$ckptRoot/tws_restart_neardup"
-      val (prime, tail) = curDocsM.splitAt(math.max(1, curDocsM.size - 50))
-      val mem3 = MemoryStream[CurDoc]
-      def drain(data: Seq[CurDoc]): Double = {
-        mem3.addData(data: _*)
-        val t0 = System.nanoTime()
-        val q = graft.streaming.TwsGates.neardupStreamTws(mem3.toDF())
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .format("noop").start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val primeSec = drain(prime)
-      def du(p: String): Long = {
-        val root = java.nio.file.Paths.get(p)
-        if (!java.nio.file.Files.exists(root)) 0L
-        else {
-          val s = java.nio.file.Files.walk(root)
-          try s.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally s.close()
+    def twsRestart(opName: String): Unit =
+      if (only.forall(_.contains(opName))) {
+        val ckpt = s"$ckptRoot/$opName"
+        val (prime, tail) = curDocsM.splitAt(math.max(1, curDocsM.size - 50))
+        val mem3 = MemoryStream[CurDoc]
+        def drain(data: Seq[CurDoc]): Double = {
+          mem3.addData(data: _*)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.TwsGates.neardupStreamTws(mem3.toDF())
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("noop").start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
         }
+        val primeSec = drain(prime)
+        def du(p: String): Long = {
+          val root = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.exists(root)) 0L
+          else {
+            val s = java.nio.file.Files.walk(root)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally s.close()
+          }
+        }
+        val stateBytes = du(s"$ckpt/state")
+        System.gc()
+        val restoreSec = drain(tail)
+        System.gc()
+        val heapMb = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+        println(f"""{"op":"$opName","prime_rows":${prime.size},"tail_rows":${tail.size},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
       }
-      val stateBytes = du(s"$ckpt/state")
-      System.gc()
-      val restoreSec = drain(tail)
-      System.gc()
-      val heapMb = (Runtime.getRuntime.totalMemory() -
-        Runtime.getRuntime.freeMemory()) / (1024 * 1024)
-      println(f"""{"op":"tws_restart_neardup","prime_rows":${prime.size},"tail_rows":${tail.size},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
+    twsRestart("tws_restart_neardup")
+    // the same prime/restart cycle with RocksDB CHANGELOG checkpointing:
+    // per-batch commits upload a changelog instead of a full snapshot
+    // (the production knob for commit latency on a DFS); restore replays
+    // the changelog on top of the last snapshot — this row measures both
+    // sides of that trade on identical work
+    locally {
+      val ClKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevCl = spark.conf.getOption(ClKey)
+      spark.conf.set(ClKey, "true")
+      twsRestart("tws_restart_changelog")
+      prevCl match {
+        case Some(v) => spark.conf.set(ClKey, v)
+        case None => spark.conf.unset(ClKey)
+      }
     }
     prevProvider match {
       case Some(v) => spark.conf.set(

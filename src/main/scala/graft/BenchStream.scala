@@ -175,6 +175,13 @@ object BenchStream {
       run("kll_quantiles_tws", grpValues, "update")(
         ds => graft.streaming.TwsStatefulOps.kllQuantilesStreamTws(ds,
           k = 200, qs = Seq(0.5, 0.9, 0.99)).toDF())
+      // TWS-native histogram drift monitor: per-batch cost is the local
+      // bucket fold + O(touched buckets) MapState point-writes + one KL
+      // over ≤ |buckets| entries — state bounded by bucket count forever
+      run("hist_drift_stream", grpValues, "update")(
+        ds => graft.streaming.DriftStream.histDriftStream(ds,
+          edges = Seq(10.0, 25.0, 50.0, 75.0),
+          refProbs = Seq(0.2, 0.2, 0.2, 0.2, 0.2)).toDF())
       prevProv match {
         case Some(v) => spark.conf.set(
           "spark.sql.streaming.stateStore.providerClass", v)

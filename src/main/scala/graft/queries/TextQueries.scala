@@ -1150,6 +1150,98 @@ object TextQueries {
       |FROM kl JOIN nd USING (source)
       |ORDER BY source""".stripMargin
 
+  /** Bucket edges for [[driftPsi]]'s token-count feature — straddling
+    * the corpus quartiles (32/54/76 at sf0.1) so every bucket carries
+    * real mass and per-source deviations register.
+    */
+  val PsiEdges = Seq(25, 45, 65, 85)
+
+  /** Per-source population stability index — the industry-standard
+    * drift metric complementing [[driftKl]]: where the KL key tracks
+    * VOCABULARY drift (per-word distributions), PSI tracks a bucketized
+    * numeric feature (token count per document) against the corpus
+    * reference, which is the form monitoring dashboards actually gate
+    * on (PSI < 0.1 stable, > 0.25 investigate). Laplace-smoothed
+    * (+0.5 per bucket) so empty buckets are defined without dropping
+    * terms — deterministic in both engines, no eps tuning. The bucket
+    * count is a CONSTANT, so the histogram PIVOTS into k conditional
+    * sums: ONE hash aggregate per source (map-side combined, zero-count
+    * buckets materialize as zero columns — no source×bucket cross join
+    * to backfill them), a 1-row corpus aggregate derived FROM it (no
+    * second scan), one provably-bounded broadcast cross, and PSI as a
+    * fixed-order k-term expression — the summation order is the SAME in
+    * both engines by construction, not by hash-agg accident. Lints
+    * clean (the earlier distinct × bucket-range cross-join formulation
+    * fired the nested-loop rule four times).
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val nb = PsiEdges.size + 1
+    var bucket: Column = lit(nb - 1)
+    for ((e, i) <- PsiEdges.zipWithIndex.reverse)
+      bucket = when(col("n_tok") < e, lit(i)).otherwise(bucket)
+    val cCols = (0 until nb).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val perSrc = Readers.table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_tok"))
+      .select(col("source"), bucket.as("bucket"))
+      .groupBy("source")
+      .agg(cCols.head, cCols.tail: _*)
+    val corpus = perSrc.agg(
+      sum(col("c0")).as("g0"),
+      (1 until nb).map(b => sum(col(s"c$b")).as(s"g$b")): _*)
+    val n = (0 until nb).map(b => col(s"c$b")).reduce(_ + _)
+    val tot = (0 until nb).map(b => col(s"g$b")).reduce(_ + _)
+    val half = lit(0.5)
+    val pad = lit(nb * 0.5)
+    val psi = (0 until nb).map { b =>
+      val p = (col(s"c$b") + half) / (col("n_docs") + pad)
+      val q = (col(s"g$b") + half) / (tot + pad)
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    perSrc.withColumn("n_docs", n)
+      .crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_docs"), round(psi, 6).as("psi"))
+      .orderBy("source")
+  }
+
+  val driftPsiSql: String = {
+    val nb = PsiEdges.size + 1
+    val caseExpr = PsiEdges.zipWithIndex
+      .map { case (e, i) => s"WHEN n_tok < $e THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${nb - 1} END")
+    val pad = nb * 0.5
+    val cSums = (0 until nb).map(b =>
+      s"CAST(sum(CASE WHEN bucket = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b")
+      .mkString(",\n    ")
+    val gSums = (0 until nb).map(b =>
+      s"CAST(sum(c$b) AS BIGINT) AS g$b").mkString(", ")
+    val nExpr = (0 until nb).map(b => s"c$b").mkString(" + ")
+    val totExpr = (0 until nb).map(b => s"g$b").mkString(" + ")
+    val terms = (0 until nb).map { b =>
+      val p = s"((c$b::DOUBLE + 0.5::DOUBLE) / (n_docs::DOUBLE + $pad::DOUBLE))"
+      val q = s"((g$b::DOUBLE + 0.5::DOUBLE) / (tot::DOUBLE + $pad::DOUBLE))"
+      s"($p - $q) * ln($p / $q)"
+    }.mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    $caseExpr AS bucket
+       |  FROM (SELECT source,
+       |          len(string_split(coalesce(text, ''), ' ')) AS n_tok
+       |        FROM documents)
+       |), ps AS (
+       |  SELECT source,
+       |    $cSums
+       |  FROM d GROUP BY source
+       |), g AS (SELECT $gSums FROM ps),
+       |pn AS (SELECT *, $nExpr AS n_docs FROM ps),
+       |gt AS (SELECT *, $totExpr AS tot FROM g)
+       |SELECT source, n_docs,
+       |  round($terms, 6) AS psi
+       |FROM pn CROSS JOIN gt
+       |ORDER BY source""".stripMargin
+  }
+
   val CosSlice = 100
   val CosThreshold = 0.75
 
@@ -1323,6 +1415,7 @@ object TextQueries {
     "tf_idf" -> tfIdf,
     "tfidf_cosine_pairs" -> tfidfCosinePairs,
     "drift_kl" -> driftKl,
+    "drift_psi" -> driftPsi,
     "dedup_exact" -> dedupExact,
     "minhash_signatures" -> minhashSignaturesQ,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1351,6 +1444,7 @@ object TextQueries {
     "tf_idf" -> tfIdfSql,
     "tfidf_cosine_pairs" -> tfidfCosinePairsSql,
     "drift_kl" -> driftKlSql,
+    "drift_psi" -> driftPsiSql,
     "dedup_exact" -> dedupExactSql,
     "minhash_signatures" -> minhashSignaturesSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

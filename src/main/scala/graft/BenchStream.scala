@@ -425,6 +425,31 @@ object BenchStream {
       .localCheckpoint()
     run("decontaminated_stream", curDocs, "append")(
       ds => DocStreams.decontaminatedStream(ds.toDF(), benchSet))
+    // live curation monitoring: the TWS drift monitor riding the
+    // quality-filtered document stream — per-source token-count
+    // distribution vs a frozen reference, the ops-dashboard feed that
+    // flags a crawl source going bad while the curation prefix is
+    // admitting it. Stateless filter → map → bounded MapState histogram.
+    locally {
+      val prevProv = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      run("curation_drift_monitor", curDocs, "update")(ds =>
+        graft.streaming.DriftStream.histDriftStream(
+          DocStreams.qualityFiltered(ds.toDF())
+            .select(col("source"),
+              size(split(col("text"), " ")).cast("double").as("n_tok"))
+            .as[(String, Double)],
+          edges = Seq(25.0, 45.0, 65.0, 85.0),
+          refProbs = Seq(0.2, 0.2, 0.2, 0.2, 0.2)).toDF())
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // embedding LSH dedup: signature computation (8 native-dot
     // hyperplane projections per row) + the per-bucket dedup state store
     // — the vector twin of doc_curated's fingerprint dedup. Watermark

@@ -223,6 +223,50 @@ class CuratedNeardupQuotaSpec extends AnyFunSuite {
       mutatedIds.forall(id => !chunked.exists(_._2 == id)))
   }
 
+  test("tws composed prefix restores all three state stores across a " +
+    "stop/restart cycle") {
+    // first run takes half the feed, stops; second run (same checkpoint)
+    // takes the rest. Matching the batch rule afterwards requires the
+    // RESTORED exact-dedup fingerprints, band claims (and their timers),
+    // and per-source quota totals to all carry across the restart.
+    withCheckOff {
+      val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(ProviderKey)
+      spark.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("ckpt_cnq_tws_restart").toString
+        val results = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[QuotaDecision]())
+        val mem = MemoryStream[Doc]
+        def drain(chunk: Seq[Doc]): Unit = {
+          mem.addData(chunk: _*)
+          val q = TwsGates.curatedNeardupQuotaTws(mem.toDF(), Budget)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[QuotaDecision], _: Long) =>
+                b.collect().foreach(results.add)
+            }.start()
+          assert(q.awaitTermination(120000), "drain did not stop")
+        }
+        val (h1, h2) = feed.splitAt(feed.size / 2)
+        drain(h1); drain(h2)
+        val got = results.toArray(Array.empty[QuotaDecision])
+          .map(d => (d.source, d.doc_id, d.n_tokens, d.kept, d.cum_tokens))
+          .toSet
+        assert(got == batchRule(feed).toSet,
+          "restored state diverged from the batch rule")
+      } finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("giant batch: per-source token sequences are survivor-invariant") {
     def seqsOf(rows: Seq[(String, Long, Boolean, Long)])
     : Map[String, Seq[(Long, Boolean, Long)]] =

@@ -512,6 +512,87 @@ object CurationQueries {
        |ORDER BY tot.doc_id""".stripMargin
   }
 
+  /** Train/val split leakage audit — the held-out-split sibling of
+    * [[decontaminateSpans]]: split the corpus deterministically by doc
+    * hash ([[graft.ops.Sampling.hashBucket]], 90/10 — hash, not
+    * sequential id, because crawl order correlates with content), then
+    * count the n-token span fingerprints present in BOTH splits and the
+    * documents they touch. Verbatim spans shared across the split
+    * boundary are evaluation leakage: a val perplexity or a
+    * memorization probe is contaminated by exactly these. One explode →
+    * per-(doc,split) distinct fingerprints → ONE hash aggregate to find
+    * both-split fingerprints (max-of-indicator per fp — never a
+    * self-join) → one semi-join back for per-split affected-doc counts.
+    * Two rows out; a clean pipeline would gate on
+    * `docs_leaked / n_docs` and re-shard near-dup clusters to one side
+    * (the fix is cluster-aware splitting, which `dedup_clusters`
+    * provides).
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val n = TextQueries.SubstringSpanTokens
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        when(Sampling.hashBucket(col("doc_id"), 100) < 90, "train")
+          .otherwise("val").as("split"))
+    val fps = docs
+      .select(col("doc_id"), col("split"),
+        split(coalesce(col("text"), lit("")), " ").as("__w"))
+      .select(col("doc_id"), col("split"),
+        explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(col("doc_id"), col("split"), md5(col("s")).as("fp"))
+      .distinct()
+    val leaked = fps.groupBy("fp")
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("it"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("iv"))
+      .filter(col("it") === 1 && col("iv") === 1)
+      .select("fp")
+    val nd = docs.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    val nf = fps.groupBy("split").agg(countDistinct("fp").as("n_fps"))
+    val lb = fps.join(leaked, "fp").groupBy("split")
+      .agg(countDistinct("fp").as("leaked_fps"),
+        countDistinct("doc_id").as("docs_leaked"))
+    nd.join(nf, Seq("split"))
+      .join(lb, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_fps"),
+        coalesce(col("leaked_fps"), lit(0L)).as("leaked_fps"),
+        coalesce(col("docs_leaked"), lit(0L)).as("docs_leaked"))
+      .orderBy("split")
+  }
+
+  val splitLeakageSql: String = {
+    val n = TextQueries.SubstringSpanTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+       |           % 100 < 90
+       |      THEN 'train' ELSE 'val' END AS split
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, split, string_split(text, ' ') AS t FROM d
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    md5(array_to_string(t[i+1:i+$n], ' ')) AS fp
+       |  FROM tok, unnest(range(greatest(len(t) - ${n - 1}, 0))) AS u(i)
+       |), lk AS (
+       |  SELECT fp FROM sh GROUP BY fp
+       |  HAVING max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+       |     AND max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) = 1
+       |), nd AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+       |          FROM d GROUP BY 1),
+       |nf AS (SELECT split, CAST(count(DISTINCT fp) AS BIGINT) AS n_fps
+       |       FROM sh GROUP BY 1),
+       |lb AS (
+       |  SELECT split, CAST(count(DISTINCT fp) AS BIGINT) AS leaked_fps,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_leaked
+       |  FROM sh JOIN lk USING (fp) GROUP BY 1
+       |)
+       |SELECT split, n_docs, n_fps,
+       |  coalesce(leaked_fps, 0) AS leaked_fps,
+       |  coalesce(docs_leaked, 0) AS docs_leaked
+       |FROM nd JOIN nf USING (split) LEFT JOIN lb USING (split)
+       |ORDER BY split""".stripMargin
+  }
+
   /** Per-tier keep rates (percent), worst → best quality quartile — the
     * quality-curriculum sampling move (DataComp-style): low-quality text
     * is down-sampled rather than hard-dropped, so the mix keeps some
@@ -1120,7 +1201,8 @@ object CurationQueries {
     "domain_temperature" -> domainTemperature,
     "len_buckets" -> lenBuckets,
     "quality_tier_sample" -> qualityTierSample,
-    "decontaminate_spans" -> decontaminateSpans)
+    "decontaminate_spans" -> decontaminateSpans,
+    "split_leakage" -> splitLeakage)
 
   val oracle: Map[String, String] = Map(
     "token_budget_select" -> tokenBudgetSelectSql,
@@ -1140,5 +1222,6 @@ object CurationQueries {
     "domain_temperature" -> domainTemperatureSql,
     "len_buckets" -> lenBucketsSql,
     "quality_tier_sample" -> qualityTierSampleSql,
-    "decontaminate_spans" -> decontaminateSpansSql)
+    "decontaminate_spans" -> decontaminateSpansSql,
+    "split_leakage" -> splitLeakageSql)
 }

@@ -541,6 +541,13 @@ object CurationQueries {
         explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
       .select(col("doc_id"), col("split"), md5(col("s")).as("fp"))
       .distinct()
+      // three consumers (leak detect, per-split fp counts, affected-doc
+      // join) read this frame; without materialization the scan + split
+      // + shingle explode re-runs per consumer (measured: SIX Generate
+      // explodes in the plan, ReuseExchange never fired across the
+      // aggregate shapes) — same localCheckpoint convention as the CC
+      // clustering rounds
+      .localCheckpoint()
     val leaked = fps.groupBy("fp")
       .agg(max(when(col("split") === "train", 1).otherwise(0)).as("it"),
         max(when(col("split") === "val", 1).otherwise(0)).as("iv"))

@@ -545,9 +545,10 @@ object CurationQueries {
       // join) read this frame; without materialization the scan + split
       // + shingle explode re-runs per consumer (measured: SIX Generate
       // explodes in the plan, ReuseExchange never fired across the
-      // aggregate shapes) — same localCheckpoint convention as the CC
-      // clustering rounds
-      .localCheckpoint()
+      // aggregate shapes) — lazy (eager=false) so query CONSTRUCTION
+      // stays job-free (LazyConstructionSpec's contract); same
+      // convention as the funnel stages above
+      .localCheckpoint(false)
     val leaked = fps.groupBy("fp")
       .agg(max(when(col("split") === "train", 1).otherwise(0)).as("it"),
         max(when(col("split") === "val", 1).otherwise(0)).as("iv"))

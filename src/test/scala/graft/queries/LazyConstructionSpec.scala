@@ -54,8 +54,12 @@ class LazyConstructionSpec extends AnyFunSuite {
     "bpe_train", // r8: per-round vocab stages checkpointed — un-checkpointed,
                  // the union of R rules is O(R²) corpus scans and the nested
                  // folds OOM'd codegen (measured: heap exhaustion at R=10)
-    "bpe_tokenize" // r8: same checkpointed round chain, plus the all-words
-                   // table it folds the learned rules over
+    "bpe_tokenize", // r8: same checkpointed round chain, plus the all-words
+                    // table it folds the learned rules over
+    "split_leakage" // r14: the (doc, split, fingerprint) frame feeds three
+                    // consumers; un-checkpointed the shingle explode ran
+                    // SIX times (no ReuseExchange across the aggregate
+                    // shapes)
   )
 
   test("query construction runs zero Spark jobs (outside the eager allowlist)") {

@@ -715,10 +715,27 @@ object Ranking {
     */
   private def assignRanges(df: DataFrame, headExpr: Column,
                            splits: Option[Seq[Double]] = None): DataFrame = {
-    val hc = "__graft_rhead"
-    val in = df.withColumn(hc, headExpr)
-    val head = col(hc)
-    assignRangesOn(in, head, splits).drop(hc)
+    // Materialize the range head once per row ONLY when it is computed:
+    // CaseWhen conditions are excluded from subexpression elimination, so
+    // the unrolled whens would re-evaluate a computed head k times per
+    // row (the r14 token_budget_select finding: 31 × 4 substring evals).
+    // A head that is already a bare column has no re-evaluation cost —
+    // and materializing it anyway DUPLICATES the column through every
+    // exchange below the pid compute (measured: window_running_skewfree
+    // 1.1 → 1.4s from the unconditional projection).
+    val simpleHead =
+      try {
+        org.apache.spark.sql.GraftColumnBridge.expression(headExpr) match {
+          case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => true
+          case _ => false
+        }
+      } catch { case _: Throwable => false }
+    if (simpleHead) assignRangesOn(df, headExpr, splits)
+    else {
+      val hc = "__graft_rhead"
+      assignRangesOn(df.withColumn(hc, headExpr), col(hc), splits).drop(hc)
+    }
   }
 
   private def assignRangesOn(df: DataFrame, head: Column,

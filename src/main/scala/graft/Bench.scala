@@ -130,7 +130,14 @@ object Bench {
     // publish only cal-clean passes (judged against the final floor); if
     // the host never went quiet, fall back to all passes (labeled —
     // cal/cal_max expose the contention)
-    val thr = calThreshold(calFloor)
+    //
+    // gateFloor is SNAPSHOT here, before the respike loop appends its own
+    // calibrations: thr (the pass/segment gate) must be the floor that
+    // actually selected the used passes, and it is published as cal_gate
+    // so the record is self-consistent even when a respike calibration
+    // later dips below it (r14 ADVICE: cal and thr silently diverged).
+    val gateFloor = calFloor
+    val thr = calThreshold(gateFloor)
     val used = if (passes.exists(_.cleanAt(thr))) passes.filter(_.cleanAt(thr)).toList
                else passes.toList
     System.err.println(
@@ -192,6 +199,23 @@ object Bench {
     // (Computed after the respike reps so their calibrations count too.)
     val cal = calFloor
     val calMax = (cals ++ passes.flatMap(_.probes)).max
+    // RUN-level contention verdict (r14 lesson): the headline cal is a
+    // MIN, so a run whose best calibration read clean while the in-pass
+    // probes ran 50% hot publishes numbers that LOOK clean but carry a
+    // uniform contention shift — r14's driver run had cal 0.072 with the
+    // probe median at 0.1105 and every key ~1.155x the builder's clean
+    // run. The probe median is the run's TYPICAL host speed (probes fire
+    // every ProbeEvery queries, so they sample the whole run, not just
+    // pass boundaries); when it exceeds the same 1.5x-of-floor bar that
+    // gates individual passes, per-key deltas from this run are
+    // non-adjudicable and run_contended says so in one bit. The median
+    // gets a TIGHTER bar than single passes (1.3x vs 1.5x, same 0.2s
+    // grace): one hot bracket is a burst, a hot MEDIAN is a hot host.
+    val allProbes = passes.flatMap(_.probes).sorted
+    val probeMedian =
+      if (allProbes.isEmpty) gateFloor
+      else allProbes((allProbes.length - 1) / 2)
+    val runContended = probeMedian > math.max(0.2, 1.3 * gateFloor)
     // The harness keeps only the LAST ~2000 chars of output and parses the
     // JSON line it finds there. Round 6 proved the per-query map no longer
     // fits that window at 125+ queries (BENCH_r06 parsed:null — the headline's
@@ -226,13 +250,13 @@ object Bench {
     val ledger =
       s""""probe_every":$ProbeEvery,"contended_samples":$contendedSamples,"contended_keys":${contendedKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"respikes":${respikes.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")},"respike_attempted":${spiked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warm_cache_keys":["dedup_keep_best","ann_ivf_pruned"]"""
     val detailDoc =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},$ledger,"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName","cal":${f3(cal)},"cal_gate":${f3(gateFloor)},"cal_max":${f3(calMax)},"probe_median":${f3(probeMedian)},"run_contended":$runContended,"cals":${cals.map(f3).mkString("[", ",", "]")},"passes":$passMeta,"used_passes":${used.length},$ledger,"nqueries":${perQuery.size},"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries_min_max":$detail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, (detailDoc + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"# bench-detail(min,max) $detail")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$failedJson,"sf":"$sfName","cal":${f3(cal)},"cal_max":${f3(calMax)},"probe_median":${f3(probeMedian)},"contended_samples":$contendedSamples,"run_contended":$runContended}"""
     // stop() first: its shutdown logging (stderr) must not land after the line.
     spark.stop()
     println(line)

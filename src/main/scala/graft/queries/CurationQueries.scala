@@ -601,6 +601,140 @@ object CurationQueries {
        |ORDER BY split""".stripMargin
   }
 
+  /** Cluster-aware split repair — the operator [[splitLeakage]]'s
+    * scaladoc promises: docs that share ANY audited span fingerprint
+    * must land on the same side of the train/val boundary, so the split
+    * key becomes the doc's connected component in the doc–fingerprint
+    * sharing graph rather than the doc itself. Components come from a
+    * STAR CONTRACTION (each fingerprint contributes edges from its
+    * minimum doc to its other docs — linear in the (doc, fp) pair count,
+    * never the quadratic all-pairs expansion a hub fingerprint would
+    * cause) closed by the same hash-join label propagation as
+    * `dedup_clusters` ([[TextDedup.duplicateClusters]]); singleton docs
+    * keep their own id as the component label. Hashing the component
+    * label instead of the doc id makes post-repair leakage ZERO by
+    * construction — every fingerprint's docs share a component, hence a
+    * side — and the output proves it: one max-of-indicator aggregate
+    * audits the naive hash-by-doc split and the repaired split in the
+    * SAME pass (`leaked_fps_before` > 0, `leaked_fps_after` = 0), plus
+    * per-split doc/cluster counts and how many docs the repair moved.
+    * At 100 TB every stage is a hash shuffle on (fp) or (doc_id); the
+    * only cross-join is the broadcast of the 1-row audit aggregate.
+    */
+  def splitRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val n = TextQueries.SubstringSpanTokens
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val fps = docs
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("__w"))
+      .select(col("doc_id"),
+        explode(TextDedup.shinglesFromWords(col("__w"), n)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("fp"))
+      .distinct()
+      // consumed by the star-edge build AND the final audit join — lazy
+      // so construction stays job-free (LazyConstructionSpec contract)
+      .localCheckpoint(false)
+    val edges = fps
+      .join(fps.groupBy("fp").agg(min("doc_id").as("root")), Seq("fp"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val comps = TextDedup.duplicateClusters(edges)
+    val assign = docs
+      .join(comps, docs("doc_id") === comps("doc"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("cluster"), docs("doc_id")).as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        when(Sampling.hashBucket(col("doc_id"), 100) < 90, "train")
+          .otherwise("val").as("split_naive"),
+        when(Sampling.hashBucket(col("cluster"), 100) < 90, "train")
+          .otherwise("val").as("split"))
+      .localCheckpoint(false)
+    // both audits in ONE aggregate pass over the (doc, fp) pairs: four
+    // max-of-indicator columns per fp, then one row of leak totals
+    val lk = fps.join(assign, Seq("doc_id"))
+      .groupBy("fp")
+      .agg(
+        max(when(col("split_naive") === "train", 1).otherwise(0)).as("bt"),
+        max(when(col("split_naive") === "val", 1).otherwise(0)).as("bv"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("at"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("av"))
+      .select(
+        sum(when(col("bt") === 1 && col("bv") === 1, 1L).otherwise(0L))
+          .as("leaked_fps_before"),
+        sum(when(col("at") === 1 && col("av") === 1, 1L).otherwise(0L))
+          .as("leaked_fps_after"))
+    assign.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"),
+        sum(when(col("split") =!= col("split_naive"), 1L).otherwise(0L))
+          .as("docs_moved"))
+      .crossJoin(broadcast(lk))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("docs_moved"), col("leaked_fps_before"), col("leaked_fps_after"))
+      .orderBy("split")
+  }
+
+  val splitRebalanceSql: String = {
+    val n = TextQueries.SubstringSpanTokens
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, coalesce(text, '') AS text,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+       |           % 100 < 90
+       |      THEN 'train' ELSE 'val' END AS split_naive
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, split_naive, string_split(text, ' ') AS t FROM d
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(t[i+1:i+$n], ' ')) AS fp
+       |  FROM tok, unnest(range(greatest(len(t) - ${n - 1}, 0))) AS u(i)
+       |), star AS (
+       |  SELECT r.root AS src, s.doc_id AS dst
+       |  FROM sh s
+       |  JOIN (SELECT fp, min(doc_id) AS root FROM sh GROUP BY fp) r
+       |    USING (fp)
+       |  WHERE s.doc_id <> r.root
+       |), edges AS (
+       |  SELECT src, dst FROM star UNION SELECT dst, src FROM star
+       |), reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+       |), lab AS (
+       |  SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
+       |), asg AS (
+       |  SELECT d.doc_id, l.cluster, d.split_naive,
+       |    CASE WHEN ('0x' || substr(md5(l.cluster::VARCHAR), 1, 8))::BIGINT
+       |           % 100 < 90
+       |      THEN 'train' ELSE 'val' END AS split
+       |  FROM d JOIN lab l USING (doc_id)
+       |), lk AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN bt = 1 AND bv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS leaked_fps_before,
+       |    CAST(sum(CASE WHEN at2 = 1 AND av = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS leaked_fps_after
+       |  FROM (
+       |    SELECT fp,
+       |      max(CASE WHEN split_naive = 'train' THEN 1 ELSE 0 END) AS bt,
+       |      max(CASE WHEN split_naive = 'val' THEN 1 ELSE 0 END) AS bv,
+       |      max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS at2,
+       |      max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS av
+       |    FROM sh JOIN asg USING (doc_id) GROUP BY fp)
+       |), ps AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |    CAST(sum(CASE WHEN split <> split_naive THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS docs_moved
+       |  FROM asg GROUP BY 1
+       |)
+       |SELECT split, n_docs, n_clusters, docs_moved,
+       |  leaked_fps_before, leaked_fps_after
+       |FROM ps CROSS JOIN lk ORDER BY split""".stripMargin
+  }
+
   /** Per-tier keep rates (percent), worst → best quality quartile — the
     * quality-curriculum sampling move (DataComp-style): low-quality text
     * is down-sampled rather than hard-dropped, so the mix keeps some
@@ -1210,7 +1344,8 @@ object CurationQueries {
     "len_buckets" -> lenBuckets,
     "quality_tier_sample" -> qualityTierSample,
     "decontaminate_spans" -> decontaminateSpans,
-    "split_leakage" -> splitLeakage)
+    "split_leakage" -> splitLeakage,
+    "split_rebalance" -> splitRebalance)
 
   val oracle: Map[String, String] = Map(
     "token_budget_select" -> tokenBudgetSelectSql,
@@ -1231,5 +1366,6 @@ object CurationQueries {
     "len_buckets" -> lenBucketsSql,
     "quality_tier_sample" -> qualityTierSampleSql,
     "decontaminate_spans" -> decontaminateSpansSql,
-    "split_leakage" -> splitLeakageSql)
+    "split_leakage" -> splitLeakageSql,
+    "split_rebalance" -> splitRebalanceSql)
 }

@@ -918,6 +918,139 @@ object TextQueries {
        |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Char-grain span length for unsegmented-script dedup — 16 Han
+    * characters carry roughly the information of
+    * [[SubstringSpanTokens]] space-split words (CJK averages 1.5–2
+    * chars/word), and 16 keeps the sf corpora exercising both the
+    * shared and unshared branches.
+    */
+  val CjkSpanChars = 16
+
+  /** The unsegmented-CJK path proven end-to-end — real Chinese text has
+    * NO spaces, so every word-split operator silently degrades: the
+    * tokenizer yields one doc-sized token, word-grain span dedup
+    * produces ZERO fingerprints (shown honestly in `word_spans`), and
+    * profile-word language ID scores nothing. This key synthesizes
+    * space-free Han documents (the [[langIdMulti]] length-keyed remap
+    * minus the space join) and demonstrates the two layers that still
+    * work: (a) [[TextStats.langIdStruct]]'s charset layer (the native
+    * CharProfile codegen expression) routes every non-empty doc to `zh`
+    * with no tokenizer at all, and (b) char-grain shingles
+    * (`CjkSpanChars`-char windows → md5 → distinct per doc) restore
+    * sub-document dedup grain — `char_fps` counts a doc's fingerprints,
+    * `char_fps_shared` how many are cross-doc, exactly the signal the
+    * exact-substring dedup family joins on. All stages are hash
+    * aggregates/joins on (doc_id) or (fp); the shingle explode is the
+    * same linear shape as `split_leakage`'s.
+    */
+  def cjkUnsegmented(spark: SparkSession, dir: String): DataFrame = {
+    val wn = SubstringSpanTokens
+    val cn = CjkSpanChars
+    val han = array(HanVocab.map(lit): _*)
+    val synth = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("__w0"))
+      .select(col("doc_id"),
+        concat_ws("", transform(col("__w0"),
+          x => element_at(han, length(x) % HanVocab.size + 1))).as("text"))
+      // two consumers (classification row, char-shingle explode) — lazy
+      // so construction stays job-free
+      .localCheckpoint(false)
+    val pred = synth.select(col("doc_id"),
+      TextStats.langIdStruct(col("text"), split(col("text"), " "))
+        .getField("lang_pred").as("lang_pred"),
+      length(col("text")).cast("long").as("n_chars"),
+      greatest(size(split(col("text"), " ")) - lit(wn - 1), lit(0))
+        .cast("long").as("word_spans"))
+    val chfp = synth
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= cn,
+            transform(sequence(lit(1), length(col("text")) - cn + 1),
+              i => col("text").substr(i, lit(cn))))
+          .otherwise(array().cast("array<string>"))).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("fp"))
+      .distinct()
+      // two consumers: the per-doc count and the cross-doc frequency
+      .localCheckpoint(false)
+    val freq = chfp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    val agg = chfp.join(freq, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("char_fps"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("char_fps_shared"))
+    pred.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_pred"), col("n_chars"),
+        col("word_spans"),
+        coalesce(col("char_fps"), lit(0L)).as("char_fps"),
+        coalesce(col("char_fps_shared"), lit(0L)).as("char_fps_shared"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: SubstringSpanTokens is defined later in the file (val init order)
+  lazy val cjkUnsegmentedSql: String = {
+    val wn = SubstringSpanTokens
+    val cn = CjkSpanChars
+    val langs = TextStats.LangProfiles.map(_._1)
+    val vocab = HanVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreExprs = TextStats.LangProfiles.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$lst], x)))::DOUBLE" +
+        s" / len(t) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+      .mkString(" ")
+    val cjkMin = TextStats.CjkMinFraction
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+       |  FROM documents
+       |), synth AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(w0, x ->
+       |      list_extract($vocab, (length(x) % ${HanVocab.size}) + 1)), '')
+       |      AS text
+       |  FROM tok0
+       |), sc AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t FROM synth
+       |), sc2 AS (
+       |  SELECT doc_id, text,
+       |    $scoreExprs,
+       |    CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |      THEN length(regexp_replace(text,
+       |             '[^\\x{4e00}-\\x{9fff}]', '', 'g'))::DOUBLE
+       |           / length(regexp_replace(text, '\\s', '', 'g'))
+       |      ELSE 0.0::DOUBLE END AS cjk
+       |  FROM sc
+       |), pred AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk >= $cjkMin::DOUBLE THEN 'zh'
+       |         WHEN best <= 0.0::DOUBLE THEN 'und'
+       |         ELSE CASE $predCase END END AS lang_pred,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(greatest(len(string_split(text, ' ')) - ${wn - 1}, 0)
+       |      AS BIGINT) AS word_spans
+       |  FROM (SELECT doc_id, text, cjk, $bestExpr AS best,
+       |          ${langs.map(l => s"s_$l").mkString(", ")}
+       |        FROM sc2)
+       |), csh AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(substr(text, CAST(i AS INTEGER) + 1, $cn)) AS fp
+       |  FROM synth, unnest(range(greatest(length(text) - ${cn - 1}, 0)))
+       |    AS u(i)
+       |), fr AS (
+       |  SELECT fp, count(*) AS ndocs FROM csh GROUP BY fp
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS char_fps,
+       |    CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS char_fps_shared
+       |  FROM csh JOIN fr USING (fp) GROUP BY 1
+       |)
+       |SELECT p.doc_id, lang_pred, n_chars, word_spans,
+       |  coalesce(char_fps, 0) AS char_fps,
+       |  coalesce(char_fps_shared, 0) AS char_fps_shared
+       |FROM pred p LEFT JOIN agg USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Window length (tokens) for exact substring dedup — long enough that
     * a shared span means real duplication, short enough that the sf
     * corpora exercise BOTH branches (probed: ~1.1k of ~23k fingerprints
@@ -1434,7 +1567,8 @@ object TextQueries {
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_clean" -> dedupSubstringClean,
     "lang_id" -> langId,
-    "lang_id_multi" -> langIdMulti
+    "lang_id_multi" -> langIdMulti,
+    "cjk_unsegmented" -> cjkUnsegmented
   )
 
   val oracle: Map[String, String] = Map(
@@ -1463,6 +1597,7 @@ object TextQueries {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_clean" -> dedupSubstringCleanSql,
     "lang_id" -> langIdSql,
-    "lang_id_multi" -> langIdMultiSql
+    "lang_id_multi" -> langIdMultiSql,
+    "cjk_unsegmented" -> cjkUnsegmentedSql
   )
 }

@@ -56,10 +56,17 @@ class LazyConstructionSpec extends AnyFunSuite {
                  // folds OOM'd codegen (measured: heap exhaustion at R=10)
     "bpe_tokenize", // r8: same checkpointed round chain, plus the all-words
                     // table it folds the learned rules over
-    "split_leakage" // r14: the (doc, split, fingerprint) frame feeds three
-                    // consumers; un-checkpointed the shingle explode ran
-                    // SIX times (no ReuseExchange across the aggregate
-                    // shapes)
+    "split_leakage", // r14: the (doc, split, fingerprint) frame feeds three
+                     // consumers; un-checkpointed the shingle explode ran
+                     // SIX times (no ReuseExchange across the aggregate
+                     // shapes)
+    "split_rebalance", // r15: embeds the convergence-probed pointer-jumping
+                       // CC pass (same reason as dedup_clusters)
+    "cjk_unsegmented" // r15: the synthesized-corpus and char-shingle
+                      // frames each feed two consumers and are pinned
+                      // with localCheckpoint(eager=false) — no driver
+                      // action, but AQE resolves the checkpoint's
+                      // exchange at construction (same as split_leakage)
   )
 
   test("query construction runs zero Spark jobs (outside the eager allowlist)") {

@@ -57,46 +57,56 @@ object BenchStream {
     // horizon = N× buffered state per key: the decade probe for the
     // as-of family's "linear until the fold registers" claim.
     val mult = if (args.length > 2) args(2).toInt else 1
+    // Every feed below is LAZY and `run` takes it by name: a subset
+    // invocation (`only`, e.g. the restart probes) collects into the
+    // driver only the feeds its ops actually use, so driver heap
+    // readouts measure the subject, not the harness.
     // events.ts is Parquet TIMESTAMP(NANOS) — always through Readers.events
-    val events0 = graft.etl.Readers.events(spark, sfDir)
+    lazy val events0 = graft.etl.Readers.events(spark, sfDir)
       .select(col("ts"), col("user_id"),
         col("event_type"), col("value"), col("event_id"))
       .orderBy("ts") // arrival in event-time order, like a live feed
       .as[Ev].collect().toSeq
-    // replica stride derives from the actual max id (+1), never a fixed
-    // constant — a fixed 1e8 stride collides replica ids with other
-    // events' replicas once base ids reach it at larger scale factors,
-    // perturbing as-of tie-breaks and dedup in the stream bench
-    val stride = if (events0.isEmpty) 1L
-      else events0.map(_.event_id).max + 1L
-    val events =
+    lazy val events =
       if (mult <= 1) events0
-      else events0.flatMap(e => (0 until mult).map(i =>
-        e.copy(event_id = e.event_id + i.toLong * stride)))
-    val docs = graft.etl.Readers.table(spark, sfDir, "documents")
+      else {
+        // replica stride derives from the actual max id (+1), never a fixed
+        // constant — a fixed 1e8 stride collides replica ids with other
+        // events' replicas once base ids reach it at larger scale factors,
+        // perturbing as-of tie-breaks and dedup in the stream bench
+        val stride = if (events0.isEmpty) 1L
+          else events0.map(_.event_id).max + 1L
+        events0.flatMap(e => (0 until mult).map(i =>
+          e.copy(event_id = e.event_id + i.toLong * stride)))
+      }
+    lazy val docs = graft.etl.Readers.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       .as[Doc].collect().toSeq
-    val userEvents = events.map(e =>
+    lazy val userEvents = events.map(e =>
       StatefulOps.UserEvent(e.user_id, e.event_type, e.value,
         e.ts.getTime * 1000L, e.event_id))
-    val pairs = events.map(e => (e.event_type, e.user_id.toString))
+    lazy val pairs = events.map(e => (e.event_type, e.user_id.toString))
 
     /** Feed `data` in `batches` chunks, processAllAvailable per chunk.
       * `sinkTo` swaps the noop sink for a foreachBatch writer (used to
       * time real sinks like [[graft.streaming.IdempotentMergeSink]]).
       */
-    def run[T: Encoder](name: String, data: Seq[T], mode: String,
+    def run[T: Encoder](name: String, data: => Seq[T], mode: String,
                         sinkTo: Option[(Dataset[org.apache.spark.sql.Row],
                           Long) => Unit] = None)
                        (build: Dataset[T] => DataFrame): Unit = {
+      // the gate runs BEFORE the by-name feed is touched: with `only` set,
+      // a skipped op's feed is never collected into the driver — which is
+      // what lets the restart probes publish an un-confounded heap readout
       if (!only.forall(_.contains(name))) return
+      val rows = data
       val mem = MemoryStream[T]
       val w = build(mem.toDS()).writeStream
         .outputMode(mode)
         .option("checkpointLocation", s"$ckptRoot/$name")
       val q = sinkTo.fold(w.format("noop"))(f => w.foreachBatch(f)).start()
-      val chunk = math.max(1, (data.size + batches - 1) / batches)
+      val chunk = math.max(1, (rows.size + batches - 1) / batches)
       // per-chunk wall time is the actual canary: unbounded state growth
       // shows as batch_last pulling away from batch_median long before the
       // total collapses. Most of each chunk is the FIXED micro-batch cost
@@ -106,7 +116,7 @@ object BenchStream {
       val batchSec = scala.collection.mutable.ArrayBuffer[Double]()
       val t0 = System.nanoTime()
       try {
-        data.grouped(chunk).foreach { c =>
+        rows.grouped(chunk).foreach { c =>
           val b0 = System.nanoTime()
           mem.addData(c: _*); q.processAllAvailable()
           batchSec += (System.nanoTime() - b0) / 1e9
@@ -114,7 +124,7 @@ object BenchStream {
       } finally q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       val med = batchSec.sorted.apply(batchSec.size / 2)
-      println(f"""{"op":"$name","rows":${data.size},"batches":${batchSec.size},"sec":$sec%.3f,"rows_per_sec":${data.size / sec}%.0f,"batch_first":${batchSec.head}%.3f,"batch_median":$med%.3f,"batch_last":${batchSec.last}%.3f}""")
+      println(f"""{"op":"$name","rows":${rows.size},"batches":${batchSec.size},"sec":$sec%.3f,"rows_per_sec":${rows.size / sec}%.0f,"batch_first":${batchSec.head}%.3f,"batch_median":$med%.3f,"batch_last":${batchSec.last}%.3f}""")
     }
 
     run("tumbling_counts", events, "update")(
@@ -267,7 +277,7 @@ object BenchStream {
     // quota: two stateful operators) — per-batch cost = the dedup
     // state-store commit + the one-long-per-source quota fold; budget
     // ~half a source's tokens so both gate branches run live
-    val curDocs = graft.etl.Readers.table(spark, sfDir, "documents")
+    lazy val curDocs = graft.etl.Readers.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
       .orderBy("doc_id")
       .as[(Long, String, String)].collect().zipWithIndex
@@ -280,7 +290,7 @@ object BenchStream {
     // each other or the base — content state (fingerprint store, band
     // claims) genuinely grows ×mult, which is what a store-growth decade
     // probe needs (a verbatim copy would dedup away instead)
-    val curDocsM =
+    lazy val curDocsM =
       if (mult <= 1) curDocs
       else {
         val docStride = curDocs.map(_.doc_id).max + 1L
@@ -356,15 +366,63 @@ object BenchStream {
     // as the feed multiplier grows state x10 (the "state spills off
     // heap" claim, measured). Run with mult=1 and mult=10 for the
     // STREAMBENCH pair.
+    //
+    // The feed comes from PARQUET FILES on tmpfs, not a MemoryStream, and
+    // is BUILT by a pure-Spark pipeline (no driver collect) — the r14
+    // heap readout was an upper bound polluted by the in-driver feed seq
+    // (at x10 that is the whole x10 corpus held by the harness). With the
+    // lazy feeds above, an `only`-scoped restart run holds no feed in the
+    // driver at all, so heap_used_mb now measures the store residue.
+    // The Spark pipeline reproduces curDocsM exactly: seq = docs ordered
+    // by doc_id, ts = epoch + origSeq seconds (shared by replicas),
+    // replica m suffixes every word with m and strides doc_id/seq.
+    def curDocFeedFrame(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.etl.Readers.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        // single-task global seq: harness feed prep, not a timed path
+        .withColumn("oseq",
+          row_number().over(Window.orderBy("doc_id")).cast("long") - 1L)
+        .withColumn("ts",
+          timestamp_millis(lit(1704067200000L) + col("oseq") * 1000L))
+      if (mult <= 1)
+        base.select(col("doc_id"), col("text"), col("ts"), col("source"),
+          col("oseq").as("seq"))
+      else {
+        val docStride = base.agg(max("doc_id")).head().getLong(0) + 1L
+        base
+          .select(col("doc_id"), col("text"), col("ts"), col("source"),
+            col("oseq"), explode(sequence(lit(0), lit(mult - 1))).as("m"))
+          .select(
+            (col("doc_id") + col("m").cast("long") * docStride).as("doc_id"),
+            when(col("m") === 0 || col("text").isNull, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(split(col("text"), " ", -1),
+                  w => concat(w, col("m").cast("string"))))).as("text"),
+            col("ts"), col("source"),
+            (col("oseq") * mult + col("m")).as("seq"))
+      }
+    }
     def twsRestart(opName: String): Unit =
       if (only.forall(_.contains(opName))) {
         val ckpt = s"$ckptRoot/$opName"
-        val (prime, tail) = curDocsM.splitAt(math.max(1, curDocsM.size - 50))
-        val mem3 = MemoryStream[CurDoc]
-        def drain(data: Seq[CurDoc]): Double = {
-          mem3.addData(data: _*)
+        val feedDir = s"$ckptRoot/$opName-feed"
+        val feed = curDocFeedFrame().orderBy("seq").localCheckpoint()
+        val total = feed.count()
+        val cut = math.max(1L, total - 50L)
+        // ONE source directory across both drains (changing a file
+        // source's path between restarts is unsupported): the prime files
+        // exist for drain 1; the tail files are APPENDED afterwards, so
+        // the restored query's seen-files log routes it to exactly the
+        // new files. One file per drain → one micro-batch per drain,
+        // matching the MemoryStream protocol this probe previously used.
+        feed.filter(col("seq") < cut).orderBy("seq")
+          .coalesce(1).write.parquet(feedDir)
+        val schema = org.apache.spark.sql.Encoders.product[CurDoc].schema
+        def drain(): Double = {
           val t0 = System.nanoTime()
-          val q = graft.streaming.TwsGates.neardupStreamTws(mem3.toDF())
+          val q = graft.streaming.TwsGates.neardupStreamTws(
+              spark.readStream.schema(schema).parquet(feedDir))
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -372,7 +430,7 @@ object BenchStream {
           q.awaitTermination()
           (System.nanoTime() - t0) / 1e9
         }
-        val primeSec = drain(prime)
+        val primeSec = drain()
         def du(p: String): Long = {
           val root = java.nio.file.Paths.get(p)
           if (!java.nio.file.Files.exists(root)) 0L
@@ -384,12 +442,15 @@ object BenchStream {
           }
         }
         val stateBytes = du(s"$ckpt/state")
+        feed.filter(col("seq") >= cut).orderBy("seq")
+          .coalesce(1).write.mode("append").parquet(feedDir)
+        feed.unpersist()
         System.gc()
-        val restoreSec = drain(tail)
+        val restoreSec = drain()
         System.gc()
         val heapMb = (Runtime.getRuntime.totalMemory() -
           Runtime.getRuntime.freeMemory()) / (1024 * 1024)
-        println(f"""{"op":"$opName","prime_rows":${prime.size},"tail_rows":${tail.size},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
+        println(f"""{"op":"$opName","prime_rows":$cut,"tail_rows":${total - cut},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
       }
     twsRestart("tws_restart_neardup")
     // the same prime/restart cycle with RocksDB CHANGELOG checkpointing:
@@ -420,7 +481,7 @@ object BenchStream {
     // one word-array walk per row inside codegen) — no state store, no
     // per-batch re-broadcast; per-batch cost is the scan, flat by
     // construction
-    val benchSet = graft.etl.Readers.table(spark, sfDir, "documents")
+    lazy val benchSet = graft.etl.Readers.table(spark, sfDir, "documents")
       .filter(col("doc_id") % 97 === 0).select("doc_id", "text")
       .localCheckpoint()
     run("decontaminated_stream", curDocs, "append")(
@@ -455,7 +516,7 @@ object BenchStream {
     // — the vector twin of doc_curated's fingerprint dedup. Watermark
     // wide open so every arrival hits live state (worst case for the
     // store; eviction only shrinks it)
-    val embs = graft.etl.Readers.table(spark, sfDir, "embeddings")
+    lazy val embs = graft.etl.Readers.table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
       .map { case (id, e) =>
@@ -468,7 +529,7 @@ object BenchStream {
     // broadcast centroid assignment + one partitioned parquet write
     // (dynamic overwrite of the batch's own delta partitions). Delta on
     // tmpfs — time the assignment+append, not this host's fsync
-    val ivfCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
+    lazy val ivfCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     run("ivf_append_sink", embs, "append",
@@ -484,12 +545,12 @@ object BenchStream {
     // below demonstrates the p/k scan fraction the pruning exists for,
     // not just the filter's presence in the plan.
     val ivfTag = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val servK = math.max(8, math.ceil(math.sqrt(embs.size.toDouble)).toInt)
-    val servCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
+    lazy val servK = math.max(8, math.ceil(math.sqrt(embs.size.toDouble)).toInt)
+    lazy val servCentroids = graft.etl.Readers.table(spark, sfDir, "embeddings")
       .filter(col("vec_id") < servK)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       .localCheckpoint()
-    val ivfQueryIndex = {
+    lazy val ivfQueryIndex = {
       val emb = graft.etl.Readers.table(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val path = graft.ops.IvfIndex.ensure(spark,
@@ -500,12 +561,12 @@ object BenchStream {
     }
     // cell sizes (k rows, collected once) turn per-batch probed-cell ids
     // into a rows-read fraction without touching the timed path
-    val cellRows: Map[Long, Long] = ivfQueryIndex
+    lazy val cellRows: Map[Long, Long] = ivfQueryIndex
       .groupBy("centroid_id").count()
       .collect()
       .map(r => r.get(0).asInstanceOf[Number].longValue() -> r.getLong(1))
       .toMap
-    val indexRows = cellRows.values.sum
+    lazy val indexRows = cellRows.values.sum
     val probeBatches = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
     def annSink(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
       graft.streaming.EmbeddingStreams
@@ -556,7 +617,7 @@ object BenchStream {
     // (MediaStreamSpec's op) — PNG-encoded doc texts with 10% corrupted,
     // so every micro-batch exercises both the decode and the quarantine
     // routing (corrupt rows MUST become ok=false rows, never a dead query)
-    val media = docs.map { d =>
+    lazy val media = docs.map { d =>
       val png = graft.ops.Multimodal.encodePng(
         Option(d.text).getOrElse("").getBytes("UTF-8"))
       if (d.doc_id % 10 == 0) png(0) = 0
@@ -573,7 +634,7 @@ object BenchStream {
     // the worst case for the snapshot strategy, which is the honest
     // number for the plain-filesystem fallback (a transactional format
     // replaces the rewrite, not the merge or the log).
-    val cdcChanges = events.map(e => (e.user_id, e.event_id, e.value))
+    lazy val cdcChanges = events.map(e => (e.user_id, e.event_id, e.value))
     val cdcSink = new graft.streaming.IdempotentMergeSink(
       s"$ckptRoot/cdc-target", "k", "v", Seq("payload"))
     run("cdc_merge_sink", cdcChanges, "append",

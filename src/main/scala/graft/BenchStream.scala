@@ -152,10 +152,10 @@ object BenchStream {
       EventStreams.clickPurchaseJoinOuter(
         ds.toDF().filter(col("event_type") === "click"),
         ds.toDF().filter(col("event_type") === "purchase")))
-    val sessionEvents = events.map(e =>
+    lazy val sessionEvents = events.map(e =>
       StatefulOps.SessionEvent(e.user_id, e.ts, e.ts.getTime * 1000L,
         e.value, e.event_id))
-    val grpValues = events.map(e => (e.event_type, e.value))
+    lazy val grpValues = events.map(e => (e.event_type, e.value))
     run("sessionize_stream", sessionEvents, "append")(
       ds => StatefulOps.sessionizeStream(ds,
         gapMicros = 30L * 60 * 1000000, watermarkDelay = "1 hour").toDF())
@@ -202,7 +202,7 @@ object BenchStream {
     // watermark-buffered forward/nearest as-of: per-batch cost is the
     // keyed state fold (buffer append + due-left resolution); state is
     // O(rate × horizon) per key, so batch times must stay flat
-    val asofEvents = events
+    lazy val asofEvents = events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .map(e => AsOfStream.AsOfEvent(e.user_id, e.event_type == "click",
         e.ts, e.ts.getTime * 1000L, e.event_id, e.value))
@@ -235,7 +235,7 @@ object BenchStream {
     }
     // per-source token quota gate: state is ONE long per source, so the
     // per-batch cost is the fold + commit floor at any feed size
-    val quotaDocs = events.zipWithIndex.map { case (e, i) =>
+    lazy val quotaDocs = events.zipWithIndex.map { case (e, i) =>
       DocStreams.QuotaDoc(e.event_type, e.event_id,
         10L + (math.abs(e.value) % 90).toLong, i.toLong)
     }
@@ -407,22 +407,39 @@ object BenchStream {
       if (only.forall(_.contains(opName))) {
         val ckpt = s"$ckptRoot/$opName"
         val feedDir = s"$ckptRoot/$opName-feed"
-        val feed = curDocFeedFrame().orderBy("seq").localCheckpoint()
+        // stage the feed to parquet FIRST and re-read it: a cached or
+        // localCheckpoint'ed frame would pin the whole feed in on-heap
+        // block-manager storage and re-confound the heap readout (the
+        // first file-fed cut measured 1.6 GB at x64 from exactly this)
+        val staging = s"$ckptRoot/$opName-staging"
+        curDocFeedFrame().write.parquet(staging)
+        val feed = spark.read.parquet(staging)
         val total = feed.count()
         val cut = math.max(1L, total - 50L)
         // ONE source directory across both drains (changing a file
         // source's path between restarts is unsupported): the prime files
-        // exist for drain 1; the tail files are APPENDED afterwards, so
+        // exist for drain 1; the tail file is APPENDED afterwards, so
         // the restored query's seen-files log routes it to exactly the
-        // new files. One file per drain → one micro-batch per drain,
-        // matching the MemoryStream protocol this probe previously used.
-        feed.filter(col("seq") < cut).orderBy("seq")
-          .coalesce(1).write.parquet(feedDir)
+        // new file. The prime is split into PrimeFiles range-partitioned
+        // files driven one per trigger — state accretes over that many
+        // commits, as in production, which is what makes the
+        // snapshot-vs-changelog cadence mechanics (snapshot every
+        // minDeltasForSnapshot commits; restore replays the changelogs
+        // since the last one) actually fire instead of measuring a
+        // single-commit store.
+        val PrimeFiles = 16
+        feed.filter(col("seq") < cut)
+          .repartitionByRange(PrimeFiles, col("seq"))
+          .sortWithinPartitions("seq")
+          .write.parquet(feedDir)
         val schema = org.apache.spark.sql.Encoders.product[CurDoc].schema
-        def drain(): Double = {
+        def drain(maxFilesPerTrigger: Option[Int]): Double = {
           val t0 = System.nanoTime()
+          val src = spark.readStream.schema(schema)
+          maxFilesPerTrigger.foreach(n =>
+            src.option("maxFilesPerTrigger", n.toString))
           val q = graft.streaming.TwsGates.neardupStreamTws(
-              spark.readStream.schema(schema).parquet(feedDir))
+              src.parquet(feedDir))
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -430,7 +447,7 @@ object BenchStream {
           q.awaitTermination()
           (System.nanoTime() - t0) / 1e9
         }
-        val primeSec = drain()
+        val primeSec = drain(Some(1))
         def du(p: String): Long = {
           val root = java.nio.file.Paths.get(p)
           if (!java.nio.file.Files.exists(root)) 0L
@@ -444,13 +461,34 @@ object BenchStream {
         val stateBytes = du(s"$ckpt/state")
         feed.filter(col("seq") >= cut).orderBy("seq")
           .coalesce(1).write.mode("append").parquet(feedDir)
-        feed.unpersist()
         System.gc()
-        val restoreSec = drain()
-        System.gc()
-        val heapMb = (Runtime.getRuntime.totalMemory() -
+        val restoreSec = drain(None)
+        // settle the heap readout: one advisory gc right after a 300k-row
+        // drain reads mostly collectable garbage, not live residue — gc
+        // until used stops dropping (≤16 MB delta) so the published MB is
+        // the steady-state floor, not a snapshot of the young gen
+        def usedMb(): Long = (Runtime.getRuntime.totalMemory() -
           Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+        var heapMb = usedMb()
+        var settled = false
+        var gcRounds = 0
+        while (!settled && gcRounds < 8) {
+          System.gc(); Thread.sleep(300)
+          val cur = usedMb()
+          settled = cur >= heapMb - 16
+          heapMb = math.min(heapMb, cur)
+          gcRounds += 1
+        }
         println(f"""{"op":"$opName","prime_rows":$cut,"tail_rows":${total - cut},"prime_sec":$primeSec%.3f,"state_ckpt_bytes":$stateBytes,"restore_batch_sec":$restoreSec%.3f,"heap_used_mb":$heapMb}""")
+        // dump a class histogram of the settled heap (self-attach via
+        // jcmd — external attach can't cross the sandbox pid namespace)
+        // when diagnosing what the settled heap figure is made of
+        sys.env.get("GRAFT_RESTART_HISTO").foreach { path =>
+          val pid = ProcessHandle.current().pid().toString
+          new ProcessBuilder("jcmd", pid, "GC.class_histogram")
+            .redirectOutput(new java.io.File(path)).start().waitFor()
+          System.err.println(s"[benchstream] histogram -> $path")
+        }
       }
     twsRestart("tws_restart_neardup")
     // the same prime/restart cycle with RocksDB CHANGELOG checkpointing:

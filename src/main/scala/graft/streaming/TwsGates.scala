@@ -29,6 +29,25 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * processing-time eviction) is NOT usable here: it makes the query
   * unable to quiesce. Both twins are decision-identical to their
   * originals on every batch shape TwsGatesSpec drives.
+  *
+  * CHANGELOG-CHECKPOINTING POLICY (derived from the measured ×10/×64
+  * restart cycles, STREAMBENCH.md r14/r15): enable
+  * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled`
+  * for any long-running TWS gate — it wins the COMMIT path at every
+  * measured state size (−30–34%: per-batch uploads ship a delta, not a
+  * full RocksDB snapshot, and on a real DFS the snapshot upload is the
+  * fsync-heavy part). The cost lands at RESTART: restore replays the
+  * changelogs retained since the last snapshot, so the regression is
+  * bounded by the snapshot cadence
+  * (`spark.sql.streaming.stateStore.minDeltasForSnapshot`, default 10):
+  * restore ≈ snapshot load + cadence × per-batch-changelog replay.
+  * Concretely: below ~25 MB per store the knob is free (snapshot load
+  * dominates nothing; changelog restore measured FASTER at ×10); above
+  * ~100 MB (×64) the default cadence made restore ~1.5× the snapshot
+  * variant's — if the deployment restarts often, tighten the cadence to
+  * (acceptable extra restore seconds) ÷ (per-batch commit seconds)
+  * deltas per snapshot; if restarts are rare, keep the commit-path win
+  * and accept the restore tail.
   */
 object TwsGates {
 

@@ -209,13 +209,17 @@ object Bench {
     // pass boundaries); when it exceeds the same 1.5x-of-floor bar that
     // gates individual passes, per-key deltas from this run are
     // non-adjudicable and run_contended says so in one bit. The median
-    // gets a TIGHTER bar than single passes (1.3x vs 1.5x, same 0.2s
-    // grace): one hot bracket is a burst, a hot MEDIAN is a hot host.
+    // gets a TIGHTER bar than single passes (1.3x vs 1.5x) and NO 0.2s
+    // absolute grace — the grace exists in calThreshold to keep tiny
+    // floors from flunking honest passes, but here it would swallow the
+    // ratio signal entirely (r14's poisoned run: median 0.1105 on floor
+    // 0.066 = 1.67x, yet under a 0.2s grace it reads clean). One hot
+    // bracket is a burst; a hot MEDIAN is a hot host.
     val allProbes = passes.flatMap(_.probes).sorted
     val probeMedian =
       if (allProbes.isEmpty) gateFloor
       else allProbes((allProbes.length - 1) / 2)
-    val runContended = probeMedian > math.max(0.2, 1.3 * gateFloor)
+    val runContended = probeMedian > 1.3 * gateFloor
     // The harness keeps only the LAST ~2000 chars of output and parses the
     // JSON line it finds there. Round 6 proved the per-query map no longer
     // fits that window at 125+ queries (BENCH_r06 parsed:null — the headline's

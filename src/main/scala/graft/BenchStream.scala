@@ -502,6 +502,34 @@ object BenchStream {
       val prevCl = spark.conf.getOption(ClKey)
       spark.conf.set(ClKey, "true")
       twsRestart("tws_restart_changelog")
+      // the cadence dial the TwsGates policy documents, validated
+      // empirically: a tighter snapshot cadence bounds the changelog
+      // variant's restore replay (restore ≈ snapshot load + replay of
+      // the changelogs since the last UPLOADED snapshot). Snapshot
+      // uploads happen in the ASYNC maintenance thread, so the dial is
+      // two-knob: minDeltasForSnapshot sets how many changelogs make a
+      // snapshot due, and maintenanceInterval bounds how stale the
+      // upload can run — with the default 60s interval a sub-minute
+      // prime never snapshots at all and restore replays EVERY
+      // changelog, whatever minDeltas says (measured: minDeltas=4 alone
+      // changed nothing)
+      sys.env.get("GRAFT_MIN_DELTAS").foreach { n =>
+        val MdKey = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
+        val MiKey = "spark.sql.streaming.stateStore.maintenanceInterval"
+        val prevMd = spark.conf.getOption(MdKey)
+        val prevMi = spark.conf.getOption(MiKey)
+        spark.conf.set(MdKey, n)
+        spark.conf.set(MiKey, "2s")
+        twsRestart(s"tws_restart_changelog_cadence$n")
+        prevMd match {
+          case Some(v) => spark.conf.set(MdKey, v)
+          case None => spark.conf.unset(MdKey)
+        }
+        prevMi match {
+          case Some(v) => spark.conf.set(MiKey, v)
+          case None => spark.conf.unset(MiKey)
+        }
+      }
       prevCl match {
         case Some(v) => spark.conf.set(ClKey, v)
         case None => spark.conf.unset(ClKey)

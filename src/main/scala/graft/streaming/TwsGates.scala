@@ -30,24 +30,30 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * unable to quiesce. Both twins are decision-identical to their
   * originals on every batch shape TwsGatesSpec drives.
   *
-  * CHANGELOG-CHECKPOINTING POLICY (derived from the measured ×10/×64
-  * restart cycles, STREAMBENCH.md r14/r15): enable
+  * CHANGELOG-CHECKPOINTING POLICY (derived from the measured ×1/×10/×64
+  * restart cycles, STREAMBENCH.md r15): enable
   * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled`
   * for any long-running TWS gate — it wins the COMMIT path at every
-  * measured state size (−30–34%: per-batch uploads ship a delta, not a
-  * full RocksDB snapshot, and on a real DFS the snapshot upload is the
-  * fsync-heavy part). The cost lands at RESTART: restore replays the
-  * changelogs retained since the last snapshot, so the regression is
-  * bounded by the snapshot cadence
-  * (`spark.sql.streaming.stateStore.minDeltasForSnapshot`, default 10):
-  * restore ≈ snapshot load + cadence × per-batch-changelog replay.
-  * Concretely: below ~25 MB per store the knob is free (snapshot load
-  * dominates nothing; changelog restore measured FASTER at ×10); above
-  * ~100 MB (×64) the default cadence made restore ~1.5× the snapshot
-  * variant's — if the deployment restarts often, tighten the cadence to
-  * (acceptable extra restore seconds) ÷ (per-batch commit seconds)
-  * deltas per snapshot; if restarts are rare, keep the commit-path win
-  * and accept the restore tail.
+  * measured state size (−14–41% on a 16-commit prime: per-batch commits
+  * ship a delta, not a full RocksDB snapshot, and on a real DFS the
+  * snapshot upload is the fsync-heavy part). The cost lands at RESTART:
+  * restore = snapshot load + replay of every changelog since the last
+  * UPLOADED snapshot, and the bound on that tail is TWO knobs, not one —
+  * snapshot uploads run in the ASYNC maintenance thread, so
+  * `spark.sql.streaming.stateStore.minDeltasForSnapshot` (default 10)
+  * only marks a snapshot due, while
+  * `spark.sql.streaming.stateStore.maintenanceInterval` (default 60s)
+  * decides when the upload actually happens. Measured at ×64 state:
+  * default knobs replayed the whole 16-changelog prime (restore 7.4s vs
+  * the snapshot variant's 1.5s; minDeltas=4 ALONE changed nothing
+  * because a sub-minute prime never hits a maintenance tick);
+  * minDeltas=4 + maintenanceInterval=2s bounded restore to 2.9s, paying
+  * +40% prime time and ~3× retained checkpoint bytes. So: restarts
+  * rare → keep the defaults and bank the commit-path win; restarts
+  * frequent or recovery-SLA-bound → set minDeltas ≈ (acceptable extra
+  * restore seconds) ÷ (per-changelog replay seconds) AND a maintenance
+  * interval shorter than minDeltas × the batch period, and budget the
+  * extra snapshot uploads.
   */
 object TwsGates {
 

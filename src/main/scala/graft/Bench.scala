@@ -9,6 +9,27 @@ import org.apache.spark.sql.SparkSession
   * rather than JVM startup — the same protocol any engine benchmark uses.
   */
 object Bench {
+
+  /** Run-level contention gate: median of the in-pass calibration
+    * probes vs the run's own calibration floor. The median gets a
+    * TIGHTER bar than single passes (1.3x vs the 1.5x pass gate) and NO
+    * absolute grace — calThreshold's 0.2s grace exists to keep tiny
+    * floors from flunking honest passes, but here it would swallow the
+    * ratio signal entirely on this workload's ~0.1s floor (r14's
+    * poisoned run: median 0.1105 on floor 0.066 = 1.67x, yet under a
+    * 0.2s grace it reads clean — BenchGateSpec pins that exact run as
+    * the regression fixture). One hot bracket is a burst; a hot MEDIAN
+    * is a hot host, and per-key deltas from that run are
+    * non-adjudicable.
+    */
+  private[graft] def runGate(probes: Seq[Double], floor: Double)
+  : (Double, Boolean) = {
+    val sorted = probes.sorted
+    val median =
+      if (sorted.isEmpty) floor else sorted((sorted.length - 1) / 2)
+    (median, median > 1.3 * floor)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSessions.localFromEnv()
@@ -206,20 +227,10 @@ object Bench {
     // probe median at 0.1105 and every key ~1.155x the builder's clean
     // run. The probe median is the run's TYPICAL host speed (probes fire
     // every ProbeEvery queries, so they sample the whole run, not just
-    // pass boundaries); when it exceeds the same 1.5x-of-floor bar that
-    // gates individual passes, per-key deltas from this run are
-    // non-adjudicable and run_contended says so in one bit. The median
-    // gets a TIGHTER bar than single passes (1.3x vs 1.5x) and NO 0.2s
-    // absolute grace — the grace exists in calThreshold to keep tiny
-    // floors from flunking honest passes, but here it would swallow the
-    // ratio signal entirely (r14's poisoned run: median 0.1105 on floor
-    // 0.066 = 1.67x, yet under a 0.2s grace it reads clean). One hot
-    // bracket is a burst; a hot MEDIAN is a hot host.
-    val allProbes = passes.flatMap(_.probes).sorted
-    val probeMedian =
-      if (allProbes.isEmpty) gateFloor
-      else allProbes((allProbes.length - 1) / 2)
-    val runContended = probeMedian > 1.3 * gateFloor
+    // pass boundaries); the gate itself is [[runGate]], spec-pinned on
+    // the r14 run.
+    val (probeMedian, runContended) =
+      runGate(passes.flatMap(_.probes).toSeq, gateFloor)
     // The harness keeps only the LAST ~2000 chars of output and parses the
     // JSON line it finds there. Round 6 proved the per-query map no longer
     // fits that window at 125+ queries (BENCH_r06 parsed:null — the headline's

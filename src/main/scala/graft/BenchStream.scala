@@ -42,6 +42,13 @@ object BenchStream {
     // optional 2nd arg: comma-separated op-name subset (dev re-measure)
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
+    // count of stateful streaming queries actually STARTED in this JVM —
+    // the guard input for the changelog-cadence op (see GRAFT_MIN_DELTAS
+    // below): Spark's state-store maintenance task is a process-wide
+    // singleton whose tick period is captured when the first stateful
+    // query starts, so "has anything run before me" is the question that
+    // decides whether a maintenanceInterval override takes effect at all
+    var queriesStarted = 0
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSessions.localFromEnv(defaultCpus = "32")
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,6 +113,7 @@ object BenchStream {
         .outputMode(mode)
         .option("checkpointLocation", s"$ckptRoot/$name")
       val q = sinkTo.fold(w.format("noop"))(f => w.foreachBatch(f)).start()
+      queriesStarted += 1
       val chunk = math.max(1, (rows.size + batches - 1) / batches)
       // per-chunk wall time is the actual canary: unbounded state growth
       // shows as batch_last pulling away from batch_median long before the
@@ -444,6 +452,7 @@ object BenchStream {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .format("noop").start()
+          queriesStarted += 1
           q.awaitTermination()
           (System.nanoTime() - t0) / 1e9
         }
@@ -514,6 +523,20 @@ object BenchStream {
       // changelog, whatever minDeltas says (measured: minDeltas=4 alone
       // changed nothing)
       sys.env.get("GRAFT_MIN_DELTAS").foreach { n =>
+        // maintenanceInterval is read by a JVM-WIDE singleton: the
+        // state-store maintenance task captures its tick period when the
+        // FIRST stateful query of the process starts. If any stateful op
+        // ran earlier in this invocation, the 2s set below is a silent
+        // no-op (the task already ticks at the default 60s) and the
+        // cadence row would publish a measurement of nothing — so the op
+        // refuses to run unless it is the first stateful query, i.e.
+        // `only`-scoped in a fresh JVM (r15 ADVICE):
+        //   GRAFT_MIN_DELTAS=4 sbt "runMain graft.BenchStream 8 tws_restart_changelog_cadence4"
+        require(queriesStarted == 0,
+          s"GRAFT_MIN_DELTAS cadence run needs a fresh JVM: $queriesStarted " +
+            "stateful queries already started, so the maintenance task's " +
+            "period is pinned at their interval; re-run `only`-scoped to " +
+            s"tws_restart_changelog_cadence$n")
         val MdKey = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
         val MiKey = "spark.sql.streaming.stateStore.maintenanceInterval"
         val prevMd = spark.conf.getOption(MdKey)

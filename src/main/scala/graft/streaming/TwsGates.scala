@@ -54,6 +54,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * restore seconds) ÷ (per-changelog replay seconds) AND a maintenance
   * interval shorter than minDeltas × the batch period, and budget the
   * extra snapshot uploads.
+  *
+  * Measurement caveat (and deployment caveat in miniature): the
+  * maintenance task is a JVM-wide singleton that captures its tick
+  * period when the FIRST stateful query of the process starts — a
+  * maintenanceInterval set after any stateful query ran is a silent
+  * no-op for the life of the JVM. [[graft.BenchStream]]'s cadence row
+  * therefore refuses to run unless it is the process's first stateful
+  * query (`only`-scoped, fresh JVM); set the interval in the session
+  * conf BEFORE the first `start()` in production too.
   */
 object TwsGates {
 

@@ -101,19 +101,37 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
       "pas", "que", "pour", "dans", "qui", "sur", "au"))
 
-  /** Script gate: classify as CJK when Han characters exceed this
-    * fraction of non-whitespace characters — scripts identify languages
-    * the function-word layer cannot see (no whitespace tokenization).
+  /** Script gate: classify by script when that script's characters
+    * exceed this fraction of non-whitespace characters — scripts
+    * identify languages the function-word layer cannot see (unsegmented
+    * or non-Latin: zh/ja/th have no spaces; ko/ar/hi tokens never hit a
+    * Latin function-word profile). The ROUTING itself runs in exact
+    * integer arithmetic inside the native profile expression
+    * ([[graft.functions.CharProfileImpl.route]], `cnt*10 >= 3*nonspace`);
+    * this double is the same constant for oracle-SQL rendering, where
+    * double compare and exact rational compare provably agree for any
+    * count below ~1e15 (the nearest representable double to 0.3 is
+    * ~1e-17 away; adjacent count ratios differ by ≥ 1/(10·nonspace)).
     */
   val CjkMinFraction = 0.30
+
+  /** Kana presence bar for the ja rule (kana/nonspace ≥ 1/20): real
+    * Japanese often has a Han MAJORITY, but Chinese never contains
+    * kana, so kana presence + a combined kana+han pass of the main bar
+    * routes ja ahead of zh ([[graft.functions.CharProfileImpl]]).
+    */
+  val KanaMinFraction = 0.05
 
   /** Multi-language ID: `struct(lang_pred, score)` from a BOUND word
     * array (see [[graft.ops.Curation]] on why the split must be a
     * projected attribute). Two deterministic layers, both row-local and
     * oracle-expressible:
     *
-    *   1. charset profile — Han-script fraction of non-space characters
-    *      ≥ [[CjkMinFraction]] → `zh` (score = that fraction);
+    *   1. charset profile — script fraction of non-space characters
+    *      ≥ [[CjkMinFraction]] routes the script's language (Han → zh,
+    *      kana → ja with the [[KanaMinFraction]] presence rule, Hangul
+    *      → ko, Arabic → ar, Devanagari → hi, Thai → th; score = the
+    *      routed script's fraction);
     *   2. weighted token-set overlap — per language, the fraction of
     *      tokens that hit its [[LangProfiles]] function-word set (term
     *      frequency IS the weight); argmax wins, ties break in profile
@@ -131,22 +149,25 @@ object TextStats {
         .cast("double") / n
     }
     val best = greatest(scores.map(_._2): _*)
-    // one-pass native char profile — the regexp_replace spelling ran the
-    // regex engine (and built the replaced string) once per CaseWhen
-    // branch below, ~65% of the lang_id key (see CharProfile)
+    // one-pass native char profile + script route — the regexp_replace
+    // spelling ran the regex engine (and built the replaced string) once
+    // per script per CaseWhen branch below, ~65% of the lang_id key at
+    // TWO counts; the route verdict (integer-exact) rides the packed
+    // long, the score divides the packed numerator (see CharProfile)
     val prof = graft.functions.CharProfileFunctions.charProfile(text)
     val nonSpace = graft.functions.CharProfileFunctions.nonspaceOf(prof)
-    val cjk = graft.functions.CharProfileFunctions.cjkOf(prof)
-    val cjkFrac = when(nonSpace > 0, cjk / nonSpace).otherwise(lit(0.0))
+    val sid = graft.functions.CharProfileFunctions.scriptIdOf(prof)
+    val num = graft.functions.CharProfileFunctions.scriptNumOf(prof)
+    val scriptFrac = when(nonSpace > 0, num / nonSpace).otherwise(lit(0.0))
     val overlapPred = coalesce(scores.map { case (l, s) =>
       when(s === best, lit(l))
     }: _*)
     val pred = when(text.isNull, lit("und"))
-      .when(cjkFrac >= CjkMinFraction, lit("zh"))
+      .when(sid > 0, graft.functions.CharProfileFunctions.scriptLangOf(prof))
       .when(best <= 0.0, lit("und"))
       .otherwise(overlapPred)
     val score = when(text.isNull, lit(0.0))
-      .when(cjkFrac >= CjkMinFraction, cjkFrac)
+      .when(sid > 0, scriptFrac)
       .when(best <= 0.0, lit(0.0))
       .otherwise(best)
     struct(pred.as("lang_pred"), round(score, 6).as("score"))

@@ -1051,6 +1051,189 @@ object TextQueries {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Remap vocabularies for [[langIdScripts]] — 8 characters per script,
+    * every char inside its script's counted range
+    * ([[graft.functions.CharProfileImpl]]). `spaced` marks scripts whose
+    * real orthography separates words (ko/ar/hi); ja and th join
+    * space-FREE like [[cjkUnsegmented]]'s Han. The ja vocabulary mixes
+    * Han into the kana on purpose (indices 7–8): a doc whose words all
+    * land on the Han slots is pure-Han text and must route `zh` — the
+    * preds column makes that visible, the same honesty device as
+    * `lang_id_multi`'s fr/es ties.
+    */
+  private val ScriptVocabs: Seq[(String, Seq[String], Boolean)] = Seq(
+    ("ja", Seq("あ", "い", "う", "え", "お", "か", "日", "本"), false),
+    ("ko", Seq("가", "나", "다", "라", "마", "바", "사", "아"), true),
+    ("ar", Seq("ا", "ب", "ت", "ث", "ج", "ح", "د", "ر"), true),
+    ("hi", Seq("क", "ख", "ग", "घ", "च", "छ", "ज", "झ"), true),
+    ("th", Seq("ก", "ข", "ค", "ง", "จ", "ฉ", "ช", "ซ"), false))
+
+  /** The charset layer proven beyond Han — [[cjkUnsegmented]]'s recipe
+    * generalized to the five script families a 100 TB crawl actually
+    * carries (ja kana, ko Hangul, ar Arabic, hi Devanagari, th Thai):
+    * synthesize each script from the documents table by the same
+    * length-keyed char remap, classify with
+    * [[TextStats.langIdStruct]]'s script layer (native CharProfile
+    * codegen — no tokenizer), and report per-script agreement. Two of
+    * the five are UNSEGMENTED (ja, th — joined space-free), and for
+    * those the key carries the full honesty+repair story: `word_spans`
+    * sums to ZERO (every word-grain operator silently degrades to
+    * whole-doc granularity) while 16-char shingles restore sub-document
+    * dedup grain (`char_dup_docs` counts docs sharing a cross-doc char
+    * fingerprint; null for the segmented scripts, where word-grain
+    * machinery works and the char pass isn't run). All stages are hash
+    * aggregates/joins on (lang, doc_id) or (lang, fp); the synth is one
+    * scan exploded five ways, map-only.
+    */
+  def langIdScripts(spark: SparkSession, dir: String): DataFrame = {
+    val wn = SubstringSpanTokens
+    val cn = CjkSpanChars
+    val base = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("__w0"))
+    // interpreted lambda remap: acceptable here for the same reason as
+    // lang_id_multi — the remap IS the fixture that synthesizes the
+    // corpus; the classifier stays on the native codegen path
+    def remap(vocab: Seq[String]): Column =
+      transform(col("__w0"), x =>
+        element_at(array(vocab.map(lit): _*), length(x) % vocab.size + 1))
+    val variants = ScriptVocabs.map { case (l, v, spaced) =>
+      struct(lit(l).as("lang"), lit(!spaced).as("unseg"),
+        concat_ws(if (spaced) " " else "", remap(v)).as("text"))
+    }
+    val synth = base
+      .select(col("doc_id"), explode(array(variants: _*)).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"),
+        col("s.unseg").as("unseg"), col("s.text").as("text"))
+      // two consumers (classification row, char-shingle explode) — lazy
+      // so construction stays job-free
+      .localCheckpoint(false)
+    val pred = synth.select(col("lang"),
+      TextStats.langIdStruct(col("text"), split(col("text"), " "))
+        .getField("lang_pred").as("lang_pred"),
+      greatest(size(split(col("text"), " ")) - lit(wn - 1), lit(0))
+        .cast("long").as("word_spans"))
+    val chfp = synth.filter(col("unseg"))
+      .select(col("lang"), col("doc_id"),
+        explode(when(length(col("text")) >= cn,
+            transform(sequence(lit(1), length(col("text")) - cn + 1),
+              i => col("text").substr(i, lit(cn))))
+          .otherwise(array().cast("array<string>"))).as("span"))
+      .select(col("lang"), col("doc_id"), md5(col("span")).as("fp"))
+      .distinct()
+    val freq = chfp.groupBy("lang", "fp").agg(count(lit(1)).as("ndocs"))
+    val dup = chfp.join(freq, Seq("lang", "fp"))
+      .groupBy("lang", "doc_id")
+      .agg(sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("shared"))
+      .groupBy("lang")
+      .agg(sum(when(col("shared") > 0, 1L).otherwise(0L))
+        .as("char_dup_docs"))
+    val agg = pred.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_agree"),
+        array_join(array_sort(collect_set(col("lang_pred"))), ",")
+          .as("preds"),
+        sum(col("word_spans")).as("word_spans"))
+    agg.join(dup, Seq("lang"), "left")
+      .select(col("lang").as("lang_label"), col("n_docs"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6)
+          .as("agree_rate"),
+        col("preds"), col("word_spans"), col("char_dup_docs"))
+      .orderBy("lang_label")
+  }
+
+  /** DuckDB twin of [[langIdScripts]]: same synth, and the script route
+    * mirrored with the SAME exact integer arithmetic the native
+    * expression uses (`cnt * 10 >= 3 * nonspace`, kana presence
+    * `kana * 20 >= nonspace`) — no floating-point edge to disagree on.
+    * The word-overlap fallback is provably `und` on this corpus (every
+    * synthesized char is non-Latin, so the Latin function-word profiles
+    * all score zero), which is why the CASE ends at ELSE 'und'.
+    */
+  // lazy: SubstringSpanTokens is defined later in the file (val init order)
+  lazy val langIdScriptsSql: String = {
+    val wn = SubstringSpanTokens
+    val cn = CjkSpanChars
+    def vocabSql(ws: Seq[String]) =
+      ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val synthArms = ScriptVocabs.map { case (l, v, spaced) =>
+      val sep = if (spaced) " " else ""
+      s"""  SELECT doc_id, '$l' AS lang, ${!spaced} AS unseg,
+         |    array_to_string(list_transform(w0, x ->
+         |      list_extract(${vocabSql(v)}, (length(x) % ${v.size}) + 1)),
+         |      '$sep') AS text
+         |  FROM tok0""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+       |  FROM documents
+       |), synth AS (
+       |$synthArms
+       |), cnt AS (
+       |  SELECT doc_id, lang, unseg, text,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+       |    length(regexp_replace(text,
+       |      '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS han,
+       |    length(regexp_replace(text,
+       |      '[^\\x{3040}-\\x{30ff}]', '', 'g')) AS kana,
+       |    length(regexp_replace(text,
+       |      '[^\\x{ac00}-\\x{d7af}]', '', 'g')) AS hangul,
+       |    length(regexp_replace(text,
+       |      '[^\\x{0600}-\\x{06ff}]', '', 'g')) AS arabic,
+       |    length(regexp_replace(text,
+       |      '[^\\x{0900}-\\x{097f}]', '', 'g')) AS deva,
+       |    length(regexp_replace(text,
+       |      '[^\\x{0e00}-\\x{0e7f}]', '', 'g')) AS thai
+       |  FROM synth
+       |), pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN nonspace > 0 AND kana * 20 >= nonspace
+       |           AND (kana + han) * 10 >= 3 * nonspace THEN 'ja'
+       |         WHEN nonspace > 0 AND han * 10 >= 3 * nonspace THEN 'zh'
+       |         WHEN nonspace > 0 AND hangul * 10 >= 3 * nonspace
+       |           THEN 'ko'
+       |         WHEN nonspace > 0 AND arabic * 10 >= 3 * nonspace
+       |           THEN 'ar'
+       |         WHEN nonspace > 0 AND deva * 10 >= 3 * nonspace THEN 'hi'
+       |         WHEN nonspace > 0 AND thai * 10 >= 3 * nonspace THEN 'th'
+       |         ELSE 'und' END AS lang_pred,
+       |    CAST(greatest(len(string_split(text, ' ')) - ${wn - 1}, 0)
+       |      AS BIGINT) AS word_spans
+       |  FROM cnt
+       |), chfp AS (
+       |  SELECT DISTINCT lang, doc_id,
+       |    md5(substr(text, CAST(i AS INTEGER) + 1, $cn)) AS fp
+       |  FROM synth, unnest(range(greatest(length(text) - ${cn - 1}, 0)))
+       |    AS u(i)
+       |  WHERE unseg
+       |), fr AS (
+       |  SELECT lang, fp, count(*) AS ndocs FROM chfp GROUP BY 1, 2
+       |), dsh AS (
+       |  SELECT lang, doc_id,
+       |    sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS shared
+       |  FROM chfp JOIN fr USING (lang, fp) GROUP BY 1, 2
+       |), dup AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS char_dup_docs
+       |  FROM dsh GROUP BY 1
+       |), agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_agree,
+       |    array_to_string(list_sort(list(DISTINCT lang_pred)), ',')
+       |      AS preds,
+       |    CAST(sum(word_spans) AS BIGINT) AS word_spans
+       |  FROM pred GROUP BY 1
+       |)
+       |SELECT a.lang AS lang_label, n_docs, n_agree,
+       |  round(n_agree::DOUBLE / n_docs, 6) AS agree_rate, preds,
+       |  word_spans, d.char_dup_docs
+       |FROM agg a LEFT JOIN dup d USING (lang)
+       |ORDER BY lang_label""".stripMargin
+  }
+
   /** Window length (tokens) for exact substring dedup — long enough that
     * a shared span means real duplication, short enough that the sf
     * corpora exercise BOTH branches (probed: ~1.1k of ~23k fingerprints
@@ -1568,7 +1751,8 @@ object TextQueries {
     "dedup_substring_clean" -> dedupSubstringClean,
     "lang_id" -> langId,
     "lang_id_multi" -> langIdMulti,
-    "cjk_unsegmented" -> cjkUnsegmented
+    "cjk_unsegmented" -> cjkUnsegmented,
+    "lang_id_scripts" -> langIdScripts
   )
 
   val oracle: Map[String, String] = Map(
@@ -1598,6 +1782,7 @@ object TextQueries {
     "dedup_substring_clean" -> dedupSubstringCleanSql,
     "lang_id" -> langIdSql,
     "lang_id_multi" -> langIdMultiSql,
-    "cjk_unsegmented" -> cjkUnsegmentedSql
+    "cjk_unsegmented" -> cjkUnsegmentedSql,
+    "lang_id_scripts" -> langIdScriptsSql
   )
 }

@@ -196,21 +196,64 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("char_profile equals the regexp_replace spelling it replaced") {
+  test("char_profile lanes equal the regexp_replace spellings they replaced") {
     // alphabet deliberately spans every branch of the byte walk: ASCII,
-    // each Java-\s whitespace char (incl. \x0B, which RE2's \s lacks —
+    // each Java-\\s whitespace char (incl. \\x0B, which RE2's \\s lacks --
     // the profile must match JAVA semantics, the spelling Spark ran),
-    // 2-byte (é/д), 3-byte CJK inside AND outside [4E00,9FFF], astral
+    // 2-byte inside (Arabic) AND outside (e-acute, Cyrillic) the Arabic
+    // range, 3-byte in each script range (Han/kana/Hangul/Devanagari/
+    // Thai), 3-byte outside all ranges (fullwidth yen; U+9FFF is the
+    // LAST Han char), astral
     val chars = Gen.oneOf("a", "Z", "9", " ", "\t", "\n", "\u000B", "\f",
-      "\r", "é", "д", "中", "文", "一", "鿿", "あ", "￥",
-      "😀", "𝒜")
+      "\r", "\u00e9", "\u0434", "\u4e2d", "\u6587", "\u4e00", "\u9fff",
+      "\u3042", "\u30a2", "\uac00", "\u0628", "\u0915", "\u0e01",
+      "\uffe5", "\ud83d\ude00", "\ud835\udc9c")
     val strGen = Gen.listOf(chars).map(_.mkString)
+    val ranges = Seq("\\x{4e00}-\\x{9fff}", "\\x{3040}-\\x{30ff}",
+      "\\x{ac00}-\\x{d7af}", "\\x{0600}-\\x{06ff}",
+      "\\x{0900}-\\x{097f}", "\\x{0e00}-\\x{0e7f}")
+    def cpCount(kept: String): Long =
+      kept.codePointCount(0, kept.length).toLong
     check(Prop.forAll(strGen) { s =>
-      val packed = CharProfileImpl.compute(UTF8String.fromString(s))
-      val nonspace = s.replaceAll("\\s", "")
-      val cjk = s.replaceAll("[^\\x{4e00}-\\x{9fff}]", "")
-      (packed >>> 32) == nonspace.codePointCount(0, nonspace.length) &&
-        (packed & 0xffffffffL) == cjk.codePointCount(0, cjk.length)
+      val c = CharProfileImpl.counts(UTF8String.fromString(s))
+      c(0) == cpCount(s.replaceAll("\\s", "")) &&
+        ranges.zipWithIndex.forall { case (r, i) =>
+          c(i + 1) == cpCount(s.replaceAll(s"[^$r]", ""))
+        }
     })
+  }
+
+  test("char_profile route: packing and priority") {
+    def routed(s: String): (Int, Long, Long) = {
+      val p = CharProfileImpl.compute(UTF8String.fromString(s))
+      ((p >>> 60).toInt, (p >>> 32) & 0x0fffffffL, p & 0xffffffffL)
+    }
+    // pure scripts route their language's id with count = numerator
+    assert(routed("\u4e2d\u6587\u4e2d") == ((2, 3L, 3L)))      // zh
+    assert(routed("\uac00\uac01\uac02\uac03") == ((3, 4L, 4L))) // ko
+    assert(routed("\u0628\u0628\u0628") == ((4, 3L, 3L)))      // ar
+    assert(routed("\u0915\u0916\u0917") == ((5, 3L, 3L)))      // hi
+    assert(routed("\u0e01\u0e02\u0e04") == ((6, 3L, 3L)))      // th
+    // ja priority: Han-MAJORITY text with kana presence routes ja, and
+    // the numerator is kana+han (the combined CJK mass) -- without the
+    // presence rule this exact string would read zh
+    val jaMixed = "\u65e5\u672c\u8a9e\u3042" + "\u4e2d" * 12
+    val c = CharProfileImpl.counts(UTF8String.fromString(jaMixed))
+    assert(c(2) * CharProfileImpl.KanaDen >= c(0), "kana presence holds")
+    assert(c(1) * 10 >= 3 * c(0), "han alone also clears the bar")
+    val (sid, num, _) = routed(jaMixed)
+    assert(sid == 1, "kana presence routes ja ahead of zh")
+    assert(num == c(1) + c(2))
+    // below both bars: no route (sid 0), the word layer decides
+    assert(routed("hello world")._1 == 0)
+    // integer-exact boundary: 3 of 10 non-space chars IS >= 30%...
+    assert(routed("\u0e01\u0e01\u0e01abcdefg")._1 == 6)
+    // ...and 2 of 7 (28.6%) is not
+    assert(routed("\u0e01\u0e01abcde")._1 == 0)
+    // whitespace is excluded from the denominator
+    assert(routed("\u0e01 \u0e02 \u0e04")._1 == 6)
+    // empty / all-space: nonspace 0, nothing routes
+    assert(routed("") == ((0, 0L, 0L)))
+    assert(routed("   ")._1 == 0)
   }
 }

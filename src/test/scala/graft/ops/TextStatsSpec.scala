@@ -42,6 +42,33 @@ class TextStatsSpec extends AnyFunSuite {
       got(i)._2 > 0.0 && got(i)._2 <= 1.0))
   }
 
+  test("langIdStruct: script routes fire on real sentences (ja/ko/ar/hi/th)") {
+    val got = classify(Seq(
+      // unsegmented Japanese: kana+Han mix, kana presence routes ja even
+      // where Han alone would clear the zh bar
+      1L -> "私は日本語を勉強しています",
+      2L -> "日本語の文章です",
+      // segmented but non-Latin scripts: the word layer scores zero on
+      // these (no Latin profile hits) — before the script layer they
+      // routed und
+      3L -> "한국어 문장은 한글로 쓰여 있습니다",
+      4L -> "هذه جملة باللغة العربية للاختبار",
+      5L -> "यह हिंदी में लिखा गया वाक्य है",
+      // unsegmented Thai — no spaces, no tokenizer, chars decide
+      6L -> "นี่คือประโยคภาษาไทยไม่มีช่องว่าง",
+      // pure Han stays zh: no kana anywhere, the ja rule cannot fire
+      7L -> "这是一个中文句子没有空格分词"))
+    assert(got(1L)._1 == "ja")
+    assert(got(2L)._1 == "ja")
+    assert(got(3L)._1 == "ko")
+    assert(got(4L)._1 == "ar")
+    assert(got(5L)._1 == "hi")
+    assert(got(6L)._1 == "th")
+    assert(got(7L)._1 == "zh")
+    // scores are the routed script's fraction of non-space chars
+    assert((1L to 7L).forall(i => got(i)._2 > 0.0 && got(i)._2 <= 1.0))
+  }
+
   test("langIdStruct: ties break lexicographically; null text is und") {
     // 'la' and 'de' sit in BOTH the es and fr profiles — a text of only
     // shared words scores them equal, and the profile (lexicographic)

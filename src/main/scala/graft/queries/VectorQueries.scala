@@ -986,7 +986,167 @@ object VectorQueries {
        |WHERE r.rn <= $OutlierK
        |ORDER BY centroid_id, rn""".stripMargin
 
+  /** Cosine bar for [[decontaminateSemantic]]: the paraphrase band. The
+    * driver corpus's honest cross-source cosines top out near 0.5 (no
+    * real semantic twins of src0 exist in synthetic data), so the key
+    * PLANTS contamination deterministically inside the query — the same
+    * device as `pii_redact`'s injected spans: corpus docs with
+    * `vec_id % 11 == 3` get their embedding replaced by a paraphrase of
+    * a benchmark vector (`bench + 0.05·own`, elementwise double), so the
+    * oracle genuinely checks the detection path, not a no-op pass. The
+    * planted cosines land ≥ 0.99; honest pairs stay below 0.5 — no
+    * engine-boundary flip risk at the 0.9 bar.
+    */
+  val SemanticContamCos = 0.9
+
+  /** Embedding-grain benchmark decontamination — the paraphrase-level
+    * complement of the span-grain `decontaminate` /
+    * `decontaminate_spans` family ([[CurationQueries]]): exact n-gram
+    * overlap catches verbatim benchmark leakage, but a PARAPHRASED eval
+    * item shares no 8-token span — only its embedding stays close. The
+    * recipe composes the existing IVF cell machinery with the src0
+    * "benchmark" set (same convention as `decontaminate`): assign
+    * benchmark and corpus vectors to cells
+    * ([[Vectors.nearestCentroid]], rounded-cosine argmax, broadcast
+    * centroids), hash-join ONLY within cells (bench side broadcast —
+    * benchmark suites are small by nature), flag corpus docs whose
+    * rounded cosine to any benchmark item clears
+    * [[SemanticContamCos]], and report PER-SOURCE contamination counts
+    * (the ops view: which crawl source is leaking eval data). Never
+    * all-pairs: candidates are bounded by cell co-membership, the same
+    * recall-at-boundary trade `semantic_dedup` documents; k scales with
+    * the corpus (see [[NumCentroids]]).
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Readers.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val docs = Readers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    // cache: bench, the plant, and the per-source totals all embed this
+    // two-table equi-join subtree
+    val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+      .select("vec_id", "source", "emb")
+      .cache()
+    val bench = joined.filter(col("source") === "src0")
+      .select(col("vec_id").as("bench_id"), col("emb").as("b_emb"))
+    val corp0 = joined.filter(col("source") =!= "src0")
+    // deterministic plant (see SemanticContamCos): target bench id =
+    // vec_id rounded down to a multiple of 20 — a LEFT join, so if no
+    // benchmark doc carries that id the doc simply stays unplanted (the
+    // rule never assumes the source layout). The zip_with lambda is the
+    // fixture, not the operator (same dispensation as lang_id_multi's
+    // remap); the detection path below stays on the fold that matches
+    // DuckDB term order.
+    val planted = corp0.join(broadcast(bench),
+        (col("vec_id") % 11 === 3) &&
+          (col("bench_id") === col("vec_id") - (col("vec_id") % 20)), "left")
+      .select(col("vec_id"), col("source"),
+        when(col("b_emb").isNotNull,
+          zip_with(col("b_emb"), col("emb"), (b, o) => b + lit(0.05) * o))
+          .otherwise(col("emb")).as("embedding"))
+    val cents = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    val corpA = Vectors.nearestCentroid(planted, "vec_id", cents)
+      .withColumn("_nc",
+        sqrt(Vectors.dotHof(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("source"), col("centroid_id"),
+        col("embedding"), col("_nc"))
+    val benchA = Vectors.nearestCentroid(
+        bench.select(col("bench_id"), col("b_emb").as("embedding")),
+        "bench_id", cents)
+      .withColumn("_nb",
+        sqrt(Vectors.dotHof(col("embedding"), col("embedding"))))
+      .select(col("bench_id"), col("centroid_id"),
+        col("embedding").as("e_b"), col("_nb"))
+    val hits = corpA.join(broadcast(benchA), Seq("centroid_id"))
+      .withColumn("cos", round(Vectors.safeDiv(
+        Vectors.dotHof(col("embedding"), col("e_b")),
+        col("_nc") * col("_nb")), 6))
+      .filter(col("cos") >= SemanticContamCos)
+    val hitAgg = hits.groupBy("source")
+      .agg(countDistinct(col("vec_id")).as("n_contaminated"),
+        count(lit(1)).as("n_hits"),
+        max(col("cos")).as("max_cos"))
+    corp0.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(hitAgg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"))
+      .orderBy("source")
+  }
+
+  /** DuckDB cosine between two DOUBLE[] expressions (the planted frame's
+    * columns are not raw table embeddings, so [[cosSql]]'s
+    * `x.embedding` convention does not fit).
+    */
+  private def cosDSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+       |      (sqrt(list_dot_product($a, $a)) *
+       |       sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  val decontaminateSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |), j AS (
+       |  SELECT e.vec_id, d.source, e.emb
+       |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+       |), bench AS (
+       |  SELECT vec_id AS bench_id, emb AS b_emb FROM j
+       |  WHERE source = 'src0'
+       |), corp0 AS (
+       |  SELECT vec_id, source, emb FROM j WHERE source <> 'src0'
+       |), planted AS (
+       |  SELECT c.vec_id, c.source,
+       |    CASE WHEN b.bench_id IS NOT NULL THEN
+       |      list_transform(range(1, len(c.emb) + 1),
+       |        i -> b.b_emb[i] + 0.05::DOUBLE * c.emb[i])
+       |    ELSE c.emb END AS emb
+       |  FROM corp0 c LEFT JOIN bench b
+       |    ON c.vec_id % 11 = 3 AND b.bench_id = c.vec_id - (c.vec_id % 20)
+       |), cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+       |  WHERE vec_id < $NumCentroids
+       |), corpa AS (
+       |  SELECT vec_id, source, emb, centroid_id FROM (
+       |    SELECT v.vec_id, v.source, v.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${cosDSql("v.emb", "c.c_emb")}, 6) DESC,
+       |          c.centroid_id) AS rn
+       |    FROM planted v, cents c)
+       |  WHERE rn = 1
+       |), bencha AS (
+       |  SELECT bench_id, b_emb, centroid_id FROM (
+       |    SELECT b.bench_id, b.b_emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY b.bench_id
+       |        ORDER BY round(${cosDSql("b.b_emb", "c.c_emb")}, 6) DESC,
+       |          c.centroid_id) AS rn
+       |    FROM bench b, cents c)
+       |  WHERE rn = 1
+       |), hits AS (
+       |  SELECT q.vec_id, q.source,
+       |    round(${cosDSql("q.emb", "b.b_emb")}, 6) AS cos
+       |  FROM corpa q JOIN bencha b USING (centroid_id)
+       |  WHERE round(${cosDSql("q.emb", "b.b_emb")}, 6)
+       |    >= $SemanticContamCos::DOUBLE
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_contaminated,
+       |    CAST(count(*) AS BIGINT) AS n_hits,
+       |    max(cos) AS max_cos
+       |  FROM hits GROUP BY 1
+       |), tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM corp0 GROUP BY 1
+       |)
+       |SELECT t.source, t.n_docs,
+       |  coalesce(a.n_contaminated, 0) AS n_contaminated,
+       |  coalesce(a.n_hits, 0) AS n_hits, a.max_cos
+       |FROM tot t LEFT JOIN agg a USING (source)
+       |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_semantic" -> decontaminateSemantic,
     "embedding_outliers" -> embeddingOutliers,
     "sample_cluster_balanced" -> sampleClusterBalanced,
     "semantic_dedup" -> semanticDedup,
@@ -1009,6 +1169,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "sample_cluster_balanced" -> sampleClusterBalancedSql,
     "semantic_dedup" -> semanticDedupSql,

@@ -620,6 +620,12 @@ object CurationQueries {
     * per-split doc/cluster counts and how many docs the repair moved.
     * At 100 TB every stage is a hash shuffle on (fp) or (doc_id); the
     * only cross-join is the broadcast of the 1-row audit aggregate.
+    *
+    * Bench budget (ARCHITECTURE.md policy): ~2.6 s at sf0.1 — above the
+    * 1.5 s new-key target and priced in as an ITERATIVE graph op: the
+    * cost is the same pointer-jumping CC rounds as `dedup_clusters`
+    * plus the shingle explode, each individually audited; there is no
+    * cheaper shape that still closes components exactly.
     */
   def splitRebalance(spark: SparkSession, dir: String): DataFrame = {
     val n = TextQueries.SubstringSpanTokens

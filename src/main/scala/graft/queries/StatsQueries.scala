@@ -822,6 +822,11 @@ object StatsQueries {
     * bracket, one counting calibration pass, and a rank-select over only
     * the O(n/accuracy) interior slice. The oracle is plain
     * `quantile_cont` — exactness means no tolerance contract is needed.
+    *
+    * Bench budget (ARCHITECTURE.md policy): ~2.6 s at sf0.1 — above the
+    * 1.5 s new-key target and priced in as a deliberately-labeled EXACT
+    * twin: the multi-pass rank-select exists to certify (and price) what
+    * the single-pass KLL sketch keys replace; its cost IS the exhibit.
     */
   def quantileExact(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantiles

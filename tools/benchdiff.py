@@ -11,6 +11,13 @@ removed. Defaults match the judge's r8 criterion: ratio 1.3, abs 0.15s.
 Reads either the `queries` (scalar seconds) or `queries_min_max`
 ([min, max]) layout, so older round artifacts diff cleanly against new
 ones.
+
+When BOTH records carry `queries_norm` (r16+: per-key min normalized to
+the run's own calibration floor, plus the segment heat of the chosen
+sample), the diff re-bases each side onto the COMMON floor
+min(old.cal, new.cal) — `t_at_F = norm * F / own_cal` — so two runs
+taken on differently-contended hosts diff key by key without the
+uniform-shift assumption. Raw-min mode is the fallback and is labeled.
 """
 import json
 import sys
@@ -23,13 +30,35 @@ def mins(detail: dict) -> dict:
     return {k: (v[0] if isinstance(v, list) else v) for k, v in q.items()}
 
 
+def norm_mins(detail: dict, common_floor: float) -> dict:
+    own = detail.get("cal") or 0.0
+    if not own:
+        return {}
+    return {k: v[0] * common_floor / own
+            for k, v in detail.get("queries_norm", {}).items()
+            if isinstance(v, list) and v[0] >= 0}
+
+
 def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
     old, new = (json.load(open(p)) for p in (old_path, new_path))
     om, nm = mins(old), mins(new)
+    if old.get("queries_norm") and new.get("queries_norm"):
+        floor = min(old.get("cal", 1e9), new.get("cal", 1e9))
+        onorm, nnorm = norm_mins(old, floor), norm_mins(new, floor)
+        if onorm and nnorm:
+            om = {k: v for k, v in onorm.items() if k in om}
+            nm = {k: v for k, v in nnorm.items() if k in nm}
+            print(f"mode: heat-NORMALIZED mins, re-based to common floor "
+                  f"{floor} (old cal {old.get('cal')}, new cal "
+                  f"{new.get('cal')})")
+    else:
+        print("mode: raw mins (a record predates queries_norm) — "
+              "contended-host deltas need the uniform-shift caveat")
     for label, d in (("old", old), ("new", new)):
         n = len(mins(d))
         print(f"{label}: total {d.get('value')}s over {n} keys "
-              f"(cal {d.get('cal')}, cal_max {d.get('cal_max')})")
+              f"(cal {d.get('cal')}, cal_max {d.get('cal_max')}, "
+              f"run_contended {d.get('run_contended')})")
     added = sorted(set(nm) - set(om))
     removed = sorted(set(om) - set(nm))
     if added:

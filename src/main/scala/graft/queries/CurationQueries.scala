@@ -65,6 +65,11 @@ object CurationQueries {
         allowedLangs = Some(AllowedLangs))
       .orderBy("doc_id")
 
+  // Twin-simplification note (r16): langIdStruct now also routes
+  // ja/ko/ar/hi/th from their script ranges; this oracle keeps the
+  // Han-only CASE because the raw driver docs provably contain NO
+  // characters from the new ranges, so the extra branches cannot fire.
+  // The six-script routing has its own exact twin in langIdScriptsSql.
   val qualityFilterLangSql: String = {
     val stops = TextStats.Stopwords.map(s => s"'$s'").mkString(", ")
     val langs = TextStats.LangProfiles.map(_._1)

@@ -751,6 +751,12 @@ object TextQueries {
         (col("__lid.lang_pred") === col("lang")).as("agree"))
       .orderBy("doc_id")
 
+  // Twin-simplification note (r16): langIdStruct now also routes
+  // ja/ko/ar/hi/th from their script ranges; this oracle keeps the
+  // Han-only CASE because its input provably contains NO characters
+  // from the new ranges (raw driver docs are Latin-only; the synth
+  // arms emit only Han), so the extra branches cannot fire. The full
+  // six-script routing has its own exact twin in langIdScriptsSql.
   val langIdSql: String = {
     val langs = TextStats.LangProfiles.map(_._1)
     val scoreExprs = TextStats.LangProfiles.map { case (l, ws) =>
@@ -859,6 +865,12 @@ object TextQueries {
       .orderBy("lang_label")
   }
 
+  // Twin-simplification note (r16): langIdStruct now also routes
+  // ja/ko/ar/hi/th from their script ranges; this oracle keeps the
+  // Han-only CASE because its input provably contains NO characters
+  // from the new ranges (raw driver docs are Latin-only; the synth
+  // arms emit only Han), so the extra branches cannot fire. The full
+  // six-script routing has its own exact twin in langIdScriptsSql.
   val langIdMultiSql: String = {
     val langs = TextStats.LangProfiles.map(_._1)
     val prof = TextStats.LangProfiles.toMap
@@ -986,6 +998,12 @@ object TextQueries {
   }
 
   // lazy: SubstringSpanTokens is defined later in the file (val init order)
+  // Twin-simplification note (r16): langIdStruct now also routes
+  // ja/ko/ar/hi/th from their script ranges; this oracle keeps the
+  // Han-only CASE because its input provably contains NO characters
+  // from the new ranges (raw driver docs are Latin-only; the synth
+  // arms emit only Han), so the extra branches cannot fire. The full
+  // six-script routing has its own exact twin in langIdScriptsSql.
   lazy val cjkUnsegmentedSql: String = {
     val wn = SubstringSpanTokens
     val cn = CjkSpanChars

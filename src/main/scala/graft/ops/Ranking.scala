@@ -255,10 +255,24 @@ object Ranking {
       res = res.withColumn(rc,
         col(offCol) + row_number().over(w).cast("long") - lit(1L))
     }
-    aggs.zip(valNames).zip(runOffNames).foreach { case ((s, v), r) =>
+    // Materialize each local prefix ONCE before the null-handling CASE:
+    // Spark's window extraction creates one physical window function per
+    // OCCURRENCE of a window expression (identical specs are NOT
+    // deduplicated across CASE branches), and the combine below
+    // references `local` three times (null guard, branch value, the
+    // combine arm) — inlined, every RunningSpec cost THREE same-frame
+    // window functions instead of one. Measured on
+    // window_running_skewfree (4 specs → 12 window sums in the data
+    // pass's WindowExec): the plan now carries exactly one sum per
+    // spec; the CASE runs in a plain projection above the window.
+    val localNames = aggs.indices.map(i => s"__graft_loc_$i")
+    aggs.zip(valNames).zip(localNames).foreach { case ((s, v), ln) =>
       val frame = w.rowsBetween(Window.unboundedPreceding,
         if (s.inclusive) Window.currentRow else -1)
-      val local = aggFn(s.kind)(col(v)).over(frame)
+      res = res.withColumn(ln, aggFn(s.kind)(col(v)).over(frame))
+    }
+    aggs.zip(localNames).zip(runOffNames).foreach { case ((s, ln), r) =>
+      val local = col(ln)
       val off = col(r)
       val combined = s.kind match {
         case RunSum =>
@@ -291,7 +305,7 @@ object Ranking {
         .withColumn(idxOut, row_number().over(w).cast("long") - lit(1L))
         .withColumn(cntOut, col(cnt))
     }
-    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames ++
+    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames ++ localNames ++
       (if (internals.isDefined) Seq(cnt) else Nil): _*)
   }
 

@@ -212,9 +212,54 @@ object Ranking {
     val valNames = aggs.indices.map(i => s"__graft_val_$i")
     val totNames = aggs.indices.map(i => s"__graft_tot_$i")
     val runOffNames = aggs.indices.map(i => s"__graft_roff_$i")
+    // Spec dedup: two running aggregates with the same kind, inclusivity,
+    // and CONSTANT value are one column — the common case is a count
+    // prefix requested twice (a caller's sum over lit(1) plus the
+    // engine's own non-null count of it, which folds to the identical
+    // sum(1)); undeduplicated, the optimizer collapses both to the same
+    // window aggregate and Spark runs it twice per row (PlanLint
+    // duplicate-window-function). Only provably-foldable values dedup —
+    // column-valued specs keep their own slot.
     val withVals = aggs.zip(valNames).foldLeft(df) {
       case (d, (s, nm)) => d.withColumn(nm, s.value)
     }
+    // Foldability is invisible pre-analysis (the Column bridge wraps an
+    // opaque ColumnNode), so constants are detected on the ANALYZED
+    // aliases: walk the projects top-down, keep each val column's first
+    // (outermost) defining expression, and canonicalize the ones that
+    // evaluate to a constant. Analysis is job-free (construction stays
+    // lazy). Non-foldable values keep their own slot.
+    val aliasExpr: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] = {
+      val pairs = withVals.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.name -> a.child
+          }
+      }.flatten
+      pairs.foldLeft(Map.empty[String,
+          org.apache.spark.sql.catalyst.expressions.Expression]) {
+        case (m, (n, e)) => if (m.contains(n)) m else m + (n -> e)
+      }
+    }
+    val canonOf: Seq[Option[(RunKind, Boolean, Any, String)]] =
+      aggs.zip(valNames).map { case (s, nm) =>
+        aliasExpr.get(nm) match {
+          case Some(e) if e.resolved && e.foldable =>
+            try Some((s.kind, s.inclusive, e.eval(null),
+              e.dataType.catalogString))
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      }
+    val repOf: Seq[Int] = aggs.indices.map { i =>
+      canonOf(i) match {
+        case Some(c) =>
+          aggs.indices.find(j => canonOf(j).contains(c)).getOrElse(i)
+        case None => i
+      }
+    }
+    val reps: Seq[Int] = aggs.indices.filter(i => repOf(i) == i)
     val data = assignRanges(withVals, head, splitPoints)
     def aggFn(k: RunKind)(c: Column): Column = k match {
       case RunSum => sum(c)
@@ -225,17 +270,17 @@ object Ranking {
     // RANGE count (cluster metadata), not the data — the structural
     // `limit` makes that cardinality visible to Catalyst and PlanLint
     val perRange = data.groupBy(col(pidCol)).agg(count(lit(1)).as(cnt),
-        aggs.zip(valNames).zip(totNames).map { case ((s, v), t) =>
-          aggFn(s.kind)(col(v)).as(t)
+        reps.map { i =>
+          aggFn(aggs(i).kind)(col(valNames(i))).as(totNames(i))
         }: _*)
       .limit(ranges)
     val prefixW = Window.orderBy(pidCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     var offsets = perRange.withColumn(offCol,
       coalesce(sum(col(cnt)).over(prefixW), lit(0L)))
-    offsets = aggs.zip(totNames).zip(runOffNames).foldLeft(offsets) {
-      case (o, ((s, t), r)) =>
-        o.withColumn(r, aggFn(s.kind)(col(t)).over(prefixW))
+    offsets = reps.foldLeft(offsets) { case (o, i) =>
+      o.withColumn(runOffNames(i),
+        aggFn(aggs(i).kind)(col(totNames(i))).over(prefixW))
     }
     offsets = countCol match {
       case Some(nm) => offsets.withColumn(nm, sum(col(cnt)).over(
@@ -244,16 +289,23 @@ object Ranking {
       case None => offsets
     }
     offsets = offsets.select((Seq(pidCol, offCol) ++ countCol.toSeq ++
-      runOffNames ++ (if (internals.isDefined) Seq(cnt) else Nil))
+      reps.map(runOffNames) ++ (if (internals.isDefined) Seq(cnt) else Nil))
       .map(col): _*)
     // per-range locals: a Window PARTITIONED by the range id — every
     // range sorts once locally, all ranges in parallel, and rank plus
     // every running aggregate read that one sort
     val w = Window.partitionBy(pidCol).orderBy(order: _*)
     var res = data.join(broadcast(offsets), pidCol)
+    // the 0-based local index materializes ONCE and serves both the
+    // global rank and the internals' idx output — requested together
+    // (the DistributeGlobalRank partitioned leg), an inline row_number
+    // per consumer planned two identical window functions
+    val rnLoc = "__graft_rnloc"
+    if (rankCol.nonEmpty || internals.nonEmpty)
+      res = res.withColumn(rnLoc,
+        row_number().over(w).cast("long") - lit(1L))
     rankCol.foreach { rc =>
-      res = res.withColumn(rc,
-        col(offCol) + row_number().over(w).cast("long") - lit(1L))
+      res = res.withColumn(rc, col(offCol) + col(rnLoc))
     }
     // Materialize each local prefix ONCE before the null-handling CASE:
     // Spark's window extraction creates one physical window function per
@@ -266,12 +318,14 @@ object Ranking {
     // pass's WindowExec): the plan now carries exactly one sum per
     // spec; the CASE runs in a plain projection above the window.
     val localNames = aggs.indices.map(i => s"__graft_loc_$i")
-    aggs.zip(valNames).zip(localNames).foreach { case ((s, v), ln) =>
+    reps.foreach { i =>
       val frame = w.rowsBetween(Window.unboundedPreceding,
-        if (s.inclusive) Window.currentRow else -1)
-      res = res.withColumn(ln, aggFn(s.kind)(col(v)).over(frame))
+        if (aggs(i).inclusive) Window.currentRow else -1)
+      res = res.withColumn(localNames(i),
+        aggFn(aggs(i).kind)(col(valNames(i))).over(frame))
     }
-    aggs.zip(localNames).zip(runOffNames).foreach { case ((s, ln), r) =>
+    reps.map(i => ((aggs(i), localNames(i)), runOffNames(i)))
+      .foreach { case ((s, ln), r) =>
       val local = col(ln)
       val off = col(r)
       val combined = s.kind match {
@@ -286,6 +340,10 @@ object Ranking {
             .otherwise(greatest(off, local))
       }
       res = res.withColumn(s.out, combined)
+    }
+    // deduplicated specs read their representative's output column
+    aggs.indices.filterNot(reps.contains).foreach { i =>
+      res = res.withColumn(aggs(i).out, col(aggs(repOf(i)).out))
     }
     // per-range-local lag/lead in the SAME WindowExec (offset window
     // functions ignore frames, so they share the one local sort)
@@ -302,11 +360,11 @@ object Ranking {
     // full-data exchange
     internals.foreach { case (pidOut, idxOut, cntOut) =>
       res = res.withColumn(pidOut, col(pidCol))
-        .withColumn(idxOut, row_number().over(w).cast("long") - lit(1L))
+        .withColumn(idxOut, col(rnLoc))
         .withColumn(cntOut, col(cnt))
     }
-    res.drop(Seq(pidCol, offCol) ++ runOffNames ++ valNames ++ localNames ++
-      (if (internals.isDefined) Seq(cnt) else Nil): _*)
+    res.drop(Seq(pidCol, offCol, rnLoc) ++ runOffNames ++ valNames ++
+      localNames ++ (if (internals.isDefined) Seq(cnt) else Nil): _*)
   }
 
   /** `df` plus `out` = the 1-based `row_number() OVER (PARTITION BY

@@ -28,14 +28,19 @@ object Sessionize {
   def withSessionNo(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
                     gapMicros: Long): DataFrame = {
     val order = Window.partitionBy(key).orderBy(ts, tieBreak)
-    val prevTs = lag(unix_micros(ts), 1).over(order)
-    val isNew = when(prevTs.isNull || (unix_micros(ts) - prevTs) > gapMicros, 1L)
-      .otherwise(0L)
-    df.withColumn("_new_session", isNew)
+    // materialize the lag ONCE: window extraction creates one physical
+    // window function per occurrence (no dedup across the null-guard and
+    // the subtraction — PlanLint's duplicate-window-function rule), so
+    // the gap test must reference a column, not the lag expression
+    val prev = "_prev_us"
+    val isNew = when(col(prev).isNull ||
+      (unix_micros(ts) - col(prev)) > gapMicros, 1L).otherwise(0L)
+    df.withColumn(prev, lag(unix_micros(ts), 1).over(order))
+      .withColumn("_new_session", isNew)
       .withColumn("session_no",
         sum(col("_new_session")).over(
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_new_session")
+      .drop("_new_session", prev)
   }
 
   /** Full session summary: one row per (key, session_no). */

@@ -81,18 +81,30 @@ object TimeSeries {
     * bounded by α^depth (callers pick depth to put that under their
     * tolerance).
     */
-  def ewmaTruncated(seriesCol: Column, orderCol: Column, valueCol: Column,
-                    alpha: Double, depth: Int): Column = {
+  def withEwmaTruncated(df: DataFrame, out: String, seriesCol: Column,
+                        orderCol: Column, valueCol: Column,
+                        alpha: Double, depth: Int): DataFrame = {
     require(depth >= 1 && alpha > 0 && alpha < 1, "need depth>=1, 0<alpha<1")
     val w = Window.partitionBy(seriesCol).orderBy(orderCol)
+    // each lag materializes ONCE: the weighted term references its lag
+    // three times (two null guards + the product), and window extraction
+    // creates one physical function per OCCURRENCE — inlined, depth=8
+    // planned ~24 lag functions where 8 suffice (PlanLint
+    // duplicate-window-function; the withColumn chain collapses into a
+    // single WindowExec via CollapseWindow)
+    val lagNames = (0 until depth).map(k => s"__graft_ewma_l$k")
+    val withLags = (0 until depth).foldLeft(df) { case (d, k) =>
+      d.withColumn(lagNames(k), lag(valueCol, k).over(w))
+    }
     val terms = (0 until depth).map { k =>
-      val v = lag(valueCol, k).over(w)
+      val v = col(lagNames(k))
       (when(v.isNotNull, v * math.pow(alpha, k)), // weighted value or null
         when(v.isNotNull, lit(math.pow(alpha, k))).otherwise(lit(0.0)))
     }
     val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
-    when(den > 0.0, num / den)
+    withLags.withColumn(out, when(den > 0.0, num / den))
+      .drop(lagNames: _*)
   }
 
   /** Resample to the coarser grid `bucket(t)`: count / min / max / mean

@@ -38,6 +38,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   *     atomic columns to literals (i.e. predicates the source COULD
   *     serve): row groups that statistics would have skipped are read,
   *     decoded, then dropped.
+  *   - `duplicate-window-function` — a `Window` over an unbounded input
+  *     carrying two or more physically identical (canonically equal)
+  *     window functions: Spark extracts one function per OCCURRENCE of
+  *     a window expression, with no dedup across e.g. CASE branches, so
+  *     every duplicate is a full extra aggregate buffer updated per row
+  *     (the r16 `withGlobalPrefix` finding: 12 same-frame sums where 4
+  *     sufficed). Always waste; fix by materializing the expression
+  *     once and referencing the column.
   *
   * The walk runs on the INITIAL physical plan (pre-AQE, unwrapped from
   * [[AdaptiveSparkPlanExec]]), so linting never executes the query —
@@ -64,6 +72,7 @@ object PlanLint {
   val NestedLoopJoin = "nested-loop-join"
   val UnpartitionedWindow = "unpartitioned-window"
   val UnpushedScanFilter = "unpushed-scan-filter"
+  val DuplicateWindowFunction = "duplicate-window-function"
 
   /** Lint a DataFrame's (initial, pre-AQE) physical plan. `allow`
     * suppresses findings by rule name — pass the rules a caller has
@@ -93,11 +102,32 @@ object PlanLint {
           out += Finding(NestedLoopJoin, j.nodeName,
             s"${j.joinType} without an equi-key — every probe row walks " +
               "an UNBOUNDED broadcast side")
-      case w: WindowExec if w.partitionSpec.isEmpty &&
-          boundedRows(w.child).isEmpty =>
-        out += Finding(UnpartitionedWindow, w.nodeName,
-          "empty PARTITION BY over an unbounded input — all rows move " +
-            "to ONE task")
+      case w: WindowExec =>
+        if (w.partitionSpec.isEmpty && boundedRows(w.child).isEmpty)
+          out += Finding(UnpartitionedWindow, w.nodeName,
+            "empty PARTITION BY over an unbounded input — all rows move " +
+              "to ONE task")
+        // Spark's window extraction creates one PHYSICAL window function
+        // per OCCURRENCE of a window expression — identical specs are
+        // not deduplicated (e.g. a null-handling CASE referencing the
+        // same windowed sum in three branches runs three same-frame
+        // aggregates per row; the r16 withGlobalPrefix finding, 12
+        // functions where 4 sufficed). Only flag UNBOUNDED inputs: on a
+        // constant-bounded frame the duplicate buffers are noise.
+        if (boundedRows(w.child).isEmpty) {
+          val dups = w.windowExpression
+            .collect { case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child }
+            .collect { case we: org.apache.spark.sql.catalyst.expressions
+              .WindowExpression => we }
+            .groupBy(_.canonicalized).filter(_._2.size > 1)
+          dups.foreach { case (_, es) =>
+            out += Finding(DuplicateWindowFunction, w.nodeName,
+              s"${es.size}x physically identical window function " +
+                s"(${es.head.windowFunction.prettyName} over one spec) — " +
+                "materialize the expression once and reference the column")
+          }
+        }
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty &&
           boundedRows(w.child).isEmpty =>
         out += Finding(UnpartitionedWindow, w.nodeName,

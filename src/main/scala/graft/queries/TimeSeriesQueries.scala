@@ -166,10 +166,9 @@ object TimeSeriesQueries {
   def tsSmooth(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
       .rowsBetween(-6, Window.currentRow)
-    dailyMeans(spark, dir)
-      .withColumn("ewma",
-        round(TimeSeries.ewmaTruncated(col("event_type"), col("day_idx"),
-          col("v"), EwmaAlpha, EwmaDepth), 6))
+    TimeSeries.withEwmaTruncated(dailyMeans(spark, dir), "__ew",
+        col("event_type"), col("day_idx"), col("v"), EwmaAlpha, EwmaDepth)
+      .withColumn("ewma", round(col("__ew"), 6)).drop("__ew")
       // Spark refuses exact percentile aggregates over a FRAME; a 7-row
       // frame makes collect+sort+interpolate the honest equivalent (and
       // the array is bounded by the frame, not the data)
@@ -223,16 +222,28 @@ object TimeSeriesQueries {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
       .rowsBetween(-(RollN - 1), Window.currentRow)
     val x = col("day_idx").cast("double"); val y = col("v")
-    val n = count(y).over(w).cast("double")
-    val sx = sum(x).over(w); val sy = sum(y).over(w)
-    val sxy = sum(x * y).over(w)
-    val sxx = sum(x * x).over(w); val syy = sum(y * y).over(w)
-    val cov = n * sxy - sx * sy
-    val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
-    dailyMeans(spark, dir)
+    // the six sufficient statistics materialize ONCE each: the closed
+    // form references n five times and each sum up to three — inlined,
+    // window extraction planned ~19 same-frame aggregates where six
+    // suffice (PlanLint duplicate-window-function); the closed form now
+    // runs in a plain projection above one six-function WindowExec
+    val sums = Seq(
+      "__n" -> count(y).over(w).cast("double"),
+      "__sx" -> sum(x).over(w), "__sy" -> sum(y).over(w),
+      "__sxy" -> sum(x * y).over(w),
+      "__sxx" -> sum(x * x).over(w), "__syy" -> sum(y * y).over(w))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val cov = n * col("__sxy") - sx * sy
+    val varx = n * col("__sxx") - sx * sx
+    val vary = n * col("__syy") - sy * sy
+    sums.foldLeft(dailyMeans(spark, dir)) {
+        case (d, (nm, c)) => d.withColumn(nm, c)
+      }
+      .withColumn("__vx", varx).withColumn("__vy", vary)
       .withColumn("trend_r",
-        round(when(varx > 0.0 && vary > 0.0,
-          cov / sqrt(varx) / sqrt(vary)), 6))
+        round(when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          cov / sqrt(col("__vx")) / sqrt(col("__vy"))), 6))
+      .drop(sums.map(_._1) :+ "__vx" :+ "__vy": _*)
       .orderBy("event_type", "day_idx")
   }
 

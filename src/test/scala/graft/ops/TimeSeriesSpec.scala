@@ -37,10 +37,10 @@ class TimeSeriesSpec extends AnyFunSuite {
   }
 
   test("ewmaTruncated: weighted window, head normalizes by present weights") {
-    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
-      .toDF("s", "t", "v")
-      .withColumn("ewma",
-        TimeSeries.ewmaTruncated(col("s"), col("t"), col("v"), 0.5, 2))
+    val df = TimeSeries.withEwmaTruncated(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+        .toDF("s", "t", "v"),
+      "ewma", col("s"), col("t"), col("v"), 0.5, 2)
     val out = df.select("t", "ewma").as[(Long, Double)].collect().toMap
     assert(math.abs(out(1L) - 10.0) < 1e-12)                      // head: only itself
     assert(math.abs(out(2L) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)

@@ -96,8 +96,18 @@ object TextDedup {
     val spans = toks
       .select(col(idCol), explode(shinglesFromWords(col("__w"), n)).as("s"))
       .select(col(idCol), md5(col("s")).as("fp"))
+    // pinned (r17): the per-(doc, fp) counts feed BOTH the fp-cardinality
+    // aggregate and the join back — two consumers keyed differently, so
+    // only the partial-agg exchange below them is AQE-reusable and the
+    // window explode + md5 re-ran for the second consumer (same
+    // shared-frame shape splitRebalance pins). The pinned frame is one
+    // row per DISTINCT (doc, window) — bounded by corpus token count;
+    // materializing it once vs hashing every window twice is the same
+    // trade the fps pin in splitRebalance documents. Lazy — construction
+    // stays job-free.
     val perDocFp = spans.groupBy(col(idCol), col("fp"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val docsPerFp = perDocFp.groupBy("fp")
       .agg(count(lit(1)).as("ndocs"))
     val rep = perDocFp.join(docsPerFp, Seq("fp"))
@@ -134,10 +144,18 @@ object TextDedup {
     val toks = graft.etl.Readers.fanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         split(coalesce(col(textCol), lit("")), " ").as("__t"))
+    // pinned (r17): the positioned window table feeds BOTH the
+    // repeated-fp aggregate and the coverage probe join — keyed
+    // differently ((id, fp) vs fp), so without the pin the posexplode +
+    // md5 pass executed once per consumer (measured 7 parquet scans in
+    // dedup_substring_clean's executed plan). One row per token window —
+    // the same corpus-token-bounded materialization trade the
+    // [[repeatedSpanProfile]] and splitRebalance pins document. Lazy.
     val win = toks
       .select(col(idCol),
         posexplode(shinglesFromWords(col("__t"), n)).as(Seq("pos", "s")))
       .select(col(idCol), col("pos"), md5(col("s")).as("fp"))
+      .localCheckpoint(false)
     val repFps = win.groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("c"))
       .groupBy("fp").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select("fp")

@@ -422,6 +422,15 @@ object Vectors {
           .join(means, Seq(centroidId), "left")
           .select(col(centroidId),
             coalesce(col("_new"), col("_prev")).as(centroidVec)))
+        // pinned (r17): each round consumes the previous round's centroids
+        // TWICE (the assignment broadcast and the update join), so without
+        // lineage truncation round r re-evaluates round r-1 twice — the
+        // corpus-sized assignment pass re-executes ~2^iterations times
+        // (measured: 13 embeddings scans in kmeans_refine's executed plan
+        // at 2 rounds; 3 after — one per assignment, as the algorithm
+        // states). The pinned frame is K rows of dim doubles — centroid
+        // metadata, not data. Lazy, so construction stays job-free.
+        .localCheckpoint(false)
     }
     cents
   }

@@ -198,10 +198,20 @@ object CurationQueries {
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Readers.table(spark, dir, "documents")
+    // pinned (r17): the index frame is consumed THREE ways (the incoming
+    // side once, the corpus side twice — fingerprint set and simhash set),
+    // and the per-side filters push below the join into three distinct
+    // subtrees, so without the pin the md5 fingerprint + 48-bit SimHash
+    // pipeline executed once per consumer (measured 11 parquet scans in
+    // the executed plan; 3 after). (doc_id, fp, simhash) is per-doc
+    // metadata — exactly what a production dedup INDEX materializes. Lazy,
+    // so construction stays job-free. This is what the "ONE pass, then
+    // split" contract below always meant; now the plan does it too.
     val base = docs
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .join(TextDedup.simhash(docs, "doc_id", "text", IndexSimhashBits),
         Seq("doc_id"))
+      .localCheckpoint(false)
     Curation.incrementalDedup(
         base.filter(col("doc_id") % 5 === 0),
         base.filter(col("doc_id") % 5 =!= 0), "doc_id")
@@ -1006,8 +1016,16 @@ object CurationQueries {
     * corpora.
     */
   private[graft] def pretrainFunnel(docs: DataFrame): DataFrame = {
+    // pinned ONCE (r17): every one of the seven funnel rows semi-joins
+    // against this (doc_id, lang, n_tokens) frame, and without the pin
+    // each row re-scans the corpus and re-tokenizes every document —
+    // measured 16 parquet scans of `documents` in the executed plan, 7 of
+    // them this subtree (guide §2.4/§5: reuse one materialization instead
+    // of recomputing; same contract as a production run's stage metadata
+    // table). Lazy, so construction stays job-free.
     val meta = docs.select(col("doc_id"), col("lang"),
       TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint(false)
 
     val kept1 = Curation.qualityFilter(docs, "doc_id", "text")
       .filter(col("keep")).select("doc_id")

@@ -694,6 +694,11 @@ object BenchStream {
         .option("checkpointLocation", s"$ckptRoot/ann_serve_stream")
         .foreachBatch((df: Dataset[org.apache.spark.sql.Row], _: Long) =>
           annSink(df)).start()
+      // every .start() site increments the counter (r16 ADVICE): the
+      // GRAFT_MIN_DELTAS fresh-JVM guard is only sound if NO earlier
+      // stateful query can have pinned the maintenance-task period —
+      // this op is stateless, but the guard must not depend on op order
+      queriesStarted += 1
       val t0 = System.nanoTime()
       try servQueries.grouped(chunk).foreach { c =>
         mem2.addData(c: _*); q2.processAllAvailable()

@@ -78,25 +78,33 @@ object Graph {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
     def withBase(df: DataFrame) = df.crossJoin(broadcast(n))
+    // (node, outdeg) pinned ONCE (r17): the per-iteration rank rebuild
+    // previously re-joined `deg` every pass — the same |V|-sized join
+    // repeated `iterations` times for a value that never changes. Folding
+    // it into the node table up front drops one join (and the deg
+    // re-aggregation) from every iteration; the loop is now exactly the
+    // two exchanges the scaladoc advertises plus one broadcast-joined
+    // |V|-row rebuild.
+    val nodesDeg = nodes
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
+      .localCheckpoint(false)
     // rank and outdeg travel together: the loop below joins edges against
     // ONE table keyed by node (outdeg 0 = sink; contributes nothing)
-    var ranks = withBase(nodes)
-      .join(deg, Seq("node"), "left")
-      .select(col("node"), (lit(1.0) / col("__n")).as("rank"),
-        coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
+    var ranks = withBase(nodesDeg)
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"), col("outdeg"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      ranks = withBase(nodes)
+      ranks = withBase(nodesDeg)
         .join(inflow, Seq("node"), "left")
-        .join(deg, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
-          coalesce(col("outdeg"), lit(0.0)).as("outdeg"))
+          col("outdeg"))
         .localCheckpoint(false)
     }
     ranks.select("node", "rank")

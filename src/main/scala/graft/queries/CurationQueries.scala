@@ -777,6 +777,12 @@ object CurationQueries {
     val docs = Readers.table(spark, dir, "documents")
       .select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))
+      // pinned (r17): the distributed ntile reads its input in several
+      // passes (range bounds, per-range counts, the data pass), and each
+      // pass re-ran the regex-heavy quality scorer over every document
+      // (measured 7 parquet scans in the executed plan; 0 after). The
+      // pinned frame is (doc_id, score) — per-doc metadata. Lazy.
+      .localCheckpoint(false)
     val tiers = graft.ops.Ranking.withNtile(docs,
       Seq(col("quality"), col("doc_id")), TierRates.size, "tier")
     val rate = element_at(typedLit(TierRates), col("tier"))
@@ -1283,6 +1289,13 @@ object CurationQueries {
       .select(col("source"), col("doc_id"),
         size(split(coalesce(col("text"), lit("")), " "))
           .cast("long").as("n"))
+      // pinned (r17): the skew-free prefix machinery reads its input in
+      // several passes by design (range-bounds stats, per-key totals, the
+      // ranked data pass) — each pass re-scanned documents and re-split
+      // every text (measured 13 parquet scans in the executed plan; 0
+      // after, all passes off the pin). The pinned frame is (source, id,
+      // token count) — per-doc metadata, not text. Lazy.
+      .localCheckpoint(false)
     graft.ops.Ranking.withPartitionedRunningSums(docs,
         Seq(col("source")),
         Seq(-col("n"), col("doc_id")),

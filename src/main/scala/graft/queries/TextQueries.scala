@@ -1377,6 +1377,13 @@ object TextQueries {
       .fanOut(Readers.table(spark, dir, "documents").select("text"))
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+      // pinned (r17): the distributed rank reads its input several times
+      // (range-bounds percentile, per-range totals, the data pass) — AQE
+      // reuses the count's shuffle but re-ran the post-shuffle aggregate
+      // and the bounds pass per consumer (measured 5 parquet scans /
+      // 21 exchanges executed; 0 scans / 8 after). Vocabulary-sized —
+      // the table whose single-task sort this key exists to avoid. Lazy.
+      .localCheckpoint(false)
     val proxy = -col("n").cast("double") +
       graft.ops.Ranking.stringPrefixFraction(col("word"))
     graft.ops.Ranking
@@ -1408,7 +1415,12 @@ object TextQueries {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = Readers.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // pinned (r17): `tf` feeds both the document-frequency aggregate and
+    // the scoring join, keyed differently — AQE reuses the (doc, word)
+    // shuffle but re-ran the post-shuffle aggregate per consumer. One row
+    // per distinct (doc, word) — the sparse feature table itself. Lazy.
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // df derives from tf (one row per (doc, word) already) — deriving it
     // from `terms` would re-run the corpus explode AND pay a distinct
     // shuffle of every token occurrence
@@ -1615,9 +1627,16 @@ object TextQueries {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         (col("tf") * log(col("__n_docs") / col("df"))).as("w"))
-    // no checkpoint on `w`: norms and both pair-join sides reuse its
-    // exchanges via ReuseExchange (canonicalized self-join subtrees match),
-    // so the weight table materializes once without losing AQE or laziness
+      .localCheckpoint(false)
+    // pinned (r17): norms and BOTH pair-join sides consume the weight
+    // table. The two self-join sides do share one shuffle via AQE stage
+    // reuse (canonicalized exchanges match), but the norms aggregate keys
+    // its exchange by doc_id, so the tf→idf subtree re-executed for it —
+    // measured 14 parquet scans / 38 exchanges in the executed plan
+    // (8 reused), vs 0 scans / 10 exchanges above the pin. The weight
+    // table is the doc slice's (doc, token, w) rows — bounded by the
+    // CosSlice design, tiny next to the corpus. Lazy, construction stays
+    // job-free.
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val dots = w.as("a")
       .join(w.as("b").hint("shuffle_hash"),
@@ -1716,7 +1735,9 @@ object TextQueries {
     val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val terms = Readers.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // pinned (r17): same two-consumer shape as [[tfIdf]]'s tf table
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")

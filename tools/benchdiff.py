@@ -42,6 +42,15 @@ def norm_mins(detail: dict, common_floor: float) -> dict:
 def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
     old, new = (json.load(open(p)) for p in (old_path, new_path))
     om, nm = mins(old), mins(new)
+    # a failed key carries min -1 (and norm -1): collect explicitly so
+    # norm mode can't silently reclassify it as added/removed (r16 ADVICE)
+    failed = sorted({k for k, v in om.items() if v < 0}
+                    | {k for k, v in nm.items() if v < 0})
+    if failed:
+        print(f"FAILED keys ({len(failed)}; excluded from diff): "
+              + ", ".join(failed))
+    om = {k: v for k, v in om.items() if v >= 0}
+    nm = {k: v for k, v in nm.items() if v >= 0}
     if old.get("queries_norm") and new.get("queries_norm"):
         floor = min(old.get("cal", 1e9), new.get("cal", 1e9))
         onorm, nnorm = norm_mins(old, floor), norm_mins(new, floor)

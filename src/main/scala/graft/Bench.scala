@@ -51,6 +51,21 @@ object Bench {
     * values are estimates for adjudication (contention scales a query
     * and the calibration workload alike only to first order); the raw
     * min/max remain the record of what was measured.
+    *
+    * VALIDATED r17 (first cal-clean run since r13 vs the same round's
+    * contended run, 226 code-untouched keys — OPTIMIZATION_r17.md §2):
+    * the first-order assumption does NOT hold on this host. The
+    * calibration probe saturates all cores and feels CPU steal ~fully,
+    * while a typical short-stage query read only ~10% median inflation
+    * on a run whose probes sat 2–4× hot — so dividing by segment heat
+    * OVER-corrects (norms landed median 57% below the clean run's raw
+    * mins), and min-over-normalized-samples picks the hottest (most
+    * over-divided) sample by construction. Treat `queries_norm` as a
+    * LOWER bound and the raw min as an UPPER bound; on a cal-clean run
+    * they coincide and the raw min is the record. The published entry
+    * carries [norm, heat_at_min, n_samples, heat_min, heat_max] so a
+    * judge can see how hot the chosen sample was and how many samples
+    * backed it.
     */
   private[graft] def normMin(samples: Seq[(Double, Double)], floor: Double)
   : (Double, Double) = {
@@ -275,7 +290,15 @@ object Bench {
     // uniform-shift assumption).
     val perQueryNorm = suite.zipWithIndex.map { case ((name, _), i) =>
       val passSamples = used.map(p => (p.times(name), p.segHeat(i)))
-      name -> normMin(passSamples ++ respikeSamples.get(name), cal)
+      val all = passSamples ++ respikeSamples.get(name)
+      val (nm, h) = normMin(all, cal)
+      // heat spread + sample count ride along (r16 VERDICT #1a): a norm
+      // chosen from one hot sample must be visible as such to a judge
+      val valid = all.filter { case (t, hh) => t >= 0 && hh > 0 }
+      val (hMin, hMax) =
+        if (valid.isEmpty) (-1.0, -1.0)
+        else (valid.map(_._2).min, valid.map(_._2).max)
+      name -> (nm, h, valid.size, hMin, hMax)
     }
     // RUN-level contention verdict (r14 lesson): the headline cal is a
     // MIN, so a run whose best calibration read clean while the in-pass
@@ -311,7 +334,9 @@ object Bench {
       .map { case (k, (mn, mx)) => "\"" + k + "\":[" + f3(mn) + "," + f3(mx) + "]" }
       .mkString("{", ",", "}")
     val normDetail = perQueryNorm
-      .map { case (k, (nm, h)) => "\"" + k + "\":[" + f3(nm) + "," + f3(h) + "]" }
+      .map { case (k, (nm, h, n, hMin, hMax)) =>
+        "\"" + k + "\":[" + f3(nm) + "," + f3(h) + "," + n + "," +
+          f3(hMin) + "," + f3(hMax) + "]" }
       .mkString("{", ",", "}")
     val total = perQuery.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     val failedJson =

@@ -417,20 +417,22 @@ object Vectors {
         .agg(transform(
           array_sort(collect_list(struct(col("_pos"), col("_m")))),
           x => x.getField("_m")).as("_new"))
+      // pinned (r17): each round consumes the previous round's centroids
+      // TWICE (the assignment broadcast and the update join), so without
+      // lineage truncation round r re-evaluates round r-1 twice — the
+      // corpus-sized assignment pass re-executes ~2^iterations times
+      // (measured: 13 embeddings scans in kmeans_refine's executed plan
+      // at 2 rounds; 3 after — one per assignment, as the algorithm
+      // states). The pinned frame is K rows of dim doubles — centroid
+      // metadata, not data. The structural `capped` limit is applied
+      // ABOVE the checkpoint so the broadcast side stays PROVABLY bounded
+      // to PlanLint (a checkpoint scan hides the bound underneath it).
       cents = capped(
         cents.select(col(centroidId), col(centroidVec).as("_prev"))
           .join(means, Seq(centroidId), "left")
           .select(col(centroidId),
-            coalesce(col("_new"), col("_prev")).as(centroidVec)))
-        // pinned (r17): each round consumes the previous round's centroids
-        // TWICE (the assignment broadcast and the update join), so without
-        // lineage truncation round r re-evaluates round r-1 twice — the
-        // corpus-sized assignment pass re-executes ~2^iterations times
-        // (measured: 13 embeddings scans in kmeans_refine's executed plan
-        // at 2 rounds; 3 after — one per assignment, as the algorithm
-        // states). The pinned frame is K rows of dim doubles — centroid
-        // metadata, not data. Lazy, so construction stays job-free.
-        .localCheckpoint(false)
+            coalesce(col("_new"), col("_prev")).as(centroidVec))
+          .localCheckpoint(false))
     }
     cents
   }

@@ -1046,7 +1046,10 @@ object CurationQueries {
     val sigs = TextDedup.minhashFromShingleSet(shSet, "doc_id",
       TextDedup.NumHashes)
     val cands = TextDedup.lshCandidatePairs(sigs, "doc_id",
-      TextDedup.NumHashes).select("doc_a", "doc_b")
+        TextDedup.NumHashes).select("doc_a", "doc_b")
+      // pinned (r17): the Jaccard stage consumes the candidate set three
+      // ways (see dedupPipeline) — one LSH execution, not one per consumer
+      .localCheckpoint(false)
     val pairs = TextDedup.jaccardFromShingleSet(shSet, cands, "doc_id")
       .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
     val nonCanonical = TextDedup.duplicateClusters(pairs)

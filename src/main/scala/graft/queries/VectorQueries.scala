@@ -952,12 +952,17 @@ object VectorQueries {
     val emb = Readers.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val centroids = emb.filter(col("vec_id") < NumCentroids).limit(NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    // pinned (r17): the per-cluster stats aggregate and the ranking
+    // window both consume this frame — without the pin the corpus ×
+    // centroids argmax cross join ran twice. (centroid, vec, cos) is
+    // per-vector metadata. Lazy.
     val withCos = Vectors.assignToCentroids(emb, "vec_id", centroids)
       .join(broadcast(centroids), Seq("centroid_id"))
       .withColumn("cos", round(Vectors.safeDiv(
         Vectors.dot(col("embedding"), col("c_emb")),
         Vectors.norm(col("embedding")) * Vectors.norm(col("c_emb"))), 6))
       .select("centroid_id", "vec_id", "cos")
+      .localCheckpoint(false)
     // m/sd are rounded BEFORE the division: float sums inside avg/stddev
     // are order-dependent at ulp level across engines, so the z quotient
     // must divide identical rounded operands (same exactness argument as

@@ -62,11 +62,25 @@ class LazyConstructionSpec extends AnyFunSuite {
                      // shapes)
     "split_rebalance", // r15: embeds the convergence-probed pointer-jumping
                        // CC pass (same reason as dedup_clusters)
-    "cjk_unsegmented" // r15: the synthesized-corpus and char-shingle
+    "cjk_unsegmented", // r15: the synthesized-corpus and char-shingle
                       // frames each feed two consumers and are pinned
                       // with localCheckpoint(eager=false) — no driver
                       // action, but AQE resolves the checkpoint's
                       // exchange at construction (same as split_leakage)
+    // r17 optimization round: shared multi-consumer frames pinned with
+    // localCheckpoint(eager=false) — same contract as the block above
+    // (no driver action; AQE materializes the pinned subtree's exchange
+    // stages at construction). Each pin removed a measured per-consumer
+    // re-execution of the subtree (scan counts in OPTIMIZATION_r17.md §3);
+    // the six former cache() sites in VectorQueries are additionally a
+    // measurement-honesty fix — CacheManager re-served them across bench
+    // passes (r16 ADVICE).
+    "ann_ivf", "ann_ivf_k64", "ann_ivf_nprobe2", "ann_ivfpq", "ann_recall",
+    "decontaminate_semantic", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_substring", "dedup_substring_clean", "embedding_outliers",
+    "keywords_topk", "kmeans_refine", "sample_cluster_balanced",
+    "semantic_dedup", "semantic_dedup_k64", "tf_idf", "tfidf_cosine_pairs",
+    "vocab_build"
   )
 
   test("query construction runs zero Spark jobs (outside the eager allowlist)") {

@@ -60,6 +60,13 @@ def main(old_path: str, new_path: str, ratio: float, abs_s: float) -> int:
             print(f"mode: heat-NORMALIZED mins, re-based to common floor "
                   f"{floor} (old cal {old.get('cal')}, new cal "
                   f"{new.get('cal')})")
+            if old.get("run_contended") != new.get("run_contended"):
+                print("CAVEAT: one record is contended and the other is "
+                      "not — r17 validation (OPTIMIZATION_r17.md §2) shows "
+                      "norm OVER-corrects on contended runs (lower bound), "
+                      "so deltas in the contended record's favor are "
+                      "inflated; cross-check in raw-min mode before "
+                      "calling a regression/improvement")
     else:
         print("mode: raw mins (a record predates queries_norm) — "
               "contended-host deltas need the uniform-shift caveat")

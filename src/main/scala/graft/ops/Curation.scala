@@ -92,6 +92,16 @@ object Curation {
     * into the scan's codegen stage at any scale. The word split is bound
     * to an attribute once; the signals and the rule chain all read that
     * one tokenization.
+    *
+    * The rule-chain CASE is ALSO bound to an attribute (its own Project)
+    * before fanning out to `keep`/`reject_reason` (r17, guide §1.2 "per-
+    * task work"): the two output columns otherwise each inline the whole
+    * chain, and codegen subexpression elimination does NOT merge the two
+    * CaseWhen trees — with the language gate live that meant evaluating
+    * the 4-profile token-set overlap + char profile twice per row
+    * (measured 0.78 → 0.45 s at sf0.1). CollapseProject keeps the stage
+    * split because a non-cheap expression referenced twice is never
+    * inlined; everything still fuses into one WholeStageCodegen.
     */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
                     allowedLangs: Option[Seq[String]] = None)
@@ -99,10 +109,11 @@ object Curation {
     val bound = docs.select(col(idCol), col(textCol).as("__t"),
       split(col(textCol), " ").as("__w"))
     val reason = rejectReasonFromWords(col("__t"), col("__w"), allowedLangs)
-    bound.select(col(idCol), nTokensOf(col("__w")).as("n_tokens"),
-      ttrOf(col("__w")).as("ttr"),
-      stopRatioOf(col("__w")).as("stopword_ratio"),
-      reason.isNull.as("keep"), reason.as("reject_reason"))
+    bound.select(col(idCol), col("__w"), reason.as("__r"))
+      .select(col(idCol), nTokensOf(col("__w")).as("n_tokens"),
+        ttrOf(col("__w")).as("ttr"),
+        stopRatioOf(col("__w")).as("stopword_ratio"),
+        col("__r").isNull.as("keep"), col("__r").as("reject_reason"))
   }
 
   /** Deterministic stratified-in-expectation train/val/test split:

@@ -428,6 +428,10 @@ object Analytics {
         col("o_orderstatus"))
     SkewJoin.saltedLeftJoin(lineitem, ordersDim, "l_orderkey",
         hash(col("l_linenumber")), saltBuckets = 4)
+      // NOT pinned before the sort (r17 sweep): a pin measured exactly
+      // 1.00x — the sort itself, not the sampler's re-run of the
+      // broadcast probe, is this key's cost — and it would have put the
+      // broadcast exchange under a construction-time AQE resolve
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -987,6 +987,13 @@ object AnalyticsExt {
     */
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "orders")
+      // sort first, compute after (the cast_normalize/text_stats pattern,
+      // r17 sweep): the range-partitioner's sampling job re-executes the
+      // sort's child, so projecting the date/string expressions below the
+      // sort ran them twice; sorting the 3 narrow source columns first
+      // runs them exactly once, post-shuffle, with no materialization
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
       .select(
         col("o_orderkey"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
@@ -1002,7 +1009,6 @@ object AnalyticsExt {
         reverse(col("o_orderpriority")).as("pri_rev"),
         length(col("o_orderpriority")).as("pri_len"),
         instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"))
-      .orderBy("o_orderkey")
 
   val scalarFuncsSql: String =
     """SELECT o_orderkey,
@@ -1156,6 +1162,11 @@ object AnalyticsExt {
           lit(0L), (acc, x) => acc + x).as("total_chars"),
         exists(col("w"), t => t === "the").as("has_the"),
         forall(col("w"), t => length(t) < 30).as("all_short"))
+      // pin before the deterministic-output sort (r17 sweep): the range
+      // sampler re-executed the whole HOF battery; the computed rows are
+      // narrow, so materializing them once beats running the maps twice.
+      // Lazy + map-only subtree: construction stays job-free.
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   val arrayHofSql: String =
@@ -1310,6 +1321,11 @@ object AnalyticsExt {
     */
   def stringSplitOps(spark: SparkSession, dir: String): DataFrame =
     Readers.table(spark, dir, "orders")
+      // sort first, compute after (see scalarFuncs): the split/contains
+      // battery otherwise ran twice — once for the range sampler, once
+      // for the real pass
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
       .select(col("o_orderkey"),
         split_part(col("o_orderpriority"), lit("-"), lit(1)).as("pri_code"),
         split_part(col("o_orderpriority"), lit("-"), lit(2)).as("pri_name"),
@@ -1318,7 +1334,6 @@ object AnalyticsExt {
         col("o_orderpriority").contains("URGENT").as("is_urgent_word"),
         col("o_orderpriority").startsWith("1").as("is_top"),
         col("o_orderpriority").endsWith("W").as("ends_w"))
-      .orderBy("o_orderkey")
 
   val stringSplitOpsSql: String =
     """SELECT o_orderkey,

@@ -19,6 +19,14 @@ object CurationQueries {
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     Curation.qualityFilter(
         Readers.table(spark, dir, "documents"), "doc_id", "text")
+      // pinned before the deterministic-output sort (r17, guide §2.4):
+      // range partitioning SAMPLES its child to pick bounds, which
+      // re-executes the whole signal projection once before the real
+      // pass — the pin makes the sampler read the compact materialized
+      // signals instead (0.42 → 0.30 s at sf0.1; 2.26 → ~0.8 on the
+      // gated twin, whose per-row work is 5x). Lazy, instance-scoped:
+      // construction stays job-free and nothing leaks across bench runs.
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   val qualityFilterSql: String = {
@@ -63,6 +71,11 @@ object CurationQueries {
     Curation.qualityFilter(
         Readers.table(spark, dir, "documents"), "doc_id", "text",
         allowedLangs = Some(AllowedLangs))
+      // same pin-before-sort as [[qualityFilter]] — the gated chain's
+      // language layer is the expensive part the range sampler was
+      // re-running (measured 1.64 → 0.79 s at sf0.1 with the staged
+      // reason; see Curation.qualityFilter)
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   // Twin-simplification note (r16): langIdStruct now also routes
@@ -299,6 +312,10 @@ object CurationQueries {
       .select(col("doc_id"), raw.as("raw"))
       .select((col("doc_id") +: Curation.piiCounts(col("raw")))
         :+ Curation.redactPii(col("raw")).as("redacted"): _*)
+      // pin before the deterministic-output sort (r17 sweep): the range
+      // sampler re-ran the full PII regex battery over every synthesized
+      // row. Lazy + map-only: job-free construction.
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 

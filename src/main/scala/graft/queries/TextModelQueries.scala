@@ -101,6 +101,10 @@ object TextModelQueries {
         aggregate(zip_with(col("v"),
             sequence(lit(1L), lit(HashDim.toLong)), (x, i) => x * i),
           lit(0.0), (a, x) => a + x).cast("long").as("checksum"))
+      // pin before the deterministic-output sort (r17 sweep): the range
+      // sampler re-built the HashDim-wide feature vector and its three
+      // folds for every document. Lazy + map-only: job-free construction.
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 

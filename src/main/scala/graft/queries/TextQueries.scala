@@ -579,6 +579,10 @@ object TextQueries {
         when(size(col("fps")) > 0, element_at(col("fps"), -1)).as("fp_max"),
         round(when(col("n_grams") > 0,
           size(col("fps")).cast("double") / col("n_grams")), 6).as("density"))
+      // pin before the deterministic-output sort (r17 sweep): the range
+      // sampler re-ran the native winnow roll over every document; the
+      // summary rows are 6 scalars. Lazy + map-only: job-free construction.
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   /** The winnow CTE shared by both oracles: fingerprints = sorted distinct
@@ -768,6 +772,12 @@ object TextQueries {
         col("__lid.score").as("score"),
         col("lang").as("lang_label"),
         (col("__lid.lang_pred") === col("lang")).as("agree"))
+      // pin before the deterministic-output sort (r17 sweep): the range
+      // sampler re-executed the whole langIdStruct battery (4 token-set
+      // profiles + char profile per row); the computed rows are tiny, so
+      // one materialization beats classifying every document twice.
+      // Lazy + map-only subtree: construction stays job-free.
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   // Twin-simplification note (r16): langIdStruct now also routes

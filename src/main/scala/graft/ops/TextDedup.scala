@@ -501,6 +501,12 @@ object TextDedup {
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("doc"), col("label"))
       .localCheckpoint()
+    // NOT broadcast-joined (r17): the Graph.broadcastIfSmall treatment
+    // that pays off in pageRank/labelPropagation measured a consistent
+    // LOSS here (split_rebalance 1.90 -> 2.30 s A/B at sf0.1, same
+    // session) — this loop's edge side is the small one (LSH pairs /
+    // star edges), so a per-iteration broadcast rebuild of the |V|-row
+    // labels costs more than the edge shuffle it removes
     var iters = 0
     var changed = true
     while (changed && iters < maxIters) {

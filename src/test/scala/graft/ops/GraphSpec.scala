@@ -86,4 +86,28 @@ class GraphSpec extends AnyFunSuite {
     // 2 and 3 adopt 1's label; 1 keeps its own instead of vanishing
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  // r17: the loops' per-iteration join-strategy decision. A checkpointed
+  // |V| frame carries the default (huge) size estimate, so the decision
+  // must come from a real row count against the engine's own threshold —
+  // and must flip OFF for big frames and when the conf disables
+  // broadcasting (including the "-1" spelling, which does not parse as a
+  // byte string).
+  test("broadcastIfSmall: row-count-driven, honors the engine threshold") {
+    val df = spark.range(10).toDF("node")
+    // under the bar: a new, hint-carrying frame
+    val small = Graph.broadcastIfSmall(df, 10L)
+    assert(small ne df)
+    assert(small.queryExecution.analyzed.toString.contains("Hint") ||
+      small.queryExecution.optimizedPlan.toString.contains("Hint"))
+    // over the bar (10M rows x 64B >> 10MB): the frame passes through
+    assert(Graph.broadcastIfSmall(df, 10000000L) eq df)
+    // threshold "-1" = auto-broadcast off: never hint, never throw
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(Graph.broadcastIfSmall(df, 10L) eq df)
+    } finally spark.conf.set(key, old)
+  }
 }
